@@ -1,0 +1,48 @@
+"""Parquet sources — the engine's warehouse format.
+
+Columnar scan + predicate pushdown + column pruning come free; at scale
+the fact tables are written partitioned by date (see pipeline.py), so a
+time-range predicate (P6) becomes partition pruning — the Spark
+substitute for the reference's B-tree time index
+(reference src/database.py:115; SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark only reads as
+# long (spark.sql.legacy.parquet.nanosAsLong). We floor-convert ns → µs
+# — same truncation DuckDB applies fetching TIMESTAMP_NS — and pin the
+# session TZ to UTC (the engine's parity convention, SURVEY.md §7.4.5)
+# so the reconstructed wall-clock matches the oracle's naive reading.
+_NANOS_TS_COLS = {"events": ["ts"]}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _NANOS_TS_COLS.get(name, []):
+        if isinstance(df.schema[c].dataType, T.LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
+            )
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every testdata parquet as a temp view (same names DuckDB
+    pre-registers for the oracle)."""
+    for name in TESTDATA_TABLES:
+        path = f"{sf_dir}/{name}.parquet"
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
