@@ -13,6 +13,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .operators.cleansing import apply_fixups, title_trim
+from .operators.constraints import check_audit, fk_enforce, fk_violations, pk_duplicates
 from .plans.queries import star_join_revenue, top_cells_events
 from .plans.views import hourly_events
 from .sources.parquet import load_table
@@ -94,4 +96,218 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Constraint / integrity operators (P7/A5, J1/J2, PK audits)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "constraint_audit",
+    """
+    SELECT
+      CAST(sum(CASE WHEN NOT (l_quantity >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS bad_quantity,
+      CAST(sum(CASE WHEN NOT (l_extendedprice >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS bad_price,
+      CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 1) THEN 1 ELSE 0 END) AS BIGINT) AS bad_discount,
+      CAST(sum(CASE WHEN NOT (l_tax >= 0) THEN 1 ELSE 0 END) AS BIGINT) AS bad_tax,
+      CAST(sum(CASE WHEN NOT (l_linenumber BETWEEN 1 AND 7) THEN 1 ELSE 0 END) AS BIGINT) AS bad_linenumber
+    FROM lineitem
+    """,
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/P7: one-pass CHECK audit (reference src/etl.py:302-328 collapsed
+    from 9 scans to one partial+final aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return check_audit(
+        li,
+        {
+            "bad_quantity": F.col("l_quantity") >= 0,
+            "bad_price": F.col("l_extendedprice") >= 0,
+            "bad_discount": F.col("l_discount").between(0, 1),
+            "bad_tax": F.col("l_tax") >= 0,
+            "bad_linenumber": F.col("l_linenumber").between(1, 7),
+        },
+    )
+
+
+@register(
+    "pk_dup_audit",
+    """
+    SELECT l_orderkey, l_linenumber, count(*) AS n_rows
+    FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1
+    """,
+)
+def q_pk_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK duplicate audit on lineitem's natural key
+    (reference PK model src/database.py:90)."""
+    return pk_duplicates(load_table(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"])
+
+
+@register(
+    "fk_orphan_audit",
+    """
+    SELECT o_orderkey, o_custkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+)
+def q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 audit: broadcast left-anti FK check
+    (reference FK decls src/database.py:83,95-96)."""
+    return fk_violations(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        load_table(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )
+
+
+@register(
+    "semi_join_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM customer c
+      WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def q_semi_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/P5: membership filter as broadcast left-semi join — the
+    reference's isin-against-dim pattern (reference src/etl.py:227-231,260)."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return fk_enforce(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        cust,
+        "o_custkey",
+        "c_custkey",
+    )
+
+
+# ---------------------------------------------------------------------------
+# String conform operators (T1/T2) and windowed / pivoted analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "conform_names",
+    """
+    SELECT
+      n_nationkey,
+      CASE
+        WHEN t = 'Nation_0' THEN 'Zero Nation'
+        WHEN t = 'Nation_7' THEN 'Lucky Nation'
+        ELSE t
+      END AS conformed
+    FROM (
+      SELECT n_nationkey,
+             array_to_string(
+               list_transform(string_split(lower(trim(n_name)), ' '),
+                              w -> upper(w[1]) || w[2:]), ' ') AS t
+      FROM nation
+    )
+    ORDER BY n_nationkey
+    """,
+)
+def q_conform_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2: title-case+trim then fixup-map replace (reference
+    src/etl.py:256-258). DuckDB lacks initcap, so the oracle hand-rolls
+    per-word title-casing."""
+    nation = load_table(spark, sf_dir, "nation")
+    fixups = {"Nation_0": "Zero Nation", "Nation_7": "Lucky Nation"}
+    return (
+        nation.select(
+            "n_nationkey",
+            apply_fixups(title_trim(F.lower(F.col("n_name"))), fixups).alias("conformed"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT c_custkey, o_orderkey, o_totalprice, rk FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rk <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group — deterministic rank with key tiebreak.
+    (Beyond the reference surface: SURVEY.md §2.5 notes Spark gives
+    windows free; this is the per-entity top-k every CDR analysis wants.)"""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "hourly_pivot",
+    """
+    SELECT date_trunc('hour', ts) AS hour,
+      round(sum(CASE WHEN event_type = 'click'    THEN value ELSE 0 END), 6) AS click,
+      round(sum(CASE WHEN event_type = 'error'    THEN value ELSE 0 END), 6) AS error,
+      round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6) AS purchase,
+      round(sum(CASE WHEN event_type = 'signup'   THEN value ELSE 0 END), 6) AS signup,
+      round(sum(CASE WHEN event_type = 'view'     THEN value ELSE 0 END), 6) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def q_hourly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: the multi-metric-per-row shape of the reference's traffic
+    fact (smsin/smsout/... are exactly a pivoted event stream). Explicit
+    value list ⇒ single-pass, no distinct-values pre-scan, stable schema."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    df = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .pivot("event_type", kinds)
+        .agg(F.sum("value"))
+    )
+    for k in kinds:
+        df = df.withColumn(k, F.round(F.coalesce(F.col(k), F.lit(0.0)), 6))
+    return df
+
+
+@register(
+    "daily_user_activity",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id,
+           count(*) AS n_events,
+           round(sum(value), 6) AS total_value,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate grouped rollup incl. distinct-count — the daily
+    per-entity profile (A2 generalized)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        F.col("user_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+        F.countDistinct("event_type").alias("n_types"),
     )
