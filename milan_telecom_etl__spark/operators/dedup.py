@@ -1,0 +1,226 @@
+"""Deduplication operators — exact and near-dup — for LLM-corpus scale
+(BASELINE.json north star).
+
+Design for 100 TB:
+- exact_duplicates: hash-groupBy on md5(normalized). The shuffle key is
+  the hash itself ⇒ perfectly uniform partitioning, no skew, and the
+  map-side partial agg collapses most groups before the exchange.
+- minhash signatures: per-doc work is a flat shingle explode + one
+  groupBy(doc) — embarrassingly parallel; LSH banding turns the O(n²)
+  pair search into equality joins on (band, band_hash), which Spark
+  executes as a shuffle hash join keyed on uniformly-distributed
+  hashes. Candidate verification (exact Jaccard) touches only bucket
+  collisions, not all pairs.
+- simhash: same explode/agg shape; near-dup lookup = equality on the
+  signature (or banded sub-signatures), never a cross join.
+- ngram_jaccard_pairs: the EXACT near-dup oracle — O(pairs sharing a
+  shingle); used to validate MinHash recall, and itself scale-safe
+  because the join is on shingle hashes (frequent-shingle skew is the
+  known hazard; cap via df filtering, see `max_shingle_df`).
+
+All hashing is md5-derived (engine-stable) so DuckDB oracles reproduce
+values exactly. No Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text
+
+# 31-bit Mersenne prime — (a*x+b) stays within int64 for a,x < 2^31.
+MERSENNE_31 = 2_147_483_647
+
+
+def _md5_int60(c: Column) -> Column:
+    """Stable 60-bit integer hash (md5 prefix) — identical in DuckDB via
+    ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text, as an array
+    of strings. Pure built-ins: split → transform over index range."""
+    words = F.split(normalize_text(col), " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), k - F.lit(1))
+    shingle_at = lambda i: F.array_join(F.slice(words, i + F.lit(1), n), " ")  # noqa: E731
+    return F.array_distinct(F.when(k > 0, F.transform(idx, shingle_at)).otherwise(F.array()))
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content fingerprint; emit one row per
+    duplicated content with multiplicity and the keeper (min doc_id)."""
+    return (
+        docs.select(F.col("doc_id"), F.md5(normalize_text(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedupe_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep exactly one doc (min doc_id) per normalized content."""
+    w_key = F.md5(normalize_text(text_col)).alias("__fp")
+    ranked = docs.withColumn("__fp", w_key)
+    keepers = ranked.groupBy("__fp").agg(F.min("doc_id").alias("doc_id"))
+    return ranked.join(keepers, ["__fp", "doc_id"], "left_semi").drop("__fp")
+
+
+def shingle_table(
+    docs: DataFrame, text_col: str = "text", n: int = 3, max_shingle_df: int | None = None
+) -> DataFrame:
+    """(doc_id, shingle_hash) exploded table — the substrate for both
+    MinHash and exact-Jaccard. `max_shingle_df` drops shingles appearing
+    in more than that many docs (stop-shingle skew cap: at corpus scale
+    a boilerplate shingle shared by millions of docs would otherwise
+    produce a quadratic join blowup)."""
+    sh = (
+        docs.select("doc_id", F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .withColumn("shingle_hash", _md5_int60(F.col("shingle")))
+        .select("doc_id", "shingle_hash")
+    )
+    if max_shingle_df is not None:
+        heavy = (
+            sh.groupBy("shingle_hash")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle_hash")
+        )
+        sh = sh.join(F.broadcast(heavy), "shingle_hash", "left_anti")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT near-dup pairs by shingle-set Jaccard ≥ threshold.
+
+    |A∩B| from the shingle-hash equality self-join; |A|,|B| from per-doc
+    counts; Jaccard = inter / (|A|+|B|-inter). Join keys are uniform
+    hashes; complexity is Σ_shingle df², bounded via shingle_table's
+    df cap at scale.
+    """
+    sh = shingle_table(docs, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash function, derived from the function
+    index (no RNG → reproducible across engines and runs)."""
+    params = []
+    for i in range(num_hashes):
+        a = (1_103_515_245 * (i + 1) + 12_345) % MERSENNE_31
+        b = (22_695_477 * (i + 1) + 1) % MERSENNE_31
+        params.append((a or 1, b))
+    return params
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature as `num_hashes` columns mh_0..mh_{k-1}.
+
+    h_i(x) = (a_i * (x mod P31) + b_i) mod P31 over 60-bit shingle
+    hashes; one explode + one groupBy(doc_id) with k min() aggregates —
+    a single shuffle keyed by doc_id.
+    """
+    sh = shingle_table(docs, text_col, n)
+    x = F.col("shingle_hash") % F.lit(MERSENNE_31)
+    aggs = [
+        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(_hash_params(num_hashes))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become a
+    candidate pair. Equality join per band on (band_id, band_hash) —
+    distributed-friendly; no cross join anywhere."""
+    sig = minhash_signatures(docs, text_col, n, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = []
+    for bi in range(n_bands):
+        cols = [F.col(f"mh_{bi * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(
+                F.lit(bi).alias("band_id"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_hash"),
+            )
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash over word hashes: bit b of the signature is the
+    majority vote of bit b across token hashes (duplicates count).
+
+    One explode + ONE hash aggregation with `bits` conditional sums —
+    no per-bit row blowup, single shuffle keyed on doc_id; signature
+    reassembly is a pure projection."""
+    words = F.split(normalize_text(text_col), " ")
+    tok = docs.select("doc_id", F.explode(words).alias("w")).withColumn(
+        "h", _md5_int60(F.col("w"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    return per_doc.select("doc_id", sig.alias("simhash"))

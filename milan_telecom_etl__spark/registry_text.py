@@ -1,0 +1,255 @@
+"""Registry entries: text analysis + dedup operators over `documents`.
+
+Oracle SQL shares the exact normalization/hash pipeline with the Spark
+side (md5-derived integers), so values match bit-for-bit; float ratios
+are rounded to 6 places on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup as D
+from .operators import text as X
+from .queries_registry import register
+from .sources.parquet import load_table
+
+# --- shared DuckDB fragments ------------------------------------------------
+
+_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower({c}), '[^a-zA-Z0-9\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
+def _norm(c: str = "text") -> str:
+    return _NORM.format(c=c)
+
+
+# (doc_id, shingle_hash) CTE — distinct word-3-gram shingles, md5→60-bit int
+_SHINGLE_CTE = f"""
+  docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+  words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+  sh AS (
+    SELECT DISTINCT doc_id,
+           ('0x' || substr(md5(s), 1, 15))::BIGINT AS shingle_hash
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+      FROM words)
+  )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    r"""
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_tokens,
+      round(CASE WHEN len(regexp_extract_all(text, '[a-zA-Z0-9]+')) > 0
+            THEN length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                 * 1.0 / len(regexp_extract_all(text, '[a-zA-Z0-9]+'))
+            ELSE 0.0 END, 6) AS avg_word_len,
+      round(CASE WHEN length(text) > 0
+            THEN len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text)
+            ELSE 0.0 END, 6) AS punct_ratio,
+      CAST(len(regexp_extract_all(text,
+        '(?i)\b(the|a|of|and|to|in|is|on|for|with)\b')) AS BIGINT) AS n_stopwords
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc base features for quality filtering — all JVM-side."""
+    return X.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
+        len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|in|is|on|for|with)\b')) AS n_stop,
+        CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text)
+             ELSE 0.0 END AS pr
+      FROM documents)
+    SELECT doc_id, n_words,
+      round(((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+           + least(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END * 5, 1.0)
+           + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3, 6) AS quality
+    FROM s
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite quality heuristic."""
+    return X.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang, ws in sorted(X.LANG_PROFILES.items()):
+        pat = "(?i)\\\\b(" + "|".join(ws) + ")\\\\b"
+        scores.append(f"len(regexp_extract_all(text, e'{pat}')) AS s_{lang}")
+    langs_desc = sorted(X.LANG_PROFILES, reverse=True)  # tie → lexicographically last
+    best = "greatest(" + ", ".join(f"s_{la}" for la in sorted(X.LANG_PROFILES)) + ")"
+    case = " ".join(f"WHEN s_{la} = best THEN '{la}'" for la in langs_desc)
+    return f"""
+    WITH s AS (SELECT doc_id, {', '.join(scores)} FROM documents),
+    m AS (SELECT *, {best} AS best FROM s)
+    SELECT doc_id,
+           CASE WHEN best > 0 THEN (CASE {case} END) ELSE 'und' END AS lang_pred,
+           CAST(best AS BIGINT) AS lang_hits
+    FROM m
+    """
+
+
+@register("lang_id", _lang_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-profile language ID (deterministic heuristic)."""
+    return X.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_norm()}) AS fingerprint FROM documents",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint = md5 of normalized text."""
+    return X.doc_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dup_groups",
+    f"""
+    SELECT md5({_norm()}) AS fingerprint,
+           count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups by normalized-content hash."""
+    return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_keepers",
+    f"""
+    SELECT min(doc_id) AS doc_id FROM (
+      SELECT doc_id, md5({_norm()}) AS fp FROM documents
+    ) GROUP BY fp
+    """,
+)
+def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kept doc ids after exact dedup (min doc_id per content)."""
+    return D.dedupe_exact(load_table(spark, sf_dir, "documents")).select("doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.1
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs (3-gram shingle Jaccard ≥ 0.1)."""
+    return D.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.1)
+
+
+def _minhash_sql(num_hashes: int = 16) -> str:
+    aggs = []
+    for i, (a, b) in enumerate(D._hash_params(num_hashes)):
+        aggs.append(
+            f"min(({a} * (shingle_hash % {D.MERSENNE_31}) + {b}) % {D.MERSENNE_31}) AS mh_{i}"
+        )
+    return f"WITH {_SHINGLE_CTE} SELECT doc_id, {', '.join(aggs)} FROM sh GROUP BY doc_id"
+
+
+@register("minhash_signatures", _minhash_sql())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signature per doc."""
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def _lsh_sql(num_hashes: int = 16, band_size: int = 2) -> str:
+    n_bands = num_hashes // band_size
+    bands = []
+    for bi in range(n_bands):
+        cols = "||','||".join(
+            f"CAST(mh_{bi * band_size + j} AS VARCHAR)" for j in range(band_size)
+        )
+        bands.append(f"SELECT doc_id, {bi} AS band_id, md5({cols}) AS band_hash FROM sig")
+    banded = " UNION ALL ".join(bands)
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS ({_minhash_sql_body()}),
+    banded AS ({banded})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+def _minhash_sql_body(num_hashes: int = 16) -> str:
+    aggs = []
+    for i, (a, b) in enumerate(D._hash_params(num_hashes)):
+        aggs.append(
+            f"min(({a} * (shingle_hash % {D.MERSENNE_31}) + {b}) % {D.MERSENNE_31}) AS mh_{i}"
+        )
+    return f"SELECT doc_id, {', '.join(aggs)} FROM sh GROUP BY doc_id"
+
+
+@register("minhash_lsh_candidates", _lsh_sql())
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (8 bands × 2 rows) — equality joins only."""
+    return D.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    tok AS (
+      SELECT doc_id, ('0x' || substr(md5(unnest(string_split(t, ' '))), 1, 15))::BIGINT AS h
+      FROM docs),
+    v AS (SELECT doc_id, {votes} FROM tok GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
+@register("simhash", _simhash_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per doc (bit-majority of token hashes)."""
+    return D.simhash(load_table(spark, sf_dir, "documents"))
