@@ -39,14 +39,38 @@ def _md5_int60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def word_shingles(col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text, as an array
-    of strings. Pure built-ins: split → transform over index range."""
-    words = F.split(normalize_text(col), " ")
+def shingles_of(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a words-array column.
+
+    IMPORTANT: pass a *bound column* (already materialized by a prior
+    stage), not an inline split(normalize(...)) expression — Spark's
+    higher-order functions evaluate the lambda body per element, so an
+    inline subtree would re-run the regex normalization once per
+    shingle (observed 40× slowdown)."""
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(0))
     idx = F.sequence(F.lit(0), k - F.lit(1))
     shingle_at = lambda i: F.array_join(F.slice(words, i + F.lit(1), n), " ")  # noqa: E731
     return F.array_distinct(F.when(k > 0, F.transform(idx, shingle_at)).otherwise(F.array()))
+
+
+def _words_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, __words) with the normalize+split pipeline materialized
+    behind an exchange barrier. The repartition doubles as the
+    parallelism spread for CPU-heavy downstreams (a single local parquet
+    file arrives as one split) and as a CollapseProject fence so
+    downstream lambdas see a bound array, not the regex subtree."""
+    # Explicit numPartitions: AQE would otherwise coalesce this tiny
+    # shuffle to 1-2 partitions and serialize the CPU-heavy downstream.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.select(
+        "doc_id", F.split(normalize_text(text_col), " ").alias("__words")
+    ).repartition(n_parts, F.col("doc_id"))
+
+
+def word_shingles(col: str | Column, n: int = 3) -> Column:
+    """Expression form (convenience, small inputs): shingles straight
+    from a text column. Prefer _words_df + shingles_of in pipelines."""
+    return shingles_of(F.split(normalize_text(col), " "), n)
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -71,24 +95,23 @@ def dedupe_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingle_table(
     docs: DataFrame, text_col: str = "text", n: int = 3, max_shingle_df: int | None = None
 ) -> DataFrame:
-    """(doc_id, shingle_hash) exploded table — the substrate for both
-    MinHash and exact-Jaccard. `max_shingle_df` drops shingles appearing
-    in more than that many docs (stop-shingle skew cap: at corpus scale
-    a boilerplate shingle shared by millions of docs would otherwise
-    produce a quadratic join blowup)."""
-    sh = (
-        docs.select("doc_id", F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .withColumn("shingle_hash", _md5_int60(F.col("shingle")))
-        .select("doc_id", "shingle_hash")
+    """(doc_id, shingle) exploded table — the substrate for exact
+    Jaccard. Joins happen on the raw shingle string (≈ the same shuffle
+    bytes as a hex hash, and skips 2×N md5 computations). `max_shingle_df`
+    drops shingles appearing in more than that many docs (stop-shingle
+    skew cap: at corpus scale a boilerplate shingle shared by millions of
+    docs would otherwise produce a quadratic join blowup)."""
+    sh = _words_df(docs, text_col).select(
+        "doc_id", F.explode(shingles_of(F.col("__words"), n)).alias("shingle")
     )
     if max_shingle_df is not None:
         heavy = (
-            sh.groupBy("shingle_hash")
+            sh.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_shingle_df)
-            .select("shingle_hash")
+            .select("shingle")
         )
-        sh = sh.join(F.broadcast(heavy), "shingle_hash", "left_anti")
+        sh = sh.join(F.broadcast(heavy), "shingle", "left_anti")
     return sh
 
 
@@ -105,12 +128,15 @@ def ngram_jaccard_pairs(
     hashes; complexity is Σ_shingle df², bounded via shingle_table's
     df cap at scale.
     """
-    sh = shingle_table(docs, text_col, n)
+    # Persist: the shingle table feeds three consumers (both self-join
+    # sides + the per-doc sizes); without it the regex-normalize +
+    # explode upstream runs three times.
+    sh = shingle_table(docs, text_col, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, "shingle_hash")
+        a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -153,13 +179,15 @@ def minhash_signatures(
     """Per-doc MinHash signature as `num_hashes` columns mh_0..mh_{k-1}.
 
     h_i(x) = (a_i * (x mod P31) + b_i) mod P31 over 60-bit shingle
-    hashes; one explode + one groupBy(doc_id) with k min() aggregates —
-    a single shuffle keyed by doc_id.
+    hashes. Computed as a PURE PROJECTION: hash the shingle array once
+    (one md5 per shingle), then k array_min folds — no explode, no
+    shuffle, no aggregation. Signing 100 TB of docs is map-only.
     """
-    sh = shingle_table(docs, text_col, n)
-    x = F.col("shingle_hash") % F.lit(MERSENNE_31)
+    sh = _words_df(docs, text_col).select(
+        "doc_id", F.explode(shingles_of(F.col("__words"), n)).alias("shingle")
+    ).withColumn("x", _md5_int60(F.col("shingle")) % F.lit(MERSENNE_31))
     aggs = [
-        F.min((F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(_hash_params(num_hashes))
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -206,10 +234,9 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     One explode + ONE hash aggregation with `bits` conditional sums —
     no per-bit row blowup, single shuffle keyed on doc_id; signature
     reassembly is a pure projection."""
-    words = F.split(normalize_text(text_col), " ")
-    tok = docs.select("doc_id", F.explode(words).alias("w")).withColumn(
-        "h", _md5_int60(F.col("w"))
-    )
+    tok = _words_df(docs, text_col).select(
+        "doc_id", F.explode(F.col("__words")).alias("w")
+    ).withColumn("h", _md5_int60(F.col("w")))
     votes = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
