@@ -1,0 +1,134 @@
+"""Multimodal columns (BASELINE.json north star): image/audio/video as
+opaque binary + typed metadata, with decode/feature/resize/frame-sample
+stages as Arrow-batched Pandas functions over mapInPandas.
+
+The image/audio codecs are NOT in this container (no PIL/ffmpeg), so the
+decode kernels are STUBS — clearly marked, swappable — while everything
+Spark-side is real and tested: schema (schemas.MEDIA), partitioning,
+the mapInPandas batch shape (pandas DataFrame per Arrow batch), and the
+output contracts. A real deployment replaces `_decode_image_stub` with
+PIL/torchvision inside the same iterator; nothing else changes.
+
+Scale notes:
+- Binary payloads ride the columnar format; select/filter on metadata
+  columns never touches payload bytes (parquet column pruning).
+- mapInPandas streams Arrow batches — bounded memory per task even with
+  multi-MB payloads; tune spark.sql.execution.arrow.maxRecordsPerBatch
+  down for large media.
+- Feature extraction is embarrassingly parallel; repartition by
+  media_id for even batches when file sizes are skewed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+if TYPE_CHECKING:  # pandas imported lazily in workers
+    import pandas as pd
+
+FEATURE_DIM = 8
+
+DECODED_SCHEMA = (
+    "media_id long, modality string, width int, height int, "
+    "n_bytes long, sha256 string, ok boolean, error string"
+)
+
+FEATURES_SCHEMA = f"media_id long, features array<float>, feature_dim int"
+
+FRAMES_SCHEMA = "media_id long, frame_index int, frame_ms long, frame_sha256 string"
+
+
+def _decode_image_stub(payload: bytes | None) -> tuple[int, int]:
+    """STUB decode: deterministic fake dimensions from the payload hash.
+
+    A real deployment does:
+        from PIL import Image; im = Image.open(io.BytesIO(payload))
+        return im.width, im.height
+    and that import is exactly why this is stubbed here (PIL absent).
+    """
+    if not payload:
+        raise NotImplementedError("empty payload and no codec available")
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0] % 512, 64 + h[1] % 512
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Decode stage: payload → dimensions + integrity hash, streamed via
+    mapInPandas (Arrow batches; payloads never collect to the driver)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = row.payload
+                try:
+                    w, h = _decode_image_stub(payload)
+                    out.append(
+                        (row.media_id, row.modality, w, h, len(payload),
+                         hashlib.sha256(payload).hexdigest(), True, None)
+                    )
+                except Exception as e:  # corrupt/undecodable media is data, not a crash
+                    out.append(
+                        (row.media_id, row.modality, None, None,
+                         len(payload) if payload else 0, None, False, str(e))
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "modality", "width", "height",
+                         "n_bytes", "sha256", "ok", "error"],
+            )
+
+    return media.select("media_id", "modality", "payload").mapInPandas(
+        batches, schema=DECODED_SCHEMA
+    )
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature stage: payload → fixed-dim float vector (STUB kernel:
+    bytes of the sha256 digest scaled to [0,1); a real deployment runs
+    the vision/audio encoder here, batched over the same iterator)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                digest = hashlib.sha256(row.payload or b"").digest()
+                vec = [digest[i] / 255.0 for i in range(dim)]
+                rows.append((row.media_id, vec, dim))
+            yield pd.DataFrame(rows, columns=["media_id", "features", "feature_dim"])
+
+    return media.select("media_id", "payload").mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling stage for video rows: one output row per sampled
+    timestamp (STUB frame id: hash(payload, ts); a real deployment seeks
+    the container with pyav/ffmpeg)."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                duration = int(row.duration_ms or 0)
+                for i, ms in enumerate(range(0, duration, every_ms)):
+                    fid = hashlib.sha256((row.payload or b"") + ms.to_bytes(8, "big")).hexdigest()
+                    rows.append((row.media_id, i, ms, fid))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_index", "frame_ms", "frame_sha256"]
+            )
+
+    video = media.filter(F.col("modality") == "video")
+    return video.select("media_id", "payload", "duration_ms").mapInPandas(
+        batches, schema=FRAMES_SCHEMA
+    )

@@ -1,0 +1,225 @@
+"""Pipeline orchestration — the reference main.py restated Spark-first
+(SURVEY.md §3, §7.2.5).
+
+Reference stages (main.py:56-75): setup → load geometries → load CSV
+facts → smoke query. Spark restatement:
+
+- Warehouse = partitioned Parquet dirs under `warehouse_dir`, registered
+  as temp views with the reference's table names. Facts partition by
+  `load_date` (to_date(datetime)) — the substitute for the reference's
+  B-tree time index (partition pruning serves P6; SURVEY.md §4.2);
+  `idx_traffic_cell` is served by Parquet min/max row-group stats.
+- S8 idempotence: a table already materialized (non-empty dir) skips the
+  load — same all-or-nothing-per-table semantics as the reference's
+  COUNT(*) probe (reference src/etl.py:16-30 etc.).
+- A6 quality counters: pyspark Observation metrics attached to the
+  cleanse chain — one pass, no extra scans (reference logs the same
+  counters per file at src/etl.py:129-169).
+- The per-file loop disappears: one spark.read.csv over the sorted,
+  limited glob (S1/S2); Spark schedules per-file splits.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.cleansing import (
+    CELL_ID_MAX,
+    CELL_ID_MIN,
+    cleanse_mobility,
+    cleanse_traffic,
+    parse_timestamp,
+)
+from .plans.dimensions import load_grid_dim, load_provinces_dim
+from .plans.queries import top_cells
+from .schemas import MOBILITY_RAW, TRAFFIC_METRICS, TRAFFIC_RAW
+from .sources.csv import read_csv_glob
+
+logger = logging.getLogger(__name__)
+
+TRAFFIC_PATTERN = "sms-call-internet-mi-*.csv"  # reference src/config.py:21
+MOBILITY_PATTERN = "mi-to-provinces-*.csv"  # reference src/config.py:22
+
+
+@dataclass
+class LoadReport:
+    """A6: the reference's per-load quality counters
+    (reference src/etl.py:180-183 summary shape)."""
+
+    table: str
+    loaded_rows: int = 0
+    invalid_dates: int = 0
+    rejected_cells: int = 0
+    negatives: dict[str, int] = field(default_factory=dict)
+    skipped: bool = False
+
+
+class Warehouse:
+    """Parquet-backed warehouse with the reference's table names."""
+
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.dir = warehouse_dir
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.dir, table)
+
+    def exists_nonempty(self, table: str) -> bool:
+        """S8 idempotence probe (reference src/etl.py:16-30)."""
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return False
+        try:
+            return len(self.spark.read.parquet(p).take(1)) > 0
+        except Exception:
+            return False
+
+    def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(table))
+
+    def register_views(self) -> None:
+        for t in (
+            "dim_grid_milan",
+            "dim_provinces_it",
+            "fact_traffic_milan",
+            "fact_mobility_provinces",
+        ):
+            if os.path.isdir(self.path(t)):
+                self.spark.read.parquet(self.path(t)).createOrReplaceTempView(t)
+        self._register_hourly_view()
+
+    def _register_hourly_view(self) -> None:
+        """v_hourly_traffic as a logical Spark SQL view — recomputed on
+        read, same plain-view semantics as reference src/database.py:101-112."""
+        if not os.path.isdir(self.path("fact_traffic_milan")):
+            return
+        metric_sums = ", ".join(f"SUM({m}) AS total_{m}" for m in TRAFFIC_METRICS)
+        total = " + ".join(TRAFFIC_METRICS)
+        self.spark.sql(
+            f"""
+            CREATE OR REPLACE TEMPORARY VIEW v_hourly_traffic AS
+            SELECT date_trunc('hour', datetime) AS hour, cell_id,
+                   {metric_sums}, SUM({total}) AS total_activity
+            FROM fact_traffic_milan
+            GROUP BY 1, 2
+            """
+        )
+
+
+def load_geometries(
+    wh: Warehouse, grid_file: str | None, provinces_file: str | None
+) -> None:
+    """Stage 2 (reference main.py:28-34): dimension loads with S8 guards."""
+    if grid_file and not wh.exists_nonempty("dim_grid_milan"):
+        wh.write(load_grid_dim(wh.spark, grid_file), "dim_grid_milan")
+    if provinces_file and not wh.exists_nonempty("dim_provinces_it"):
+        wh.write(load_provinces_dim(wh.spark, provinces_file), "dim_provinces_it")
+
+
+def load_traffic(
+    wh: Warehouse, data_dir: str, limit_files: int | None = None
+) -> LoadReport:
+    """Stage 3a (reference src/etl.py:98-187): glob → cleanse → counters
+    → partitioned write, all in one job."""
+    report = LoadReport(table="fact_traffic_milan")
+    if wh.exists_nonempty("fact_traffic_milan"):
+        report.skipped = True
+        return report
+    raw = read_csv_glob(wh.spark, data_dir, TRAFFIC_PATTERN, TRAFFIC_RAW, limit_files)
+    if raw is None:
+        report.skipped = True
+        return report
+
+    obs = Observation("traffic_quality")
+    ts = parse_timestamp("datetime")
+    counters = [
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(ts.isNull(), 1).otherwise(0)).alias("invalid_dates"),
+        F.sum(
+            F.when(~F.col("CellID").between(CELL_ID_MIN, CELL_ID_MAX), 1).otherwise(0)
+        ).alias("rejected_cells"),
+    ]
+    counters += [
+        F.sum(F.when(F.col(m) < 0, 1).otherwise(0)).alias(f"neg_{m}")
+        for m in TRAFFIC_METRICS
+    ]
+    observed = raw.observe(obs, *counters)
+
+    cleansed = cleanse_traffic(observed).withColumn(
+        "load_date", F.to_date(F.col("datetime"))
+    )
+    wh.write(cleansed, "fact_traffic_milan", partition_by=["load_date"])
+
+    got = obs.get
+    report.invalid_dates = int(got.get("invalid_dates") or 0)
+    report.rejected_cells = int(got.get("rejected_cells") or 0)
+    report.negatives = {m: int(got.get(f"neg_{m}") or 0) for m in TRAFFIC_METRICS}
+    report.loaded_rows = int(got["n_raw"]) - report.invalid_dates - report.rejected_cells
+    return report
+
+
+def load_mobility(
+    wh: Warehouse, data_dir: str, limit_files: int | None = None
+) -> LoadReport:
+    """Stage 3b (reference src/etl.py:190-280): the mobility variant —
+    preserves the reference's asymmetries (no negative clamp, semi-join
+    province filter)."""
+    report = LoadReport(table="fact_mobility_provinces")
+    if wh.exists_nonempty("fact_mobility_provinces"):
+        report.skipped = True
+        return report
+    raw = read_csv_glob(wh.spark, data_dir, MOBILITY_PATTERN, MOBILITY_RAW, limit_files)
+    if raw is None:
+        report.skipped = True
+        return report
+    provinces = wh.spark.read.parquet(wh.path("dim_provinces_it"))
+
+    obs = Observation("mobility_quality")
+    ts = parse_timestamp("datetime")
+    observed = raw.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(ts.isNull(), 1).otherwise(0)).alias("invalid_dates"),
+    )
+    cleansed = cleanse_mobility(observed, provinces).withColumn(
+        "load_date", F.to_date(F.col("datetime"))
+    )
+    wh.write(cleansed, "fact_mobility_provinces", partition_by=["load_date"])
+    got = obs.get
+    report.invalid_dates = int(got.get("invalid_dates") or 0)
+    report.loaded_rows = wh.spark.read.parquet(wh.path("fact_mobility_provinces")).count()
+    return report
+
+
+def run_test_query(wh: Warehouse, limit: int = 10) -> DataFrame:
+    """Stage 4 (reference main.py:46-53 / src/etl.py:283-299)."""
+    fact = wh.spark.read.parquet(wh.path("fact_traffic_milan"))
+    return top_cells(fact, limit=limit)
+
+
+def run_all(
+    spark: SparkSession,
+    warehouse_dir: str,
+    data_dir: str,
+    grid_file: str | None = None,
+    provinces_file: str | None = None,
+    limit_files: int | None = None,
+) -> dict[str, LoadReport]:
+    """The --all flow (reference main.py:67-75)."""
+    wh = Warehouse(spark, warehouse_dir)
+    os.makedirs(warehouse_dir, exist_ok=True)
+    load_geometries(wh, grid_file, provinces_file)
+    reports = {
+        "traffic": load_traffic(wh, data_dir, limit_files),
+        "mobility": load_mobility(wh, data_dir, limit_files),
+    }
+    wh.register_views()
+    return reports

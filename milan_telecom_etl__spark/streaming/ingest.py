@@ -1,0 +1,70 @@
+"""Structured Streaming ingest (SURVEY.md §2.9 / §7.2.7 extension).
+
+The reference is batch-only; its append-only facts + idempotent loads
+are a strict subset of streaming semantics, so the ingest generalizes
+cleanly: readStream over the same CSV glob, the same cleanse chain
+(narrow transforms are trigger-agnostic), and the A2 hourly roll-up as
+a 1-hour tumbling window with a watermark for late data.
+
+Scale shape: the windowed aggregation is incremental state keyed on
+(window, cell_id) — the same key as the batch A2 shuffle — and the
+watermark bounds state size: ~|cells| × (watermark/1h + 1) rows per
+executor partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cleansing import cleanse_traffic
+from ..schemas import TRAFFIC_METRICS, TRAFFIC_RAW
+
+
+def stream_traffic_csv(
+    spark: SparkSession, data_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over the daily-CSV feed — the streaming S1/S2.
+    maxFilesPerTrigger recreates the reference's per-file batching as
+    micro-batches (reference src/etl.py:126)."""
+    reader = (
+        spark.readStream.schema(TRAFFIC_RAW)
+        .option("header", True)
+        .option("pathGlobFilter", "sms-call-internet-mi-*.csv")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(data_dir)
+
+
+def hourly_rollup_stream(raw_stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """A2 as a tumbling-window aggregation: window('1 hour') ≡
+    date_trunc('hour', ·) (reference src/database.py:101-112), with a
+    watermark so late CDRs update open windows and state is bounded."""
+    cleansed = cleanse_traffic(raw_stream)
+    total = None
+    for m in TRAFFIC_METRICS:
+        total = F.col(m) if total is None else total + F.col(m)
+    aggs = [F.sum(m).alias(f"total_{m}") for m in TRAFFIC_METRICS]
+    aggs.append(F.sum(total).alias("total_activity"))
+    return (
+        cleansed.withWatermark("datetime", watermark)
+        .groupBy(F.window("datetime", "1 hour").alias("w"), F.col("cell_id"))
+        .agg(*aggs)
+        .select(F.col("w.start").alias("hour"), "cell_id", *[a for a in [
+            F.col(f"total_{m}") for m in TRAFFIC_METRICS
+        ]], "total_activity")
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str = "hourly_stream") -> None:
+    """Drain the stream with availableNow (process-everything-then-stop)
+    into an in-memory table — the batch-equivalence test harness."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

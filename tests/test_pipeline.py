@@ -1,0 +1,145 @@
+"""Golden pipeline tests: FIXTURES.md edge cases exercised end-to-end
+through the orchestrated load (CSV glob → cleanse → counters →
+partitioned parquet → views → flagship query)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from milan_telecom_etl__spark.pipeline import (
+    Warehouse,
+    load_mobility,
+    load_traffic,
+    run_all,
+    run_test_query,
+)
+
+TRAFFIC_CSV = """datetime,CellID,countrycode,smsin,smsout,callin,callout,internet
+2013-11-01 00:00:00,1,39,1.5,2.0,,0.5,10.0
+2013-11-01 00:10:00,1,39,-3.0,1.0,0.5,,2.0
+not-a-date,2,39,1.0,1.0,1.0,1.0,1.0
+2013-11-01 00:00:00,10000,39,5.0,5.0,5.0,5.0,5.0
+2013-11-01 01:00:00,2,0,,,,,
+2013-11-01 01:00:00,2,0,,,,,
+"""
+
+MOBILITY_CSV = """datetime,CellID,provinceName,cell2Province,Province2cell
+2013-11-01 00:00:00,1,MILANO,1.5,
+2013-11-01 00:00:00,2,  PAVIA  ,2.0,3.0
+2013-11-01 00:10:00,3,VALLE D'AOSTA,1.0,1.0
+2013-11-01 00:10:00,4,BOLZANO/BOZEN,-2.0,1.0
+2013-11-01 00:20:00,5,ATLANTIS,9.0,9.0
+bad-date,6,MILANO,1.0,1.0
+2013-11-01 00:30:00,20000,MILANO,1.0,1.0
+"""
+
+
+def _square(lon0, lat0, d=0.01):
+    return [[[lon0, lat0], [lon0 + d, lat0], [lon0 + d, lat0 + d], [lon0, lat0 + d], [lon0, lat0]]]
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csvs")
+    (d / "sms-call-internet-mi-2013-11-01.csv").write_text(TRAFFIC_CSV)
+    (d / "mi-to-provinces-2013-11-01.csv").write_text(MOBILITY_CSV)
+    feats = [
+        {
+            "type": "Feature",
+            "properties": {"PROVINCIA": name},
+            "geometry": {
+                "type": "MultiPolygon",
+                "coordinates": [_square(500000.0 + 1000 * i, 5034000.0, 500.0)],
+            },
+        }
+        for i, name in enumerate(["Milano", "Pavia", "Aosta", "Bolzano"])
+    ]
+    (d / "provinces.geojson").write_text(
+        json.dumps({"type": "FeatureCollection", "features": feats})
+    )
+    grid = [
+        {
+            "type": "Feature",
+            "properties": {"cellId": i + 1},
+            "geometry": {"type": "Polygon", "coordinates": _square(9.0 + 0.01 * i, 45.35)},
+        }
+        for i in range(4)
+    ]
+    (d / "grid.geojson").write_text(json.dumps({"type": "FeatureCollection", "features": grid}))
+    return d
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, data_dir, tmp_path_factory):
+    wh_dir = str(tmp_path_factory.mktemp("wh"))
+    reports = run_all(
+        spark,
+        wh_dir,
+        str(data_dir),
+        grid_file=str(data_dir / "grid.geojson"),
+        provinces_file=str(data_dir / "provinces.geojson"),
+    )
+    return Warehouse(spark, wh_dir), reports
+
+
+def test_traffic_cleansing_semantics(spark, warehouse):
+    wh, reports = warehouse
+    fact = spark.read.parquet(wh.path("fact_traffic_milan"))
+    rows = {
+        (r["datetime"].isoformat(), r["cell_id"]): r
+        for r in fact.collect()
+    }
+    # bad date dropped; CellID=10000 dropped (the reference's documented
+    # off-by-one CHECK bug, reproduced faithfully — SURVEY.md §7.4.1)
+    assert fact.count() == 4  # 6 raw - bad date - cell 10000
+    assert len(rows) == 3  # the duplicate PK pair shares a key
+    r1 = rows[("2013-11-01T00:00:00", 1)]
+    assert r1["smsin"] == 1.5 and r1["callin"] == 0.0  # null → 0 (C2)
+    r2 = rows[("2013-11-01T00:10:00", 1)]
+    assert r2["smsin"] == 0.0  # negative clamped (C4)
+    report = reports["traffic"]
+    assert report.invalid_dates == 1
+    assert report.rejected_cells == 1
+    assert report.negatives["smsin"] == 1
+
+
+def test_mobility_cleansing_semantics(spark, warehouse):
+    wh, _ = warehouse
+    fact = spark.read.parquet(wh.path("fact_mobility_provinces"))
+    rows = {r["provincia"]: r for r in fact.collect()}
+    # fixups applied, whitespace trimmed, unmatched + bad rows dropped
+    assert set(rows) == {"Milano", "Pavia", "Aosta", "Bolzano"}
+    assert rows["Milano"]["province2cell"] == 0.0  # null → 0
+    # asymmetry preserved: mobility negatives are NOT clamped
+    assert rows["Bolzano"]["cell2province"] == -2.0
+
+
+def test_idempotent_rerun(spark, warehouse, data_dir):
+    wh, _ = warehouse
+    n_before = spark.read.parquet(wh.path("fact_traffic_milan")).count()
+    r2 = load_traffic(wh, str(data_dir))
+    r3 = load_mobility(wh, str(data_dir))
+    assert r2.skipped and r3.skipped  # S8: loaded table ⇒ no-op
+    assert spark.read.parquet(wh.path("fact_traffic_milan")).count() == n_before
+
+
+def test_partitioned_layout_and_views(spark, warehouse):
+    wh, _ = warehouse
+    import os
+
+    parts = [p for p in os.listdir(wh.path("fact_traffic_milan")) if p.startswith("load_date=")]
+    assert parts == ["load_date=2013-11-01"]
+    wh.register_views()
+    v = spark.sql("SELECT * FROM v_hourly_traffic ORDER BY hour, cell_id").collect()
+    assert len(v) == 2  # (00h, cell 1) and (01h, cell 2)
+    by_key = {(r["hour"].isoformat(), r["cell_id"]): r for r in v}
+    assert by_key[("2013-11-01T00:00:00", 1)]["total_activity"] == pytest.approx(17.5)
+
+
+def test_flagship_query_on_warehouse(spark, warehouse):
+    wh, _ = warehouse
+    top = run_test_query(wh, limit=10).collect()
+    assert top and top[0]["avg_load"] >= top[-1]["avg_load"]

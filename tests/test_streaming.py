@@ -1,0 +1,50 @@
+"""Streaming ≡ batch: the tumbling-window hourly roll-up must agree
+with the batch A2 view on the same files."""
+
+from __future__ import annotations
+
+import pytest
+
+from milan_telecom_etl__spark.operators.cleansing import cleanse_traffic
+from milan_telecom_etl__spark.plans.views import hourly_traffic
+from milan_telecom_etl__spark.schemas import TRAFFIC_RAW
+from milan_telecom_etl__spark.sources.csv import read_csv_glob
+from milan_telecom_etl__spark.streaming.ingest import (
+    hourly_rollup_stream,
+    run_to_memory,
+    stream_traffic_csv,
+)
+
+CSV = """datetime,CellID,countrycode,smsin,smsout,callin,callout,internet
+2013-11-01 00:00:00,1,39,1.0,2.0,3.0,4.0,5.0
+2013-11-01 00:20:00,1,39,1.0,,1.0,,1.0
+2013-11-01 00:40:00,2,39,2.0,2.0,2.0,2.0,2.0
+2013-11-01 01:10:00,1,39,,,,,7.0
+bad,3,39,1.0,1.0,1.0,1.0,1.0
+"""
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("stream")
+    (d / "sms-call-internet-mi-2013-11-01.csv").write_text(CSV)
+    return str(d)
+
+
+def test_stream_rollup_equals_batch(spark, stream_dir):
+    stream = stream_traffic_csv(spark, stream_dir)
+    assert stream.isStreaming
+    run_to_memory(hourly_rollup_stream(stream), name="hourly_stream_test")
+    got = {
+        (r["hour"].isoformat(), r["cell_id"]): r["total_activity"]
+        for r in spark.table("hourly_stream_test").collect()
+    }
+
+    batch_raw = read_csv_glob(spark, stream_dir, "sms-call-internet-mi-*.csv", TRAFFIC_RAW)
+    expected = {
+        (r["hour"].isoformat(), r["cell_id"]): r["total_activity"]
+        for r in hourly_traffic(cleanse_traffic(batch_raw)).collect()
+    }
+    assert got == expected
+    assert got[("2013-11-01T00:00:00", 1)] == pytest.approx(18.0)
+    assert got[("2013-11-01T01:00:00", 1)] == pytest.approx(7.0)
