@@ -196,3 +196,70 @@ def embedding_near_dups(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def multi_table_buckets(
+    embeddings: DataFrame,
+    n_tables: int = 4,
+    n_planes: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, v, table_id, bucket): L independent sign-LSH tables —
+    the standard recall amplifier (candidate iff ANY table collides:
+    P = 1-(1-p^k)^L). Plane sets per table come from disjoint slices of
+    the same deterministic generator."""
+    all_planes = hyperplanes(n_tables * n_planes, dim)
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    tables = []
+    for t in range(n_tables):
+        planes = all_planes[t * n_planes : (t + 1) * n_planes]
+        tables.append(
+            F.struct(F.lit(t).alias("table_id"), lsh_bucket(F.col("v"), planes).alias("bucket"))
+        )
+    return base.select(
+        "vec_id", "v", F.explode(F.array(*tables)).alias("tb")
+    ).select("vec_id", "v", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+
+
+def cosine_knn_lsh_multi(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    n_tables: int = 4,
+    n_planes: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k with multi-table LSH: equality join per
+    (table_id, bucket), dedup candidates, score once, window top-k.
+    The join shuffles candidates only; scoring touches the deduped
+    candidate set, not |corpus| × |queries|."""
+    b = multi_table_buckets(embeddings, n_tables, n_planes, dim, vec_col, id_col)
+    q = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "table_id", "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "table_id", "bucket"
+    )
+    cand = (
+        c.join(F.broadcast(q), ["table_id", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

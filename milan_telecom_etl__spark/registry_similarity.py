@@ -128,3 +128,45 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+def _knn_lsh_multi_sql(n_tables: int = 4, n_planes: int = 2, k: int = 5, n_queries: int = 5) -> str:
+    all_planes = S.hyperplanes(n_tables * n_planes, DIM)
+    tables = []
+    for t in range(n_tables):
+        rows = all_planes[t * n_planes : (t + 1) * n_planes]
+        bits = []
+        for row in rows:
+            lp = _plane_literal(row)
+            d = f"list_sum(list_transform(range(1, {DIM} + 1), i -> embedding[i]::DOUBLE * ({lp})[i]))"
+            bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+        tables.append(
+            f"SELECT vec_id, embedding, {t} AS table_id, {' || '.join(bits)} AS bucket FROM embeddings"
+        )
+    banded = " UNION ALL ".join(tables)
+    return f"""
+    WITH b AS ({banded}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      q.embedding AS qe, c.embedding AS ce
+      FROM b q JOIN b c
+        ON q.table_id = c.table_id AND q.bucket = c.bucket
+       AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {n_queries}
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cos("qe", "ce")} AS cos_sim FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@register("knn_lsh_multi", _knn_lsh_multi_sql())
+def q_knn_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH kNN (L=4 × k=2 planes): the recall-amplified
+    scale path — candidate iff any table collides."""
+    return S.cosine_knn_lsh_multi(load_table(spark, sf_dir, "embeddings"))

@@ -33,9 +33,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in _NANOS_TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):
-            df = df.withColumn(
-                c, F.timestamp_micros(F.floor(F.col(c) / F.lit(1000)).cast("long"))
-            )
+            # `div` = integer division: ns/1000 as a double would lose
+            # precision (epoch-ns ≈ 1.7e18 > 2^53) and round µs up.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

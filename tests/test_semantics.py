@@ -1,0 +1,151 @@
+"""Semantic quality tests: operators on crafted inputs where the right
+answer is known (recall, dedup keep-sets, string parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from milan_telecom_etl__spark.operators.cleansing import apply_fixups, title_trim
+from milan_telecom_etl__spark.operators.dedup import (
+    dedupe_exact,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from milan_telecom_etl__spark.operators.similarity import (
+    cosine_knn_bruteforce,
+    cosine_knn_lsh_multi,
+)
+from milan_telecom_etl__spark.operators.text import lang_id, quality_score
+from milan_telecom_etl__spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("lazy", "sleepy")  # 1-word edit → high jaccard
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, "  The QUICK brown fox jumps over the lazy dog again and again today!!  "),  # normalized dup of 0
+        (3, near),  # near dup
+        (4, "completely different content about spark query engines and shuffles here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_doc(dup_docs):
+    groups = exact_duplicates(dup_docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3 and groups[0]["keeper_doc_id"] == 0
+    kept = sorted(r["doc_id"] for r in dedupe_exact(dup_docs).collect())
+    assert kept == [0, 3, 4]
+
+
+def test_ngram_jaccard_finds_near_dup(dup_docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(dup_docs, threshold=0.3).collect()
+    }
+    # the three exact/normalized dups pairwise at 1.0, near-dup pair high
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 2)] == 1.0 and pairs[(1, 2)] == 1.0
+    assert 0.3 <= pairs[(0, 3)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_recalls_planted_near_dups(spark):
+    """LSH candidates must recover the high-jaccard pairs the exact
+    operator finds (recall on jaccard ≥ 0.5 planted dups in testdata)."""
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    cands = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()
+    }
+    recall = len(exact & cands) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_simhash_equal_for_exact_dups(dup_docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(dup_docs).collect()}
+    assert sigs[0] == sigs[1] == sigs[2]  # same normalized token bag
+    assert sigs[0] != sigs[4]
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_knn_bruteforce(emb, n_queries=5, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_knn_lsh_multi(emb, n_queries=5, k=5, n_tables=4, n_planes=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # top-neighbor cosines in this corpus are only ~0.35 (θ≈70°,
+    # p_plane≈0.61): L=4 tables × k=2 planes ⇒ expected pair recall
+    # 1-(1-0.61²)⁴ ≈ 0.85
+    assert recall >= 0.5, f"multi-table LSH kNN recall {recall:.2f}"
+
+
+def test_title_trim_fixups_match_reference_map(spark):
+    """The 7 fixup names (reference src/etl.py:217-225) must land on the
+    reference's final spellings despite initcap-vs-str.title drift
+    (SURVEY.md §7.4.2)."""
+    raw = [
+        "MONZA E DELLA BRIANZA",
+        "REGGIO NELL'EMILIA",
+        "REGGIO DI CALABRIA",
+        "PESARO E URBINO",
+        "MASSA-CARRARA",
+        "VALLE D'AOSTA",
+        "BOLZANO/BOZEN",
+        "  MILANO  ",
+    ]
+    expected = [
+        "Monza e della Brianza",
+        "Reggio nell'Emilia",
+        "Reggio di Calabria",
+        "Pesaro e Urbino",
+        "Massa Carrara",
+        "Aosta",
+        "Bolzano",
+        "Milano",
+    ]
+    df = spark.createDataFrame([(s,) for s in raw], "provincia string")
+    got = [
+        r["out"]
+        for r in df.select(apply_fixups(title_trim("provincia")).alias("out")).collect()
+    ]
+    assert got == expected
+
+
+def test_quality_score_discriminates(spark):
+    rows = [
+        (0, "The cat sat on the mat and it was a good day for all of us there."),
+        (1, "x" * 5),  # too short, no stopwords
+        (2, "!!! ??? ;;; " * 40),  # all punctuation
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    q = {r["doc_id"]: r["quality"] for r in quality_score(df).collect()}
+    assert q[0] > 0.9 and q[1] < 0.4 and q[2] < 0.4
+
+
+def test_lang_id_on_crafted_text(spark):
+    rows = [
+        (0, "the cat and the dog of the house is happy to be here"),
+        (1, "el perro de la casa que ladra mucho en los dias"),
+        (2, "der Hund und die Katze das ist ein Haus und der Baum"),
+        (3, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
+    assert got[0] == "en" and got[1] == "es" and got[2] == "de" and got[3] == "und"
