@@ -1,0 +1,141 @@
+"""Registry entries: semi-structured data, skew-safe aggregation,
+subqueries, cumulative windows, sketches.
+
+`events.props` is a JSON string column — the CDR-world analog of
+vendor-specific attachment blobs; these operators make it queryable
+without a schema migration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries_registry import register
+from .sources.parquet import load_table
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from a string column (get_json_object —
+    JVM-side, no parse-to-struct materialization)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select("event_id", k.alias("k_value")).filter(F.col("k_value").isNotNull())
+
+
+@register(
+    "json_k_histogram",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS n, round(sum(value), 6) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_json_k_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate keyed on an extracted JSON field — pushdown-friendly
+    (the JSON path evaluates in the scan stage projection)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy((k % 10).alias("k_bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total_value")
+    )
+
+
+@register(
+    "salted_type_totals",
+    """
+    SELECT event_type, count(*) AS n_events, round(sum(value), 6) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_salted_type_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation: only 5 distinct event_type keys
+    exist, so a naive groupBy lands all 100 TB on 5 reducers. Salt the
+    key (16-way), partially aggregate (key, salt), then merge partials
+    per key — identical results (the oracle is the plain GROUP BY),
+    shuffle load spread 16×. AQE's skew handling covers joins; salting
+    covers single-hot-key aggregations."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("__salt", (F.col("event_id") % 16).cast("int"))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"), F.round(F.sum("pv"), 6).alias("total_value")
+    )
+
+
+@register(
+    "above_avg_balance",
+    """
+    SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def q_above_avg_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery filter: customers above the mean balance. Spark
+    plans the scalar agg as a broadcast single-row join — two passes
+    over a dimension, no shuffle of the probe side."""
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("__cust_tmp")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, round(c_acctbal, 6) AS c_acctbal
+        FROM __cust_tmp
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM __cust_tmp)
+        """
+    )
+
+
+@register(
+    "running_user_totals",
+    """
+    SELECT event_id, user_id, ts,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING), 6) AS running_value,
+           CAST(row_number() OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS event_seq
+    FROM events
+    """,
+)
+def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user totals + event sequence — the running-balance
+    window pattern; single shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 6).alias(
+            "running_value"
+        ),
+        F.row_number().over(w).cast("long").alias("event_seq"),
+    )
+
+
+# Sketch-based distinct counting: HLL implementations differ between
+# engines, so no value-parity oracle exists — the driver records the
+# weaker rows-only check, and tests/test_semantics.py asserts <5% error
+# against the exact count.
+@register("approx_distinct_users", None)
+def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++, rsd=0.02) per event_type —
+    the constant-memory distinct-count for 100 TB cardinality profiling."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )

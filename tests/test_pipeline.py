@@ -143,3 +143,48 @@ def test_flagship_query_on_warehouse(spark, warehouse):
     wh, _ = warehouse
     top = run_test_query(wh, limit=10).collect()
     assert top and top[0]["avg_load"] >= top[-1]["avg_load"]
+
+
+def test_incremental_load_exactly_once_per_file(spark, tmp_path):
+    from milan_telecom_etl__spark.pipeline import Warehouse, load_traffic_incremental
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "sms-call-internet-mi-2013-11-01.csv").write_text(
+        "datetime,CellID,countrycode,smsin,smsout,callin,callout,internet\n"
+        "2013-11-01 00:00:00,1,39,1.0,1.0,1.0,1.0,1.0\n"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh_inc"))
+    r1 = load_traffic_incremental(wh, str(d))
+    assert r1.loaded_rows == 1 and not r1.skipped
+    # rerun with no new files → no-op
+    r2 = load_traffic_incremental(wh, str(d))
+    assert r2.skipped
+    # day 2 arrives → only day 2 ingested; day 1 not duplicated
+    (d / "sms-call-internet-mi-2013-11-02.csv").write_text(
+        "datetime,CellID,countrycode,smsin,smsout,callin,callout,internet\n"
+        "2013-11-02 00:00:00,2,39,2.0,2.0,2.0,2.0,2.0\n"
+        "2013-11-02 00:10:00,3,39,3.0,3.0,3.0,3.0,3.0\n"
+    )
+    r3 = load_traffic_incremental(wh, str(d))
+    assert r3.loaded_rows == 2
+    fact = spark.read.parquet(wh.path("fact_traffic_milan"))
+    assert fact.count() == 3
+    import os as _os
+
+    parts = sorted(
+        p for p in _os.listdir(wh.path("fact_traffic_milan")) if p.startswith("load_date=")
+    )
+    assert parts == ["load_date=2013-11-01", "load_date=2013-11-02"]
+
+
+def test_partition_pruning_on_time_filter(spark, warehouse):
+    from pyspark.sql import functions as F
+
+    wh, _ = warehouse
+    fact = spark.read.parquet(wh.path("fact_traffic_milan"))
+    pruned = fact.filter(F.col("load_date") == "2013-11-01")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the date predicate lands in PartitionFilters → pruned scan, the
+    # Spark substitute for the reference's idx_traffic_time
+    assert "PartitionFilters" in plan and "load_date" in plan.split("PartitionFilters")[1][:200]

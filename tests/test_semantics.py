@@ -149,3 +149,21 @@ def test_lang_id_on_crafted_text(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["lang_pred"] for r in lang_id(df).collect()}
     assert got[0] == "en" and got[1] == "es" and got[2] == "de" and got[3] == "und"
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from milan_telecom_etl__spark.registry_semistructured import q_approx_distinct_users
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_approx_distinct_users(spark, SF).collect()
+    }
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n")
+        ).collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
