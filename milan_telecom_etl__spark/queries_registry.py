@@ -311,3 +311,44 @@ def q_daily_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("value"), 6).alias("max_value"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@register(
+    "top_cells_sql",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hour, user_id AS cell_id,
+             sum(value) AS total_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT cell_id, round(avg(total_value), 6) AS avg_load
+    FROM hourly
+    WHERE hour >= TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY 1
+    ORDER BY avg_load DESC, cell_id
+    LIMIT 10
+    """,
+)
+def q_top_cells_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S10: the flagship as pure SQL text over catalog views —
+    spark.sql replaces the reference's pd.read_sql / execute_query
+    (reference src/etl.py:295, src/database.py:136-154), incl.
+    GROUP-BY-ordinal (spark.sql.groupByOrdinal, SURVEY.md A2)."""
+    from .sources.parquet import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS hour, user_id AS cell_id,
+                 sum(value) AS total_value
+          FROM events GROUP BY 1, 2
+        )
+        SELECT cell_id, round(avg(total_value), 6) AS avg_load
+        FROM hourly
+        WHERE hour >= TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY 1
+        ORDER BY avg_load DESC, cell_id
+        LIMIT 10
+        """
+    )
