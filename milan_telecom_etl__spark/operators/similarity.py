@@ -180,11 +180,17 @@ def embedding_near_dups(
     sharing a bucket are scored (sign-LSH guarantees high-cosine pairs
     usually collide; recall vs threshold is checked in tests)."""
     planes = hyperplanes(n_planes, dim)
+    # Precompute the norm once per VECTOR (behind the repartition
+    # barrier), not once per candidate pair — the pair scoring then
+    # does one fold instead of three. Same expression order as the
+    # oracle (dot / (sqrt(aa) * sqrt(bb))) ⇒ bit-identical doubles.
     b = embeddings.select(
         F.col(id_col).alias("vec_id"),
         _as_double(F.col(vec_col)).alias("v"),
         lsh_bucket(_as_double(F.col(vec_col)), planes).alias("bucket"),
-    )
+    ).withColumn("norm", l2_norm(F.col("v")))
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+    b = b.repartition(n_parts, F.col("bucket"))
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(y, "bucket")
@@ -192,7 +198,9 @@ def embedding_near_dups(
         .select(
             F.col("x.vec_id").alias("vec_a"),
             F.col("y.vec_id").alias("vec_b"),
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("x.v"), F.col("y.v")) / (F.col("x.norm") * F.col("y.norm")), 6
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

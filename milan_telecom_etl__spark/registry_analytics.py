@@ -139,7 +139,7 @@ def q_burst_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_rollup",
     """
     SELECT coalesce(r_name, 'ALL') AS r_name, coalesce(n_name, 'ALL') AS n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -164,7 +164,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.rollup("r_name", "n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select(
             F.coalesce(F.col("r_name"), F.lit("ALL")).alias("r_name"),
             F.coalesce(F.col("n_name"), F.lit("ALL")).alias("n_name"),
