@@ -35,11 +35,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.perf_counter()
+        best = None
         try:
-            df = fn(spark, sf_dir)
-            df.count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            for _ in range(2):  # min-of-2: strips GC/JIT noise from one-shot runs
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 4)
         except Exception as e:  # never let one query sink the whole bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0

@@ -1,0 +1,130 @@
+"""Registry entries: temporal frames, argmax/mode, ordered collects,
+date-part profiles, fuzzy string matching."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries_registry import register
+from .sources.parquet import load_table
+
+
+@register(
+    "sliding_hour_avg",
+    """
+    SELECT event_id, user_id, ts,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS avg_1h
+    FROM events
+    """,
+)
+def q_sliding_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based sliding window: per-user average over the trailing
+    hour — a RANGE frame on epoch seconds (true event-time window, not
+    row-count), one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts", F.round(F.avg("value").over(w), 6).alias("avg_1h")
+    )
+
+
+@register(
+    "user_top_type",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS top_type, n AS top_n FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      FROM c
+    ) WHERE rk = 1
+    """,
+)
+def q_user_top_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode per group (argmax with deterministic tiebreak): each user's
+    most frequent event type via max_by on a (count, type) struct —
+    two hash aggregations, no window, no sort."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    # argmax: max over struct(n, negated-type-rank) — to break count
+    # ties toward the lexicographically FIRST type (matching the SQL's
+    # ORDER BY n DESC, event_type), order by (n, reversed type) via a
+    # struct of (n, negative ordinal) is messy; max_by with a struct key
+    # (n, type) ties toward LAST type, so invert: min_by on (-n, type).
+    best = F.min_by(
+        F.struct(F.col("event_type").alias("t"), F.col("n").alias("n")),
+        F.struct((-F.col("n")).alias("neg"), F.col("event_type").alias("t")),
+    )
+    return counts.groupBy("user_id").agg(best.alias("b")).select(
+        "user_id", F.col("b.t").alias("top_type"), F.col("b.n").alias("top_n")
+    )
+
+
+@register(
+    "user_type_set",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_type_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered distinct collect rendered as a string (engine-portable
+    form of collect_set: sort + join ⇒ deterministic)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "weekday_hour_profile",
+    """
+    SELECT isodow(ts) AS weekday, CAST(hour(ts) AS INT) AS hour_of_day,
+           count(*) AS n_events, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction profile (ISO weekday × hour heatmap — the
+    classic CDR traffic-shape query)."""
+    ev = load_table(spark, sf_dir, "events")
+    # Spark weekday(): 0=Monday; DuckDB isodow: 1=Monday
+    return ev.groupBy(
+        (F.weekday(F.col("ts")) + 1).cast("long").alias("weekday"),
+        F.hour(F.col("ts")).alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+@register(
+    "fuzzy_name_match",
+    """
+    SELECT n_nationkey, n_name,
+           CAST(levenshtein(n_name, 'NATION_1') AS BIGINT) AS dist
+    FROM nation
+    WHERE levenshtein(n_name, 'NATION_1') <= 2
+    """,
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (levenshtein — JVM builtin; the
+    conform-stage tool for misspelled dimension keys)."""
+    nation = load_table(spark, sf_dir, "nation")
+    dist = F.levenshtein(F.col("n_name"), F.lit("NATION_1")).cast("long")
+    return nation.select("n_nationkey", "n_name", dist.alias("dist")).filter(
+        F.col("dist") <= 2
+    )
