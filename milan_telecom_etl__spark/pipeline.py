@@ -275,3 +275,20 @@ def load_traffic_incremental(
     ).parquet(manifest_path)
     report.loaded_rows = int(obs.get["n_raw"])
     return report
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 32
+) -> None:
+    """Bucketed catalog table: pre-shuffles data into `n_buckets` files
+    per partition keyed by `bucket_col`. Two tables bucketed on the same
+    key join WITHOUT an exchange — the substitute for the reference's
+    cell/orderkey B-tree indexes at warehouse scale (SCALE.md §Joins).
+    """
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )

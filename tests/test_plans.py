@@ -64,3 +64,33 @@ def test_aggregation_runs_in_codegen(spark):
     assert "partial_sum" in plan and plan.index("partial_sum") > plan.index("Exchange")
     assert "HashAggregate" in plan  # hash agg, not sort agg
     assert "Batched: true" in plan  # columnar scan
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    from milan_telecom_etl__spark.pipeline import write_bucketed
+
+    orders = load_table(spark, SF, "orders")
+    lineitem = load_table(spark, SF, "lineitem")
+    write_bucketed(orders.select("o_orderkey", "o_totalprice"), "b_orders", "o_orderkey", 8)
+    write_bucketed(
+        lineitem.select("l_orderkey", "l_quantity"), "b_lineitem", "l_orderkey", 8
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # tiny test tables would otherwise broadcast (which also turns
+        # bucketing off); at warehouse scale both sides exceed the
+        # threshold naturally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located bucketed join: sort-merge with NO shuffle exchange
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
