@@ -251,3 +251,72 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
         ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig + term
     return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → cluster ids.
+
+    Iterative min-label propagation: every doc starts labeled with its
+    own id; each round, a doc adopts the smallest label among itself and
+    its neighbors; fixpoint ⇒ each connected component is labeled by its
+    smallest doc_id. Iteration count is bounded by the graph diameter
+    (near-dup clusters are tiny — a handful of rounds), and each round
+    is one join + one aggregation, both keyed on doc ids.
+
+    This is the grouping step of corpus dedup: keep one doc per cluster
+    (label == doc_id) instead of dropping both ends of every pair.
+    Genuinely iterative — not expressible in one SQL query — so the
+    registry records it rows-only (driver's weaker check) plus golden
+    tests on crafted graphs.
+    """
+    pairs = ngram_jaccard_pairs(docs, text_col, threshold=threshold).select(
+        "doc_a", "doc_b"
+    )
+    # undirected edge list, both directions
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def dedupe_near(
+    docs: DataFrame, text_col: str = "text", threshold: float = 0.5, max_iter: int = 10
+) -> DataFrame:
+    """Near-dedup keep-set: one doc (the cluster's min doc_id) per
+    near-dup cluster."""
+    clusters = near_dup_clusters(docs, text_col, threshold, max_iter)
+    return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")

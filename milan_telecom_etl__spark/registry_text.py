@@ -253,3 +253,67 @@ def _simhash_sql(bits: int = 32) -> str:
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per doc (bit-majority of token hashes)."""
     return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+@register("near_dup_clusters", None)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup graph (iterative label
+    propagation — not single-query SQL-expressible; rows-only check,
+    golden-tested on crafted graphs in test_semantics)."""
+    return D.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "corpus_curation",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT doc_b FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
+    ),
+    q AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
+        len(regexp_extract_all(text, '(?i)\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS n_stop,
+        CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0 / length(text)
+             ELSE 0.0 END AS pr
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+        round(((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + least(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END * 5, 1.0)
+             + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3, 6) AS quality
+      FROM q
+    )
+    SELECT doc_id FROM scored
+    WHERE quality >= 0.5
+      AND doc_id NOT IN (SELECT doc_b FROM near)
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: quality filter + pairwise near-dedup
+    (drop the larger id of every ≥0.5-Jaccard pair) — the composed
+    keep-set a pretraining pipeline materializes. One shingle pipeline
+    feeds both the dedup and (via documents) the quality scorer."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = X.quality_score(docs).select("doc_id", "quality")
+    drop = (
+        D.ngram_jaccard_pairs(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        quality.filter(F.col("quality") >= 0.5)
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id")
+    )

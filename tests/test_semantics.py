@@ -167,3 +167,24 @@ def test_approx_distinct_within_tolerance(spark):
     }
     for t, n in exact.items():
         assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
+
+
+def test_near_dup_clusters_connected_components(spark):
+    from milan_telecom_etl__spark.operators.dedup import dedupe_near, near_dup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),
+        (1, base.replace("lazy", "sleepy")),          # linked to 0
+        (2, base.replace("quick", "rapid")),          # linked to 0 (and transitively 1)
+        (10, "completely different text about spark shuffles and query plans at scale"),
+        (11, "completely different text about spark shuffles and query plans at large scale"),
+        (20, "isolated single document with nothing in common with any of the others here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(docs, threshold=0.4).collect()}
+    assert labels[0] == labels[1] == labels[2] == 0  # transitive closure → min id
+    assert labels[10] == labels[11] == 10
+    assert labels[20] == 20
+    kept = sorted(r["doc_id"] for r in dedupe_near(docs, threshold=0.4).collect())
+    assert kept == [0, 10, 20]
