@@ -16,10 +16,14 @@ from .sources.parquet import load_table
     """
     SELECT event_id, user_id, ts,
            round(avg(value) OVER (
-             PARTITION BY user_id ORDER BY epoch(ts)
+             PARTITION BY user_id
+             ORDER BY date_diff('second', TIMESTAMP '1970-01-01', ts)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 6) AS avg_1h
     FROM events
     """,
+    # integer seconds on BOTH sides: DuckDB epoch(ts) is fractional,
+    # Spark cast(long) truncates — mixed precision shifts frame
+    # membership at second boundaries (bit at sf0.1)
 )
 def q_sliding_hour_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based sliding window: per-user average over the trailing
@@ -127,4 +131,27 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein(F.col("n_name"), F.lit("NATION_1")).cast("long")
     return nation.select("n_nationkey", "n_name", dist.alias("dist")).filter(
         F.col("dist") <= 2
+    )
+
+
+@register(
+    "keep_latest_per_user",
+    """
+    SELECT event_id, user_id, ts, round(value, 6) AS value FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    ) WHERE rk = 1
+    """,
+)
+def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style dedupe: the latest record per key (deterministic
+    tiebreak on event_id) — the upsert-compaction every mutable-source
+    ingest needs; one window shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "user_id", "ts", F.round("value", 6).alias("value"))
     )

@@ -317,3 +317,49 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(drop, "doc_id", "left_anti")
         .select("doc_id")
     )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (
+      SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM docs
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM docs),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             round(tf.tf * ln((SELECT n_docs FROM n) * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (w)
+    )
+    SELECT doc_id, w AS term, tfidf, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per doc: term frequencies (explode+agg), doc
+    frequencies (distinct agg), idf broadcast back, window top-k. The
+    document-keyword extractor; all shuffles keyed on term or doc_id."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = D._words_df(docs).select("doc_id", F.explode(F.col("__words")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "w").select(
+        "doc_id",
+        "w",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w_rk = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf", "rk")
+    )
