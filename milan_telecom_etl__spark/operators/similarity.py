@@ -271,3 +271,59 @@ def cosine_knn_lsh_multi(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def cosine_knn_pandas(
+    embeddings: DataFrame,
+    n_queries: int = 5,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Arrow-vectorized brute-force top-k: numpy matmul per Arrow batch
+    via mapInPandas, with the (small) query matrix broadcast as a plain
+    Python closure. The scale path for WIDE vectors (≥512 dims), where
+    a BLAS matmul beats interpreted JVM folds by orders of magnitude;
+    per-batch memory is bounded by the Arrow batch size.
+
+    Produces the same (query_id, neighbor_id, cos_sim, rk) contract as
+    cosine_knn_bruteforce; equality is pinned in tests (float64 matmul
+    vs fold agree within 1e-9 before the 6dp round).
+    """
+    q_rows = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = [r[id_col] for r in q_rows]
+    q_mat = [[float(x) for x in r[vec_col]] for r in q_rows]
+
+    def score_batches(it):
+        import numpy as np
+        import pandas as pd
+
+        qm = np.asarray(q_mat, dtype=np.float64)  # (Q, D)
+        qn = np.linalg.norm(qm, axis=1)  # (Q,)
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            cm = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            cn = np.linalg.norm(cm, axis=1)
+            sims = (cm @ qm.T) / np.outer(cn, qn)  # (N, Q)
+            out = {
+                "query_id": np.repeat(q_ids, len(ids)),
+                "neighbor_id": np.tile(ids, len(q_ids)),
+                "cos_sim": np.round(sims.T.reshape(-1), 6),
+            }
+            yield pd.DataFrame(out)
+
+    scored = (
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(score_batches, schema="query_id long, neighbor_id long, cos_sim double")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )

@@ -247,3 +247,100 @@ def q_event_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("total_value"),
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
     )
+
+
+@register(
+    "signup_purchase_funnel",
+    """
+    WITH f AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN first_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN first_signup IS NOT NULL AND first_purchase > first_signup
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM f
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel: users who purchased strictly after their first signup —
+    conditional min-per-type then one scalar aggregation (two hash aggs,
+    no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return f.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("first_signup").isNotNull(), 1).otherwise(0)).cast("long").alias("n_signup"),
+        F.sum(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_converted"),
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firstseen AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS active_day
+      FROM events
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM activity JOIN firstseen USING (user_id)
+    WHERE date_diff('day', cohort_day, active_day) <= 7
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, activity
+    counted per day-offset (first week). first-seen agg + distinct
+    activity + broadcast-sized join back."""
+    ev = load_table(spark, sf_dir, "events")
+    firstseen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).cast("date").alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("active_day")
+    ).distinct()
+    return (
+        activity.join(firstseen, "user_id")
+        .withColumn("day_offset", F.datediff(F.col("active_day"), F.col("cohort_day")).cast("long"))
+        .filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+           count(*) AS n, round(avg(value), 6) AS avg_in_bin
+    FROM events GROUP BY 1
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (bin = floor(value/width)) — single
+    aggregation; the profiling primitive for value distributions."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 25.0).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_in_bin"),
+    )

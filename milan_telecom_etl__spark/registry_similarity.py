@@ -170,3 +170,26 @@ def q_knn_lsh_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH kNN (L=4 × k=2 planes): the recall-amplified
     scale path — candidate iff any table collides."""
     return S.cosine_knn_lsh_multi(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "knn_pandas_vectorized",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_cos("q.embedding", "c.embedding")} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """,
+)
+def q_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized kNN (numpy matmul via mapInPandas) — same
+    contract and oracle as knn_bruteforce; the wide-vector scale path."""
+    return S.cosine_knn_pandas(load_table(spark, sf_dir, "embeddings"))

@@ -188,3 +188,16 @@ def test_near_dup_clusters_connected_components(spark):
     assert labels[20] == 20
     kept = sorted(r["doc_id"] for r in dedupe_near(docs, threshold=0.4).collect())
     assert kept == [0, 10, 20]
+
+
+def test_pandas_knn_equals_jvm_bruteforce(spark):
+    from milan_telecom_etl__spark.operators.similarity import cosine_knn_pandas
+
+    emb = load_table(spark, SF, "embeddings")
+    jvm = sorted(
+        tuple(r) for r in cosine_knn_bruteforce(emb, n_queries=5, k=5).collect()
+    )
+    arrow = sorted(
+        tuple(r) for r in cosine_knn_pandas(emb, n_queries=5, k=5).collect()
+    )
+    assert jvm == arrow  # identical ids, ranks, and 6dp scores
