@@ -1,0 +1,193 @@
+"""Registry entries: deterministic sampling, train/val/test splits,
+corpus mixing, and context-window packing — the selection/assembly
+stages of a training-data pipeline.
+
+All selection is HASH-based (md5-derived), never RNG-based: the same
+row always lands in the same sample/split/bin on any engine, any run,
+any cluster size — the property that makes 100 TB pipelines resumable
+and auditable. (Spark's df.sample is seed-dependent per-partition and
+NOT stable across repartitioning — unsuitable for reproducible corpus
+work.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .queries_registry import register
+from .sources.parquet import load_table
+
+# Stable per-row hash in [0, 1000): md5 of the key with a salt so
+# different stages draw independent "randomness".
+_HASH_SQL = "(('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT % 1000)"
+
+
+def _hash_bucket(key: Column, salt: str) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+    return h % 1000
+
+
+@register(
+    "deterministic_sample",
+    f"""
+    SELECT doc_id, n_chars FROM documents
+    WHERE {_HASH_SQL.format(salt="sample:", key="doc_id")} < 50
+    """,
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% systematic sample by key hash — reproducible on any engine/
+    cluster (unlike seed-based df.sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(_hash_bucket(F.col("doc_id"), "sample:") < 50).select(
+        "doc_id", "n_chars"
+    )
+
+
+@register(
+    "train_val_test_split",
+    f"""
+    SELECT split, count(*) AS n_docs, round(sum(n_chars) * 1.0, 6) AS total_chars
+    FROM (
+      SELECT n_chars,
+        CASE WHEN {_HASH_SQL.format(salt="split:", key="doc_id")} < 900 THEN 'train'
+             WHEN {_HASH_SQL.format(salt="split:", key="doc_id")} < 950 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def q_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 train/val/test assignment by salted key hash — membership
+    is a pure function of doc_id (no leakage on re-runs or appends)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _hash_bucket(F.col("doc_id"), "split:")
+    split = (
+        F.when(b < 900, "train").when(b < 950, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_chars").cast("double"), 6).alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "corpus_mixing",
+    f"""
+    WITH rates AS (
+      SELECT * FROM (VALUES ('src0', 1000), ('src1', 500), ('src2', 250)) AS t(source, keep_per_mille)
+    )
+    SELECT d.source, count(*) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {_HASH_SQL.format(salt="mix:", key="d.doc_id")} < r.keep_per_mille
+    GROUP BY d.source
+    """,
+)
+def q_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture sampling (100%/50%/25% here): the data-mixing
+    stage that reweights sources for pretraining. The rate table rides a
+    broadcast join; selection stays hash-deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("src0", 1000), ("src1", 500), ("src2", 250)], "source string, keep_per_mille int"
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_hash_bucket(F.col("doc_id"), "mix:") < F.col("keep_per_mille"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "context_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    runsum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id,
+           count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+    FROM runsum GROUP BY 1
+    """,
+)
+def q_context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in stable doc_id order) to ~2048-
+    token context bins via running token sums — the assembly step that
+    turns a document corpus into training sequences. The global running
+    sum is the one inherently sequential step; at 100 TB it becomes
+    per-shard packing (partition by source/date, pack within shard),
+    which this same expression does under a partitionBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import word_count
+
+    toks = docs.select("doc_id", word_count(F.col("text")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    runsum = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        runsum.withColumn(
+            "bin_id", F.floor((F.col("cum") - F.col("n_tokens")) / 2048).cast("long")
+        )
+        .groupBy("bin_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+    )
+
+
+def _simhash_band_sql(bits: int = 32) -> str:
+    from .registry_text import _simhash_sql
+
+    # reuse the full simhash oracle as a subquery, then band it
+    return f"""
+    WITH sig AS ({_simhash_sql(bits)}),
+    banded AS (
+      SELECT doc_id, b.band_id, (simhash >> (b.band_id * 8)) & 255 AS band_val
+      FROM sig, (VALUES (0), (1), (2), (3)) AS b(band_id)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    """
+
+
+@register("simhash_band_candidates", _simhash_band_sql())
+def q_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 32-bit signature split into 4 byte
+    bands; docs sharing any band are candidates (hamming ≤ 24 guaranteed
+    caught ≥ band-wise). Same banding trick as MinHash-LSH, but over the
+    token-frequency signature."""
+    from .operators.dedup import simhash
+
+    sig = simhash(load_table(spark, sf_dir, "documents"))
+    bands = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)).alias("band_val"),
+                )
+                for b in range(4)
+            ]
+        )
+    ).alias("band")
+    banded = sig.select("doc_id", bands).select(
+        "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
