@@ -344,3 +344,79 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("avg_in_bin"),
     )
+
+
+@register(
+    "profile_orders",
+    """
+    SELECT count(*) AS n_rows,
+      CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_totalprice_nulls,
+      round(min(o_totalprice), 6) AS o_totalprice_min,
+      round(max(o_totalprice), 6) AS o_totalprice_max,
+      round(avg(o_totalprice), 6) AS o_totalprice_mean,
+      CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderstatus_nulls,
+      CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS o_orderstatus_distinct,
+      CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS o_orderpriority_nulls,
+      CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS o_orderpriority_distinct
+    FROM orders
+    """,
+)
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile (nulls/ranges/cardinalities) — the
+    pre-load data-profiling operator (operators/profiling.py)."""
+    from .operators.profiling import profile_columns
+
+    return profile_columns(
+        load_table(spark, sf_dir, "orders"),
+        numeric_cols=["o_totalprice"],
+        categorical_cols=["o_orderstatus", "o_orderpriority"],
+    )
+
+
+@register(
+    "price_deciles",
+    """
+    SELECT decile, count(*) AS n,
+           round(min(o_totalprice), 6) AS lo, round(max(o_totalprice), 6) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS decile
+      FROM orders
+    ) GROUP BY decile
+    """,
+)
+def q_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing via NTILE (deterministic tiebreak on the key) —
+    the feature-binning primitive. Note: a global NTILE is a single-
+    partition sort; at 100 TB use approx quantile cutpoints + a
+    broadcast range join instead (see SCALE.md)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
+
+
+@register(
+    "quantity_price_correlation",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped correlation/covariance — the feature-relationship
+    profile; both are single-pass streaming aggregates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+    )
