@@ -1,0 +1,348 @@
+"""Registry entries: dataset-quality and distribution operators — the
+monitoring half of a training-data pipeline.
+
+Drift (PSI), class balance (entropy/gini), robust outliers (MAD),
+feature scaling (grouped z-score), scale-safe quantile binning
+(cutpoints + broadcast, not a global sort), wide→long unpivot, and
+Z-order clustering keys. Everything is a composition of built-in
+aggregates — no UDFs, fully codegen'd — and every multi-pass operator
+broadcasts its (tiny) statistics side rather than shuffling the fact
+table twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_registry import register
+from .sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Unpivot (wide → long)
+# ---------------------------------------------------------------------------
+
+_MEASURES = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@register(
+    "unpivot_measures",
+    """
+    SELECT metric, count(*) AS n,
+           round(avg(value), 6) AS avg_value,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM (
+      SELECT 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+      UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+    ) GROUP BY metric
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt via the native unpivot operator (Expand node: one
+    scan emits all measures — not k self-unions, so the input is read
+    once however many measures are melted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot([], _MEASURES, "metric", "value")
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.min("value"), 6).alias("min_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale-safe quantile binning: exact cutpoints + broadcast comparison.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quartile_bins",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS cs FROM orders
+    )
+    SELECT bucket, count(*) AS n,
+           round(min(o_totalprice), 6) AS lo, round(max(o_totalprice), 6) AS hi
+    FROM (
+      SELECT o_totalprice,
+             CAST(1 + len(list_filter(cs, c -> o_totalprice > c)) AS INT) AS bucket
+      FROM orders, cuts
+    ) GROUP BY bucket
+    """,
+)
+def q_quartile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile binning the way it must work at 100 TB: compute exact
+    cutpoints once (3 numbers), broadcast them, and assign buckets with
+    a map-side comparison — in contrast to `price_deciles`' global
+    NTILE, which funnels every row through one sorted partition. The
+    cutpoint row is a 1-row DataFrame crossJoin-broadcast, so the fact
+    table is scanned twice but never shuffled."""
+    orders = load_table(spark, sf_dir, "orders")
+    cuts = orders.agg(
+        F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D))").alias("cs")
+    )
+    bucket = (
+        F.size(F.filter(F.col("cs"), lambda c: F.col("o_totalprice") > c)) + 1
+    ).cast("int")
+    return (
+        orders.join(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) between two time periods
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "psi_price_drift",
+    """
+    WITH counts AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+             sum(CASE WHEN o_orderdate <  TIMESTAMP '1995-07-01' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-07-01' THEN 1 ELSE 0 END) AS nb
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT sum(na) AS ta, sum(nb) AS tb, count(*) AS nbins FROM counts
+    )
+    SELECT CAST(nbins AS BIGINT) AS n_bins, CAST(ta AS BIGINT) AS n_before,
+           CAST(tb AS BIGINT) AS n_after, round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM (
+      SELECT nbins, ta, tb,
+             (na + 1.0) / (ta + nbins) AS pa, (nb + 1.0) / (tb + nbins) AS pb
+      FROM counts, tot
+    ) GROUP BY nbins, ta, tb
+    """,
+)
+def q_psi_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the order-price distributions
+    before/after a split date — the train/serve drift monitor. One
+    grouped pass builds the per-bin contingency; Laplace (+1) smoothing
+    keeps empty bins finite. The per-bin table is tiny, so the totals
+    crossJoin is a broadcast of one row."""
+    orders = load_table(spark, sf_dir, "orders")
+    before = F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp")
+    counts = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bin")
+    ).agg(
+        F.sum(F.when(before, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~before, 1).otherwise(0)).alias("nb"),
+    )
+    tot = counts.agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb"), F.count(F.lit(1)).alias("nbins")
+    )
+    pa = (F.col("na") + 1.0) / (F.col("ta") + F.col("nbins"))
+    pb = (F.col("nb") + 1.0) / (F.col("tb") + F.col("nbins"))
+    return (
+        counts.join(F.broadcast(tot))
+        .select("nbins", "ta", "tb", ((pa - pb) * F.log(pa / pb)).alias("term"))
+        .groupBy("nbins", "ta", "tb")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            F.col("nbins").cast("long").alias("n_bins"),
+            F.col("ta").cast("long").alias("n_before"),
+            F.col("tb").cast("long").alias("n_after"),
+            "psi",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class balance: entropy / gini per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "class_balance_entropy",
+    """
+    WITH c AS (
+      SELECT isodow(ts) AS weekday, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), t AS (SELECT weekday, sum(n) AS tot FROM c GROUP BY 1)
+    SELECT weekday, CAST(count(*) AS BIGINT) AS n_classes,
+           round(-sum(p * ln(p)), 6) AS entropy, round(1 - sum(p * p), 6) AS gini
+    FROM (SELECT c.weekday, n * 1.0 / tot AS p FROM c JOIN t USING (weekday))
+    GROUP BY weekday
+    """,
+)
+def q_class_balance_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + Gini impurity of the event-type mix per
+    weekday — the label-balance profile that decides stratified
+    sampling rates. Two grouped passes over an already-tiny contingency
+    table; the per-weekday totals join is a broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        (F.weekday("ts") + 1).cast("long").alias("weekday"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("weekday").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(F.broadcast(t), "weekday")
+        .select("weekday", p.alias("p"))
+        .groupBy("weekday")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+            F.round(1 - F.sum(F.col("p") * F.col("p")), 6).alias("gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median + MAD (3-pass, broadcast stats)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+    ), mad AS (
+      SELECT e.event_type, med, quantile_cont(abs(value - med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type) GROUP BY e.event_type, med
+    )
+    SELECT e.event_type, round(med, 6) AS med, round(mad, 6) AS mad,
+           CAST(sum(CASE WHEN abs(value - med) > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers,
+           count(*) AS n
+    FROM events e JOIN mad USING (event_type)
+    GROUP BY e.event_type, med, mad
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-class median and MAD (median
+    absolute deviation), then |x - med| > 3·MAD — immune to the heavy
+    tail that wrecks mean/stddev fences. Three scans by construction
+    (median → MAD → fence), but the stats side is one row per class and
+    rides a broadcast both times; the fact table never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5D)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5D)").alias("mad"))
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(F.when(dev > 3 * F.col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            "n_outliers",
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature scaling: grouped z-score
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_zscore",
+    """
+    WITH s AS (
+      SELECT l_returnflag, avg(l_extendedprice) AS mu,
+             stddev_samp(l_extendedprice) AS sd
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l.l_returnflag, count(*) AS n,
+           CAST(sum(CASE WHEN (l_extendedprice - mu) / sd > 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above2,
+           round(max((l_extendedprice - mu) / sd), 6) AS z_max,
+           round(min((l_extendedprice - mu) / sd), 6) AS z_min
+    FROM lineitem l JOIN s USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class z-score normalization (the feature-scaling primitive):
+    group stats computed once, broadcast back, standardized map-side.
+    At scale this is the only shape that works — a window over the
+    whole class would shuffle the fact table; the stats join does not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.avg("l_extendedprice").alias("mu"),
+        F.stddev_samp("l_extendedprice").alias("sd"),
+    )
+    z = (F.col("l_extendedprice") - F.col("mu")) / F.col("sd")
+    return (
+        li.join(F.broadcast(s), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(z > 2, 1).otherwise(0)).cast("long").alias("n_above2"),
+            F.round(F.max(z), 6).alias("z_max"),
+            F.round(F.min(z), 6).alias("z_min"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering key (multidimensional data skipping)
+# ---------------------------------------------------------------------------
+
+
+def _zvalue_sql(x: str, y: str, bits: int = 8) -> str:
+    """Bit-interleave SQL for a Z-order (Morton) key — all literals, so
+    the same string runs on Spark and DuckDB (no engine-specific bit
+    operators; `^`/`<<` mean different things across engines)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(CAST(floor({x} / {2 ** i}) AS BIGINT) % 2) * {4 ** i}")
+        terms.append(f"(CAST(floor({y} / {2 ** i}) AS BIGINT) % 2) * {2 * 4 ** i}")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZEXPR = _zvalue_sql("(l_partkey % 256)", "(l_suppkey % 256)")
+
+
+@register(
+    "zorder_keys",
+    f"""
+    SELECT l_orderkey, l_linenumber, CAST(l_partkey % 256 AS BIGINT) AS xm,
+           CAST(l_suppkey % 256 AS BIGINT) AS ym, {_ZEXPR} AS zvalue
+    FROM lineitem
+    ORDER BY zvalue DESC, l_orderkey, l_linenumber LIMIT 15
+    """,
+)
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two join dimensions — sort
+    the table by this before writing and min/max file stats prune on
+    BOTH part and supp predicates (the Delta/Iceberg OPTIMIZE ZORDER
+    trick, as a pure column expression). Top-k here just makes the key
+    oracle-checkable; the real use is `.sortWithinPartitions(zvalue)`
+    at write time."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_partkey") % 256).cast("long").alias("xm"),
+            (F.col("l_suppkey") % 256).cast("long").alias("ym"),
+            F.expr(_ZEXPR).alias("zvalue"),
+        )
+        .orderBy(F.desc("zvalue"), "l_orderkey", "l_linenumber")
+        .limit(15)
+    )

@@ -191,3 +191,45 @@ def q_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+_FULL_HASH_SQL = "('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+@register(
+    "stratified_cap",
+    f"""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+           round(avg(value), 6) AS avg_value
+    FROM (
+      SELECT event_type, value, row_number() OVER (
+        PARTITION BY event_type
+        ORDER BY {_FULL_HASH_SQL.format(salt="cap:", key="event_id")}, event_id) AS rk
+      FROM events
+    ) WHERE rk <= 2000 GROUP BY event_type
+    """,
+)
+def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balancing downsample: keep at most K rows per class,
+    chosen by salted key-hash rank — a uniform, reproducible draw
+    within each class (rare classes keep everything, head classes are
+    capped). The avg over kept rows proves both engines selected the
+    identical subset. One window shuffle keyed on the class; at 100 TB
+    pre-aggregate class counts first and skip the window entirely for
+    classes already under the cap."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("cap:"), F.col("event_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("event_type").orderBy(h, F.col("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2000)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -155,3 +155,59 @@ def q_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("event_id", "user_id", "ts", F.round("value", 6).alias("value"))
     )
+
+
+@register(
+    "gap_fill_hourly",
+    """
+    WITH h AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             sum(CAST(round(value * 1000000) AS BIGINT)) AS su
+      FROM events GROUP BY 1, 2
+    ), b AS (SELECT min(hour) AS mn, max(hour) AS mx FROM h),
+    spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour FROM b),
+    grid AS (SELECT hour, event_type FROM spine, (SELECT DISTINCT event_type FROM events))
+    SELECT g.hour, g.event_type, CAST(coalesce(n, 0) AS BIGINT) AS n,
+           round(last_value(su / (n * 1000000.0) IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled_avg
+    FROM grid g LEFT JOIN h ON h.hour = g.hour AND h.event_type = g.event_type
+    """,
+)
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly per-type counts on a dense
+    generated hour spine (missing hours appear as 0) with the hourly
+    mean forward-filled across gaps — the resample+ffill step before
+    any windowed feature. The spine is sequence()+explode off a 1-row
+    bounds aggregate (no driver loop); the fact table is touched once,
+    pre-aggregated, and only the tiny hourly table joins the spine."""
+    ev = load_table(spark, sf_dir, "events")
+    # The hourly mean is kept EXACT: sum integer micro-units (order-
+    # insensitive in int64), divide once. A float avg() differs from the
+    # oracle's by 1 ulp (summation order), and with thousands of small
+    # hourly groups some mean always lands on a rounding boundary.
+    h = ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("su"),
+    )
+    bounds = h.agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 hour"))).alias("hour")
+    )
+    grid = spine.crossJoin(ev.select("event_type").distinct())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(h, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.round(
+                F.last(F.col("su") / (F.col("n") * 1000000.0), ignorenulls=True).over(w), 6
+            ).alias("filled_avg"),
+        )
+    )

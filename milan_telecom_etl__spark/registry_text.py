@@ -363,3 +363,44 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", F.col("w").alias("term"), "tfidf", "rk")
     )
+
+
+@register(
+    "bigram_counts",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    bg AS (
+      SELECT unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM words
+    )
+    SELECT bigram, count(*) AS n FROM bg
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20
+    """,
+)
+def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (top-20) — the n-gram LM / phrase-mining
+    primitive. Counts keep multiplicity (unlike dedup shingles, which
+    are distinct-per-doc); the words array is materialized behind an
+    exchange barrier before the per-element lambda (40× pitfall
+    otherwise), and top-k is TakeOrderedAndProject, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = D._words_df(docs)
+    k = F.greatest(F.size("__words") - F.lit(1), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__words", i), F.element_at("__words", i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        words.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
