@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from milan_telecom_etl__spark import queries_registry as _reg
 from milan_telecom_etl__spark import registry_analytics as _reg_an  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_geo as _reg_geo  # noqa: F401  (registers on import)
+from milan_telecom_etl__spark import registry_ml as _reg_ml  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_quality as _reg_qual  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_sampling as _reg_samp  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_semistructured as _reg_semi  # noqa: F401  (registers on import)

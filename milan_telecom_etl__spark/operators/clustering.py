@@ -1,0 +1,111 @@
+"""Distributed k-means (Lloyd's algorithm) over embedding columns.
+
+The canonical iterative-ML shape on Spark (same as MLlib's): centroids
+are k·d numbers, so they live on the driver and enter the plan as a
+literal array folded per row — the E-step assignment is purely
+map-side, NO shuffle of the fact table. The only shuffle per iteration
+is the M-step's (cluster, dim) mean, whose reduce traffic is k·d
+values after map-side partial aggregation. That plan is identical on
+local[32] and on 1000 executors over 100 TB.
+
+No UDFs: distances are zip_with/aggregate folds (codegen'd where
+bound, and bit-identical to the DuckDB oracle's list_sum over the same
+zip — see registry_ml.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _as_double
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance — left-fold accumulation, index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _centroid_array(cent_rows: list[tuple[int, list[float]]]) -> Column:
+    """Centroids as a literal array<struct<cid, ce>> — the broadcast-
+    variable pattern, expressed as a constant the optimizer can fold."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(cid)).cast("long").alias("cid"),
+                F.array(*[F.lit(float(v)) for v in ce]).alias("ce"),
+            )
+            for cid, ce in cent_rows
+        ]
+    )
+
+
+def assign_clusters(
+    vectors: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E-step, map-side: per row, fold the centroid literal to the
+    (dist², cid) minimum — array_min on the struct picks min distance
+    with a deterministic cid tiebreak. The scored array is referenced
+    twice (cluster, dist), so the k·d fold is evaluated twice per row —
+    still cheaper at scale than any formulation that shuffles the
+    vectors (CollapseProject would inline a shared column anyway)."""
+    v = _as_double(F.col(vec_col))
+    scored = F.transform(
+        _centroid_array(cent_rows),
+        lambda c: F.struct(sq_dist(v, c["ce"]).alias("d"), c["cid"].alias("cid")),
+    )
+    return vectors.withColumn("cluster", F.array_min(scored)["cid"]).withColumn(
+        "dist", F.sqrt(F.array_min(scored)["d"])
+    )
+
+
+def recompute_centroids(assigned: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """M-step: per-cluster mean vector. Explode to (cluster, dim),
+    average, and fold back into a dim-ordered array — the shuffle
+    carries k·d keys regardless of input size (map-side partials do
+    the heavy lifting)."""
+    ex = assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+    per_dim = ex.groupBy("cluster", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    return per_dim.groupBy("cluster").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+
+
+def seed_rows(
+    vectors: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic seeds: the k lowest ids (seed choice must be
+    reproducible; k-means|| sampling is the scale upgrade)."""
+    rows = vectors.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    return [(r[id_col], [float(x) for x in r[vec_col]]) for r in rows]
+
+
+def kmeans(
+    vectors: DataFrame,
+    k: int = 4,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations; returns (id, cluster, dist). Each round
+    collects the k·d centroid numbers to the driver — that is the
+    broadcast, not a data-path collect — so the lineage stays one
+    scan + one tiny agg per iteration."""
+    cents = seed_rows(vectors, k, id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_clusters(vectors, cents, vec_col)
+        cents = sorted(
+            (r["cluster"], [float(x) for x in r["centroid"]])
+            for r in recompute_centroids(assigned, vec_col).collect()
+        )
+    return assign_clusters(vectors, cents, vec_col).select(id_col, "cluster", "dist")

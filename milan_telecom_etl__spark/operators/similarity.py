@@ -327,3 +327,63 @@ def cosine_knn_pandas(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def cosine_knn_ivf(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate kNN: partition the corpus into
+    Voronoi cells around centroid seeds, probe only the `n_probe` cells
+    nearest each query, brute-force inside them. The candidate set
+    shrinks ~n_probe/n_cells versus brute force while the plan stays
+    all-JVM: centroid seeds are a broadcast, cell assignment is the
+    k-means E-step, and the probe join is an equality join on cell id.
+    At scale the cells come from a trained kmeans() and the corpus is
+    written partitioned BY cell, making each probe a partition-pruned
+    scan. Deterministic: seeds are the lowest ids, ranks tie-break on
+    id."""
+    from .clustering import sq_dist
+
+    seeds = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    d = sq_dist(_as_double(F.col(vec_col)), _as_double(F.col("ce")))
+    pairs = embeddings.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col), F.col("cid"), d.alias("d")
+    )
+    cells = pairs.groupBy(id_col).agg(F.min_by("cid", F.col("d")).alias("cell"))
+    w_probe = Window.partitionBy(id_col).orderBy("d", "cid")
+    probes = (
+        pairs.filter(F.col(id_col) < n_queries)
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), F.col("cid").alias("cell"))
+    )
+    corpus = embeddings.join(cells, id_col)
+    queries = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(_as_double(F.col("qe")), _as_double(F.col(vec_col))), 6).alias(
+            "cos_sim"
+        ),
+    )  # no dedup needed: every corpus vector belongs to exactly one cell
+    w_rk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )

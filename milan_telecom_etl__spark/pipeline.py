@@ -292,3 +292,34 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_bytes) files and atomically swap. The
+    small-files problem is the top operational failure of streaming
+    ingest at scale (every micro-batch leaves a file; a million 100 KB
+    files make NameNode/scan planning the bottleneck) — periodic
+    compaction to ~128 MB restores scan efficiency. Returns the new
+    file count."""
+    import math
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    # coalesce, not repartition: merging files needs no shuffle
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    back = path.rstrip("/") + ".__compact_old__"
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)
+    return n_files

@@ -420,3 +420,96 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
     )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH s1 AS (
+      SELECT user_id, event_type AS old_type FROM (
+        SELECT user_id, event_type, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events WHERE ts < TIMESTAMP '2024-01-20')
+      WHERE rk = 1
+    ), s2 AS (
+      SELECT user_id, event_type AS new_type FROM (
+        SELECT user_id, event_type, row_number() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events)
+      WHERE rk = 1
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n_users FROM (
+      SELECT CASE WHEN old_type IS NULL THEN 'added'
+                  WHEN old_type = new_type THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM s2 LEFT JOIN s1 USING (user_id)
+    ) GROUP BY status
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (CDC diff): latest state per key at a
+    cutoff vs now, outer-joined into added/changed/unchanged tallies —
+    the audit that validates any incremental pipeline against a full
+    rebuild. Both snapshots derive from one table scan shape (window
+    keep-latest); the diff join is keyed on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def latest(df, col_alias):
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("user_id", F.col("event_type").alias(col_alias))
+        )
+
+    s1 = latest(ev.filter(F.col("ts") < F.lit("2024-01-20").cast("timestamp")), "old_type")
+    s2 = latest(ev, "new_type")
+    status = (
+        F.when(F.col("old_type").isNull(), "added")
+        .when(F.col("old_type") == F.col("new_type"), "unchanged")
+        .otherwise("changed")
+    )
+    return (
+        s2.join(s1, "user_id", "left")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "cube_type_hour",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+             CAST(round(value * 1000000) AS BIGINT) AS vu
+      FROM events
+    )
+    SELECT coalesce(event_type, '(all)') AS etype,
+           CAST(coalesce(hr, -1) AS INT) AS hr, count(*) AS n,
+           round(sum(vu) / (count(*) * 1000000.0), 6) AS avg_value
+    FROM base GROUP BY CUBE (event_type, hr)
+    """,
+)
+def q_cube_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four marginals of type × hour in one
+    pass — the OLAP cross-tab next to revenue_rollup's hierarchy).
+    Means come from exact integer micro-unit sums: cube cells span
+    wildly different group sizes, so a float avg would eventually land
+    a rounding boundary (same trap as gap_fill_hourly)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hr"),
+        F.round(F.col("value") * 1000000).cast("long").alias("vu"),
+    )
+    return (
+        base.cube("event_type", "hr")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("vu").alias("su"))
+        .select(
+            F.coalesce("event_type", F.lit("(all)")).alias("etype"),
+            F.coalesce("hr", F.lit(-1)).cast("int").alias("hr"),
+            "n",
+            F.round(F.col("su") / (F.col("n") * 1000000.0), 6).alias("avg_value"),
+        )
+    )

@@ -1,0 +1,103 @@
+"""Registry entries: distributed ML primitives over the embeddings
+table — per-class centroids (the k-means M-step), nearest-centroid
+assignment (the E-step), and the full Lloyd loop (iterative, so
+rows-only checked; the two steps it composes are each oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_registry import register
+from .sources.parquet import load_table
+
+_DIM = 64
+
+_SQDIST = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE) * (e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE)))"
+)
+
+
+@register(
+    "embedding_centroids",
+    """
+    SELECT CAST(label AS INT) AS label, CAST(i AS INT) AS dim,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(embedding[i]::DOUBLE), 6) AS c
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (k-means M-step / class prototypes for
+    nearest-centroid classification). posexplode → (label, dim) mean:
+    map-side partial aggregation reduces the shuffle to labels × dims
+    values however large the corpus — embedding pooling at 100 TB is
+    exactly this plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "v"))
+    return ex.groupBy(
+        F.col("label").cast("int").alias("label"),
+        (F.col("pos") + 1).cast("int").alias("dim"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c"),
+    )
+
+
+@register(
+    "kmeans_estep",
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 3
+    ), pairs AS (
+      SELECT e.vec_id, s.cid, {_SQDIST} AS d
+      FROM embeddings e, seeds s
+    ), best AS (
+      SELECT vec_id, arg_min(cid, d) AS cluster, min(d) AS d
+      FROM pairs GROUP BY vec_id
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n, round(avg(sqrt(d)), 6) AS avg_dist
+    FROM best GROUP BY cluster
+    """,
+)
+def q_kmeans_estep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (k-means E-step) with deterministic
+    seed centroids (the 3 lowest vec_ids), summarized as cluster sizes
+    and mean distance. This SQL-shaped variant (crossJoin + min_by)
+    exists to be oracle-checkable; the production loop in
+    operators/clustering.py folds the centroid literal map-side with no
+    shuffle at all. Distances are index-ordered folds — bit-identical
+    to the oracle's list_sum."""
+    from .operators.clustering import sq_dist
+    from .operators.similarity import _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    d = sq_dist(_as_double(F.col("embedding")), _as_double(F.col("ce")))
+    pairs = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cid", d.alias("d")
+    )
+    best = pairs.groupBy("vec_id").agg(
+        F.min_by("cid", F.col("d")).alias("cluster"), F.min("d").alias("d")
+    )
+    return best.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(F.sqrt("d")), 6).alias("avg_dist"),
+    )
+
+
+@register("kmeans_clusters")  # iterative — no single-statement SQL equivalent
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd k-means (k=4, 5 iterations) over the embeddings —
+    (vec_id, cluster, dist). Iterative with a driver-side k·d centroid
+    broadcast per round, hence rows-only checked; the E/M steps that
+    compose it are oracle-checked above. Convergence semantics are
+    pinned by tests/test_clustering.py on a crafted separable set."""
+    from .operators.clustering import kmeans
+
+    return kmeans(load_table(spark, sf_dir, "embeddings"), k=4, iters=5)

@@ -346,3 +346,41 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("zvalue"), "l_orderkey", "l_linenumber")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-safe salted join (replicate-and-salt big-big join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "salted_join_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe shuffle join: the probe side salts its key k ways and
+    the build side is replicated k-fold (explode over the salt range),
+    so one hot orderkey spreads over k reducers instead of stalling
+    one. The oracle is the PLAIN join — salting must be semantics-
+    invariant. AQE's skew-join split is the adaptive alternative; this
+    is the explicit form for when stats hide the skew (revenue rounded
+    to 2dp: a 1e9-magnitude sum flips 6dp digits on summation order)."""
+    k = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "__salt", (F.col("l_linenumber") % k).cast("int")
+    )
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(k)]))
+    )
+    j = li.join(orders, (li.l_orderkey == orders.o_orderkey) & (li.__salt == orders.__salt))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )

@@ -193,3 +193,47 @@ def q_knn_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized kNN (numpy matmul via mapInPandas) — same
     contract and oracle as knn_bruteforce; the wide-vector scale path."""
     return S.cosine_knn_pandas(load_table(spark, sf_dir, "embeddings"))
+
+
+def _knn_ivf_sql(n_cells: int = 8, n_probe: int = 2, n_queries: int = 5, k: int = 5) -> str:
+    sqd = (
+        f"list_sum(list_transform(range(1, {DIM} + 1), i -> "
+        "(e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE) * (e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE)))"
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {n_cells}
+    ), pairs AS (
+      SELECT e.vec_id, s.cid, {sqd} AS d FROM embeddings e, seeds s
+    ), cells AS (
+      SELECT vec_id, arg_min(cid, d) AS cell FROM pairs GROUP BY vec_id
+    ), probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cid) AS pr
+        FROM pairs WHERE vec_id < {n_queries}
+      ) WHERE pr <= {n_probe}
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             {_cos("q.embedding", "n.embedding")} AS cos_sim
+      FROM probes p
+      JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings n ON n.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@register("knn_ivf", _knn_ivf_sql())
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN: Voronoi cells around deterministic centroid
+    seeds, queries probe their 2 nearest cells. The third ANN strategy
+    next to sign-LSH (single/multi-table) — better recall/candidate
+    ratio when the corpus clusters; at scale the corpus is written
+    partitioned by cell so probes become partition-pruned scans."""
+    return S.cosine_knn_ivf(load_table(spark, sf_dir, "embeddings"))

@@ -211,3 +211,39 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("filled_avg"),
         )
     )
+
+
+@register(
+    "scd2_user_type_intervals",
+    """
+    WITH ch AS (
+      SELECT user_id, event_type, ts, event_id FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+    FROM ch
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build: collapse each user's event stream
+    into validity intervals that start when the observed attribute
+    changes (lag-compare) and end at the next change (lead), open-ended
+    on the current value. Two windows over the same (user_id, ts) sort
+    — Spark reuses the sort/exchange for both."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )

@@ -68,3 +68,14 @@ def run_to_memory(stream_df: DataFrame, name: str = "hourly_stream") -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def dedupe_stream(
+    stream: DataFrame, ts_col: str = "ts", key: str = "event_id", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exactly-once dedupe: drop re-deliveries of the same key
+    arriving within the watermark horizon. State is bounded by the
+    watermark (old keys age out) — the at-least-once → exactly-once
+    repair for replayed sources; unbounded dropDuplicates would grow
+    state forever on a 100 TB/day stream."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])

@@ -188,3 +188,21 @@ def test_partition_pruning_on_time_filter(spark, warehouse):
     # the date predicate lands in PartitionFilters → pruned scan, the
     # Spark substitute for the reference's idx_traffic_time
     assert "PartitionFilters" in plan and "load_date" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from milan_telecom_etl__spark.pipeline import compact_parquet
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(path)
+    import glob
+
+    assert len(glob.glob(path + "/*.parquet")) == 40
+    before = spark.read.parquet(path).agg(F.sum("v")).collect()[0][0]
+    n = compact_parquet(spark, path, target_bytes=1 << 30)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) == n == 1
+    after_df = spark.read.parquet(path)
+    assert after_df.count() == 10000
+    assert after_df.agg(F.sum("v")).collect()[0][0] == before

@@ -48,3 +48,47 @@ def test_stream_rollup_equals_batch(spark, stream_dir):
     assert got == expected
     assert got[("2013-11-01T00:00:00", 1)] == pytest.approx(18.0)
     assert got[("2013-11-01T01:00:00", 1)] == pytest.approx(7.0)
+
+
+EVENTS_A = """event_id,ts,user_id
+1,2024-01-01 10:00:00,7
+2,2024-01-01 10:05:00,8
+"""
+EVENTS_B = """event_id,ts,user_id
+2,2024-01-01 10:05:00,8
+3,2024-01-01 10:10:00,9
+"""
+
+
+def test_stream_dedupe_within_watermark(spark, tmp_path_factory):
+    from pyspark.sql import types as T
+
+    from milan_telecom_etl__spark.streaming.ingest import dedupe_stream
+
+    d = tmp_path_factory.mktemp("dedupe_stream")
+    (d / "a.csv").write_text(EVENTS_A)
+    (d / "b.csv").write_text(EVENTS_B)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)  # forces the duplicate into a LATER micro-batch
+        .csv(str(d))
+    )
+    deduped = dedupe_stream(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedupe_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    ids = sorted(r["event_id"] for r in spark.table("dedupe_test").collect())
+    assert ids == [1, 2, 3]  # event 2 re-delivered but emitted once
