@@ -71,3 +71,25 @@ def fk_enforce(
     if broadcast_dim:
         d = F.broadcast(d)
     return fact.join(d, fact_key, "left_semi")
+
+
+def expectation_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Declarative expectation suite (the Great-Expectations shape on
+    Spark): `rules` maps rule name → condition that must HOLD per row.
+    ONE aggregation pass computes every rule's violation count; the
+    single wide row is then unpivoted to a long (rule, n_violations,
+    n_rows, passed) report. Rules must be written null-aware (wrap in
+    IS NOT NULL) — a NULL predicate counts as not-violated, matching
+    SQL CHECK semantics."""
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(F.when(~cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    long = wide.unpivot(["__n"], list(rules), "rule", "n_violations")
+    return long.select(
+        "rule",
+        "n_violations",
+        F.col("__n").alias("n_rows"),
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -387,3 +387,13 @@ def cosine_knn_ivf(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def l2_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
+    """Unit-normalize an embedding column (prep for cosine → dot-only
+    scoring: normalize once at ingest, then every downstream similarity
+    is a plain dot product — at 100 TB that halves the per-pair fold
+    and removes two sqrt()s from the hot loop)."""
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))

@@ -101,3 +101,37 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.clustering import kmeans
 
     return kmeans(load_table(spark, sf_dir, "embeddings"), k=4, iters=5)
+
+
+_NORM_DOT = (
+    "sqrt(list_sum(list_transform(range(1, 65), j -> "
+    "embedding[j]::DOUBLE * embedding[j]::DOUBLE)))"
+)
+
+
+@register(
+    "l2_normalized_vectors",
+    f"""
+    SELECT vec_id, CAST(i AS INT) AS dim,
+           round(embedding[i]::DOUBLE / {_NORM_DOT}, 6) AS u
+    FROM embeddings, range(1, 5) t(i)
+    WHERE vec_id < 10
+    """,
+)
+def q_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column (first 4 components of
+    the first 10 vectors, for an oracle-checkable slice). Normalizing
+    at ingest turns every later cosine into a bare dot product."""
+    from .operators.similarity import l2_normalize
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return (
+        l2_normalize(emb)
+        .select("vec_id", F.posexplode("unit").alias("pos", "u"))
+        .filter(F.col("pos") < 4)
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.round("u", 6).alias("u"),
+        )
+    )

@@ -384,3 +384,93 @@ def q_salted_join_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectation suite (single-pass, long-format report)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expectations_report",
+    """
+    WITH a AS (
+      SELECT count(*) AS n,
+        sum(CASE WHEN NOT (o_totalprice IS NOT NULL AND o_totalprice > 0)
+                 THEN 1 ELSE 0 END) AS r_price_positive,
+        sum(CASE WHEN NOT (o_orderstatus IN ('F', 'O', 'P'))
+                 THEN 1 ELSE 0 END) AS r_status_domain,
+        sum(CASE WHEN NOT (o_custkey IS NOT NULL) THEN 1 ELSE 0 END) AS r_custkey_set,
+        sum(CASE WHEN NOT (o_orderdate IS NOT NULL
+                           AND o_orderdate >= TIMESTAMP '1990-01-01'
+                           AND o_orderdate <  TIMESTAMP '2000-01-01')
+                 THEN 1 ELSE 0 END) AS r_orderdate_range
+      FROM orders
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           CAST(n AS BIGINT) AS n_rows, n_violations = 0 AS passed
+    FROM (
+      SELECT n, 'price_positive' AS rule, r_price_positive AS n_violations FROM a
+      UNION ALL SELECT n, 'status_domain', r_status_domain FROM a
+      UNION ALL SELECT n, 'custkey_set', r_custkey_set FROM a
+      UNION ALL SELECT n, 'orderdate_range', r_orderdate_range FROM a
+    )
+    """,
+)
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation: four null-aware rules over
+    orders evaluated in ONE scan (conditional sums in a single
+    aggregate), unpivoted to a long pass/fail report — the ingest gate
+    that blocks a bad batch before it pollutes 100 TB of good data."""
+    from .operators.constraints import expectation_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "price_positive": F.col("o_totalprice").isNotNull() & (F.col("o_totalprice") > 0),
+        "status_domain": F.col("o_orderstatus").isin("F", "O", "P"),
+        "custkey_set": F.col("o_custkey").isNotNull(),
+        "orderdate_range": F.col("o_orderdate").isNotNull()
+        & (F.col("o_orderdate") >= F.lit("1990-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")),
+    }
+    return expectation_report(orders, rules)
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report (share of total) window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_share",
+    """
+    WITH r AS (
+      SELECT o_orderpriority,
+             sum(l_extendedprice * (1 - l_discount)) AS rev
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, round(rev, 2) AS revenue,
+           round(rev / sum(rev) OVER (), 6) AS share
+    FROM r
+    """,
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each priority's share of total revenue via an
+    unpartitioned window over the (tiny) aggregate — the window runs
+    over 5 rows, not the fact table."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    r = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = Window.partitionBy()
+    return r.select(
+        "o_orderpriority",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
+    )

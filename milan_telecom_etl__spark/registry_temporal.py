@@ -247,3 +247,68 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     )
+
+
+@register(
+    "transition_matrix",
+    """
+    WITH t AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    )
+    SELECT from_type, to_type, count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_type), 6) AS p
+    FROM t WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+)
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user journeys:
+    P(next event type | current) from per-user lead() pairs — the
+    sequence-mining profile behind funnel design. One window shuffle on
+    user_id, then a tiny grouped ratio (integer counts divide exactly,
+    so 6dp is stable)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = t.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    w_tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w_tot), 6).alias("p"),
+    )
+
+
+@register(
+    "rolling_median",
+    """
+    SELECT event_id, user_id, ts,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+    FROM events
+    """,
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-row median per user — robust smoothing (the median
+    filter) as a windowed exact percentile. No summation-order hazard:
+    a median interpolates the same two elements on any engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.expr("percentile(value, 0.5D)").over(w), 6).alias("med7"),
+    )
