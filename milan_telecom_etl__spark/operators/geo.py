@@ -278,3 +278,26 @@ def read_geojson(spark: SparkSession, path: str) -> DataFrame:
         F.col("f.geometry.type").alias("geom_type"),
         F.col("f.geometry.coordinates").alias("coordinates"),
     )
+
+
+def point_in_ring(px: Column, py: Column, ring: Column) -> Column:
+    """Ray-casting (crossing-number) point-in-polygon over a CLOSED
+    ring column array<array<double>> (last vertex == first; 1-based
+    x=pt[1], y=pt[2]) — a pure fold over the edge list, no UDF, no
+    geo library. Identical IEEE arithmetic to the oracle's
+    list_filter, so the inside/outside booleans agree bit-for-bit
+    (knife-edge points sitting exactly on an edge are the caller's
+    responsibility to avoid or accept)."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(1), n - 1)
+
+    def _crosses(i: Column) -> Column:
+        x1 = F.element_at(F.element_at(ring, i), 1)
+        y1 = F.element_at(F.element_at(ring, i), 2)
+        x2 = F.element_at(F.element_at(ring, i + F.lit(1)), 1)
+        y2 = F.element_at(F.element_at(ring, i + F.lit(1)), 2)
+        return ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        )
+
+    return (F.size(F.filter(idx, _crosses)) % 2) == 1

@@ -513,3 +513,43 @@ def q_cube_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("su") / (F.col("n") * 1000000.0), 6).alias("avg_value"),
         )
     )
+
+
+@register(
+    "session_window_builtin",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, sum(new_s) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via the BUILT-IN session_window (one groupBy, no
+    window-function passes — Spark merges overlapping [ts, ts+gap)
+    intervals internally; also the streaming-native form). Oracle is
+    the gaps-and-islands rewrite with matching >=gap split semantics
+    and end = last_ts + gap. Complements `sessionize`, which pins the
+    explicit lag/cumsum plan."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

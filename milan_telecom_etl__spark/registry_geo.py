@@ -128,3 +128,85 @@ def q_utm_reproject(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.select(
         "cell_id", F.round(x, 4).alias("easting"), F.round(y, 4).alias("northing")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial join: point-in-polygon zone assignment (the PostGIS ST_Contains
+# join of the reference — src/database.py GIST index — as pure folds).
+# Vertex coordinates carry a 4th decimal chosen so no edge has a
+# small-denominator rational slope: the cell centroids live on a
+# 0.01° grid ending in .005, and a "nice" slope (e.g. exactly 4.0)
+# makes edge/scanline intersections land EXACTLY on centroid
+# coordinates, where the two engines' last-ulp can disagree.
+# ---------------------------------------------------------------------------
+
+_ZONES: list[tuple[int, list[tuple[float, float]]]] = [
+    (1, [(9.0031, 45.3077), (9.2473, 45.3139), (9.1937, 45.4871), (9.0279, 45.4433), (9.0031, 45.3077)]),
+    (2, [(9.2531, 45.3037), (9.4977, 45.3171), (9.4633, 45.5339), (9.2579, 45.4971), (9.2531, 45.3037)]),
+    (3, [(9.0077, 45.4531), (9.1833, 45.4979), (9.2471, 45.7433), (9.0139, 45.6977), (9.0077, 45.4531)]),
+    (4, [(9.2633, 45.5431), (9.4877, 45.5479), (9.4431, 45.7877), (9.2779, 45.7533), (9.2633, 45.5431)]),
+]
+
+
+def _zones_values_sql() -> str:
+    rows = []
+    for zid, ring in _ZONES:
+        pts = ", ".join(f"[{x!r}, {y!r}]" for x, y in ring)
+        rows.append(f"({zid}, [{pts}])")
+    return ", ".join(rows)
+
+
+@register(
+    "spatial_join_zones",
+    f"""
+    WITH cells AS (
+      SELECT p_partkey AS cell_id,
+             {_LON0} + 0.005 AS px, {_LAT0} + 0.005 AS py
+      FROM part
+    ), zones(zone_id, ring) AS (VALUES {_zones_values_sql()}),
+    hits AS (
+      SELECT zone_id, px, py
+      FROM cells, zones
+      WHERE (len(list_filter(range(1, len(ring)), i ->
+               ((ring[i][2] > py) <> (ring[i+1][2] > py)) AND
+               (px < (ring[i+1][1] - ring[i][1]) * (py - ring[i][2])
+                      / (ring[i+1][2] - ring[i][2]) + ring[i][1])
+             )) % 2) = 1
+    )
+    SELECT zone_id, CAST(count(*) AS BIGINT) AS n_cells,
+           round(min(px), 6) AS min_lon, round(max(py), 6) AS max_lat
+    FROM hits GROUP BY zone_id
+    """,
+)
+def q_spatial_join_zones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial join: assign each grid-cell centroid to the irregular
+    polygon zone containing it — ray-casting crossing-number as a pure
+    column fold (operators/geo.py point_in_ring), zones broadcast as
+    literals. The Spark substitute for the reference's ST_Contains +
+    GIST plan: at 100 TB you prefilter candidates by envelope (a range
+    join on a Z-order/geohash key) and run this exact test on the
+    survivors."""
+    from .operators.geo import point_in_ring
+
+    cells = _cells(spark, sf_dir).select(
+        "cell_id",
+        (F.col("lon0") + 0.005).alias("px"),
+        (F.col("lat0") + 0.005).alias("py"),
+    )
+    zones = [
+        F.struct(
+            F.lit(zid).alias("zone_id"),
+            F.array(*[F.array(F.lit(x), F.lit(y)) for x, y in ring]).alias("ring"),
+        )
+        for zid, ring in _ZONES
+    ]
+    z = F.explode(F.array(*zones)).alias("z")
+    exploded = cells.select("cell_id", "px", "py", z).select(
+        "cell_id", "px", "py", F.col("z.zone_id").alias("zone_id"), F.col("z.ring").alias("ring")
+    )
+    hits = exploded.filter(point_in_ring(F.col("px"), F.col("py"), F.col("ring")))
+    return hits.groupBy("zone_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.min("px"), 6).alias("min_lon"),
+        F.round(F.max("py"), 6).alias("max_lat"),
+    )
