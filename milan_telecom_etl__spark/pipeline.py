@@ -323,3 +323,32 @@ def compact_parquet(
     os.rename(tmp, path)
     shutil.rmtree(back)
     return n_files
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """MERGE-style upsert onto a plain-parquet table: new keys insert,
+    existing keys take the update's row — implemented as
+    (target ANTI-JOIN updates) UNION updates, written to a new
+    snapshot and atomically swapped. This is what table formats
+    (Delta/Iceberg) do under MERGE INTO minus the transaction log; on
+    a partitioned table restrict the rewrite to partitions containing
+    touched keys (dynamic partition overwrite) so a 100 TB table
+    rewrites only the partitions the batch hits. The anti join
+    broadcasts the update batch — CDC batches are small next to the
+    table."""
+    import shutil
+
+    target = spark.read.parquet(path)
+    keep = target.join(F.broadcast(updates.select(*key_cols)), key_cols, "left_anti")
+    merged = keep.unionByName(updates.select(*target.columns))
+    tmp = path.rstrip("/") + ".__upsert_tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    back = path.rstrip("/") + ".__upsert_old__"
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)

@@ -206,3 +206,18 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     after_df = spark.read.parquet(path)
     assert after_df.count() == 10000
     assert after_df.agg(F.sum("v")).collect()[0][0] == before
+
+
+def test_upsert_parquet_merge_semantics(spark, tmp_path):
+    from milan_telecom_etl__spark.pipeline import upsert_parquet
+
+    path = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k: long, name: string, v: long"
+    ).write.parquet(path)
+    updates = spark.createDataFrame(
+        [(2, "b2", 99), (4, "d", 40)], "k: long, name: string, v: long"
+    )
+    upsert_parquet(spark, path, updates, ["k"])
+    got = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30), 4: ("d", 40)}

@@ -94,3 +94,46 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_quality_stats_joins_broadcast(spark):
+    import __spark_entry__ as m
+
+    # grouped z-score and MAD outliers must broadcast their stats side
+    for name in ("group_zscore", "mad_outliers"):
+        plan = _plan(m.queries()[name](spark, SF))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_bigram_topk_is_take_ordered(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["bigram_counts"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_estep_broadcasts_centroids(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["kmeans_estep"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_assignment_fold_is_shuffle_free(spark):
+    # the library E-step (literal centroid fold) must add NO exchange
+    from milan_telecom_etl__spark.operators.clustering import assign_clusters, seed_rows
+
+    emb = load_table(spark, SF, "embeddings")
+    seeds = seed_rows(emb, 3)
+    plan = _plan(assign_clusters(emb, seeds))
+    assert "Exchange" not in plan
+
+
+def test_unpivot_is_single_scan_expand(spark):
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["unpivot_measures"](spark, SF))
+    assert "Expand" in plan
+    assert plan.count("FileScan") == 1  # melt reads the input once, not 4x
