@@ -23,6 +23,7 @@ from milan_telecom_etl__spark import registry_ml as _reg_ml  # noqa: F401  (regi
 from milan_telecom_etl__spark import registry_quality as _reg_qual  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_sampling as _reg_samp  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_semistructured as _reg_semi  # noqa: F401  (registers on import)
+from milan_telecom_etl__spark import registry_series as _reg_ser  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_similarity as _reg_sim  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_temporal as _reg_temp  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_text as _reg_text  # noqa: F401  (registers on import)

@@ -474,3 +474,105 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rev", 2).alias("revenue"),
         F.round(F.col("rev") / F.sum("rev").over(w), 6).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: fraud/synthetic-data detector.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM cents
+    )
+    SELECT digit, count(*) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+           round(count(*) * 1.0 / sum(count(*)) OVER ()
+                 - log10(1.0 + 1.0 / digit), 6) AS deviation
+    FROM digits GROUP BY digit
+    """,
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over order totals —
+    a classic fraud / synthetic-data detector. Digit extraction goes
+    through exact integer cents then string head (NOT floor(log10):
+    both engines agree bit-for-bit on integer→string, while log10 of an
+    exact power of ten can land on either side of the floor). One
+    hash-agg to 9 rows; the ratio window runs over those 9 rows only."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = orders.filter(F.col("o_totalprice") > 0).select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    digits = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    counted = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    p = F.col("n") / F.sum("n").over(w)
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return counted.select(
+        "digit",
+        "n",
+        F.round(p, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round(p - benford, 6).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter audit: the pre-flight skew check for any join/groupBy.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heavy_hitters",
+    """
+    WITH f AS (
+      SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, n,
+           round(n * 1.0 / sum(n) OVER (), 6) AS freq,
+           round(n * 1.0 / max(n) OVER (), 6) AS rel_to_max
+    FROM f
+    QUALIFY n * 1.0 / sum(n) OVER () > 0.0005
+    ORDER BY n DESC, o_custkey
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key heavy-hitter detector: keys above a frequency threshold
+    (the inputs to a salting/skew-join decision — see
+    `salted_join_priority`). The window runs over the already-aggregated
+    key table, not the fact table; at 100 TB the exact pass is still one
+    map-side-combined hash-agg, or swap to a count-min sketch when even
+    the key table won't fit."""
+    from pyspark.sql.window import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    scored = f.select(
+        "o_custkey",
+        "n",
+        (F.col("n") / F.sum("n").over(w)).alias("freq_raw"),
+        (F.col("n") / F.max("n").over(w)).alias("rel_raw"),
+    )
+    return (
+        scored.filter(F.col("freq_raw") > 0.0005)
+        .select(
+            "o_custkey",
+            "n",
+            F.round("freq_raw", 6).alias("freq"),
+            F.round("rel_raw", 6).alias("rel_to_max"),
+        )
+        .orderBy(F.desc("n"), "o_custkey")
+    )

@@ -404,3 +404,180 @@ def q_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition ratio: distinct-ngram / total-ngram — the standard
+# "degenerate text" signal in corpus curation (boilerplate, loops,
+# keyboard mashing collapse the ratio toward 0).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_ratio",
+    f"""
+    WITH docs AS (SELECT doc_id, source, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    tg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                     i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+      FROM words),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_grams, count(DISTINCT s) AS n_distinct
+      FROM tg GROUP BY doc_id)
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_distinct * 1.0 / n_grams), 6) AS avg_distinct_ratio,
+           round(min(n_distinct * 1.0 / n_grams), 6) AS min_distinct_ratio
+    FROM per_doc JOIN docs USING (doc_id)
+    GROUP BY source
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source repetition profile: distinct-trigram ratio per doc
+    (NON-distinct shingling, unlike the dedup path), aggregated per
+    source. count + count(DISTINCT) ride one explode→hash-agg on
+    doc_id; the doc→source attach is a co-partitioned join on doc_id
+    (both sides already hashed on it — no extra exchange at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = D._words_df(docs)
+    k = F.greatest(F.size("__words") - F.lit(2), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice("__words", i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        words.select("doc_id", F.explode(grams).alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.countDistinct("s").alias("n_distinct"),
+        )
+    )
+    ratio = F.col("n_distinct") / F.col("n_grams")
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(ratio), 6).alias("avg_distinct_ratio"),
+            F.round(F.min(ratio), 6).alias("min_distinct_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex redaction engine (the PII-masking primitive). The synthetic
+# corpus contains no emails/phones, so the machinery is demonstrated on
+# a pattern that exists in-corpus; swapping the constant for an
+# email/phone alternation is a one-line change.
+# ---------------------------------------------------------------------------
+
+# dialect-portable regex: \b and alternation behave identically in
+# Java regex (Spark) and RE2 (DuckDB).
+_REDACT_PAT = r"\b(table|hash|window)\b"
+
+
+@register(
+    "regex_redaction",
+    f"""
+    SELECT source,
+           sum(len(regexp_extract_all(text, '{_REDACT_PAT}'))) AS n_matches,
+           sum(CASE WHEN regexp_matches(text, '{_REDACT_PAT}')
+               THEN 1 ELSE 0 END) AS docs_hit,
+           sum(length(text)
+               - length(regexp_replace(text, '{_REDACT_PAT}', '', 'g')))
+             AS chars_redacted
+    FROM documents GROUP BY source
+    """,
+)
+def q_regex_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide regex redaction audit: match counts, affected docs,
+    and chars that masking would remove, per source. Pure JVM string
+    kernels (regexp_count / regexp_replace) — the scan never leaves
+    whole-stage codegen, and the regex is written to the common subset
+    of Java regex and RE2 so the oracle runs the same automaton."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.regexp_count("text", F.lit(_REDACT_PAT))
+    redacted_len = F.length("text") - F.length(
+        F.regexp_replace("text", _REDACT_PAT, "")
+    )
+    return docs.groupBy("source").agg(
+        F.sum(n).alias("n_matches"),
+        F.sum(F.when(n > 0, 1).otherwise(0)).alias("docs_hit"),
+        F.sum(redacted_len).alias("chars_redacted"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus docs sharing any 5-gram with a
+# held-out benchmark set (here: doc_id % 97 == 0 stands in for the
+# benchmark). THE standard pre-training hygiene pass.
+# ---------------------------------------------------------------------------
+
+_SHINGLE5_CTE = f"""
+  docs5 AS (SELECT doc_id, {_norm()} AS t FROM documents),
+  words5 AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs5),
+  sh5 AS (
+    SELECT DISTINCT doc_id, s
+    FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 4, 0) + 1),
+                     i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS s
+      FROM words5)
+  )
+"""
+
+
+@register(
+    "decontamination_audit",
+    f"""
+    WITH {_SHINGLE5_CTE},
+    bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 97 = 0),
+    cont AS (
+      SELECT DISTINCT a.doc_id
+      FROM sh5 a JOIN bench b USING (s)
+      WHERE a.doc_id % 97 <> 0
+    )
+    SELECT d.source, count(*) AS n_docs, count(c.doc_id) AS n_contaminated,
+           round(count(c.doc_id) * 1.0 / count(*), 6) AS contamination_rate
+    FROM documents d LEFT JOIN cont c ON d.doc_id = c.doc_id
+    WHERE d.doc_id % 97 <> 0
+    GROUP BY d.source
+    """,
+)
+def q_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing ≥1 distinct word
+    5-gram with the benchmark slice are flagged via a semi-join on the
+    shingle itself. The benchmark side is DISTINCT-reduced before the
+    join (it's tiny relative to the corpus — AQE broadcasts it), so the
+    corpus shingle table streams through a broadcast-hash semi-join:
+    no corpus-side shuffle. Docs shorter than the shingle width can't
+    be flagged and count as clean."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs, n=5)
+    is_bench = (F.col("doc_id") % 97) == 0
+    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    cont = (
+        sh.filter(~is_bench)
+        .join(bench_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = docs.filter(~is_bench).select("doc_id", "source")
+    return (
+        corpus.join(cont, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 6).alias(
+                "contamination_rate"
+            ),
+        )
+    )

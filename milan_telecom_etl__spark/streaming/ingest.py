@@ -79,3 +79,29 @@ def dedupe_stream(
     repair for replayed sources; unbounded dropDuplicates would grow
     state forever on a 100 TB/day stream."""
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+
+
+def interval_join_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    attribution_window: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — last-touch attribution:
+    each purchase joins the clicks that preceded it by at most the
+    attribution window. Both sides carry watermarks and the join
+    condition bounds event-time distance, so Spark can GC join state on
+    both sides (without the time bound, stream-stream join state grows
+    forever). Clicks must expose `c_ts`, purchases `p_ts` (rename before
+    calling: stream-stream joins need unambiguous event-time columns)."""
+    c = clicks.withWatermark("c_ts", watermark)
+    p = purchases.withWatermark("p_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"c_{key} = p_{key} AND p_ts >= c_ts "
+            f"AND p_ts <= c_ts + {attribution_window}"
+        ),
+        "inner",
+    )

@@ -29,7 +29,10 @@ def main() -> int:
 
     con = duck_connection(sf_dir)
     oracles = m.oracle_sql()
+    only = set(sys.argv[2:])  # optional: gate just these query names
     for name, fn in m.queries().items():
+        if only and name not in only:
+            continue
         df = fn(spark, sf_dir)
         if name in oracles:
             ok, msg = compare(df, con, oracles[name])

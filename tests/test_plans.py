@@ -137,3 +137,22 @@ def test_unpivot_is_single_scan_expand(spark):
     plan = _plan(m.queries()["unpivot_measures"](spark, SF))
     assert "Expand" in plan
     assert plan.count("FileScan") == 1  # melt reads the input once, not 4x
+
+
+def test_time_weighted_avg_reuses_window_partitioning(spark):
+    # window(user_id) then groupBy(user_id): the hash-agg must reuse the
+    # window's exchange — exactly one shuffle end-to-end.
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["time_weighted_avg"](spark, SF))
+    assert plan.count("Exchange") == 1
+
+
+def test_regr_trend_has_partial_aggregation(spark):
+    # regr_* must map-side combine (HashAggregate below the exchange):
+    # each partition reduces to k·|groups| moment rows before shuffling.
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["regr_value_trend"](spark, SF))
+    pre_exchange = plan.split("Exchange")[-1]  # bottom-most fragment
+    assert "HashAggregate" in pre_exchange

@@ -92,3 +92,54 @@ def test_stream_dedupe_within_watermark(spark, tmp_path_factory):
     q.awaitTermination(120)
     ids = sorted(r["event_id"] for r in spark.table("dedupe_test").collect())
     assert ids == [1, 2, 3]  # event 2 re-delivered but emitted once
+
+
+def test_stream_stream_interval_join_equals_batch(spark, tmp_path_factory):
+    """Watermarked stream-stream attribution join emits exactly the
+    batch interval-join matches when drained with availableNow."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from milan_telecom_etl__spark.streaming.ingest import interval_join_streams
+
+    d = tmp_path_factory.mktemp("ssjoin")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    clicks = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(90)), (2, ts(10)), (3, ts(0))],
+        "c_user_id long, c_ts timestamp",
+    )
+    purchases = spark.createDataFrame(
+        # u1@100 matches click@90 only (click@0 is >1h away);
+        # u2@20 matches click@10; u3@200 matches nothing
+        [(1, ts(100), 9.0), (2, ts(20), 5.0), (3, ts(200), 1.0)],
+        "p_user_id long, p_ts timestamp, amount double",
+    )
+    cdir, pdir = f"{d}/clicks", f"{d}/purchases"
+    clicks.write.parquet(cdir)
+    purchases.write.parquet(pdir)
+
+    cs = spark.readStream.schema(clicks.schema).parquet(cdir)
+    ps = spark.readStream.schema(purchases.schema).parquet(pdir)
+    joined = interval_join_streams(cs, ps)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.p_user_id, r.p_ts, r.c_ts)
+        for r in spark.table("ssjoin_out").collect()
+    }
+    batch = {
+        (r.p_user_id, r.p_ts, r.c_ts)
+        for r in interval_join_streams(clicks, purchases).collect()
+    }
+    assert got == batch == {(1, ts(100), ts(90)), (2, ts(20), ts(10))}
