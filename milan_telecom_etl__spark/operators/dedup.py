@@ -320,3 +320,51 @@ def dedupe_near(
     near-dup cluster."""
     clusters = near_dup_clusters(docs, text_col, threshold, max_iter)
     return clusters.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The production two-stage near-dup pipeline: LSH banding prunes
+    the pair space to candidates, then EXACT shingle Jaccard verifies
+    each candidate (kills LSH false positives). At corpus scale this is
+    the shape that works: the exact self-join over all pairs is
+    quadratic in shingle document frequency, but restricted to LSH
+    candidates it touches only O(|candidates| · |doc shingles|) rows.
+    """
+    cands = minhash_lsh_candidates(docs, text_col, n, num_hashes, band_size)
+    sh = shingle_table(docs, text_col, n).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    # candidate pairs × shingles of side A, semi-matched against side B
+    pair_sh = cands.join(
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+    )
+    inter = (
+        pair_sh.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )

@@ -352,3 +352,43 @@ def upsert_parquet(
     os.rename(path, back)
     os.rename(tmp, path)
     shutil.rmtree(back)
+
+
+def apply_cdc_parquet(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    key_cols: list[str],
+    op_col: str = "op",
+    seq_col: str | None = None,
+) -> None:
+    """Full CDC apply (inserts + updates + DELETES) onto a parquet
+    table. The change batch carries an op column ('I'/'U'/'D'); if a
+    seq column is given, multiple changes per key collapse to the
+    latest first (so one batch can hold I→U→D chains). Deletes become
+    pure anti-join removals; I/U rows ride the upsert path. Same
+    snapshot-swap atomicity as upsert_parquet — and the same
+    restrict-to-touched-partitions refinement applies at 100 TB."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    if seq_col is not None:
+        w = Window.partitionBy(*key_cols).orderBy(F.desc(seq_col))
+        changes = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    target = spark.read.parquet(path)
+    keep = target.join(
+        F.broadcast(changes.select(*key_cols)), key_cols, "left_anti"
+    )
+    upserts = changes.filter(F.col(op_col) != "D").select(*target.columns)
+    merged = keep.unionByName(upserts)
+    tmp = path.rstrip("/") + ".__cdc_tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    back = path.rstrip("/") + ".__cdc_old__"
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)

@@ -581,3 +581,38 @@ def q_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-stage near-dup: LSH candidates -> exact Jaccard verification.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_verified_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH {_SHINGLE_CTE},
+    cand AS (SELECT * FROM ({_lsh_sql()})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= {threshold}
+    """
+
+
+@register("lsh_verified_pairs", _lsh_verified_sql())
+def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prune → exact-verify: the standard two-stage corpus dedup.
+    Candidates come from the banding equality join (no cross join);
+    the exact Jaccard pass then runs only over candidate pairs, so the
+    quadratic exact stage is bounded by the LSH recall set."""
+    return D.lsh_verified_pairs(load_table(spark, sf_dir, "documents"))

@@ -221,3 +221,27 @@ def test_upsert_parquet_merge_semantics(spark, tmp_path):
     upsert_parquet(spark, path, updates, ["k"])
     got = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10), 2: ("b2", 99), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_apply_cdc_with_deletes_and_seq_collapse(spark, tmp_path):
+    from milan_telecom_etl__spark.pipeline import apply_cdc_parquet
+
+    path = str(tmp_path / "cdc_target")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k: long, name: string, v: long"
+    ).write.parquet(path)
+    changes = spark.createDataFrame(
+        [
+            # k=2: U then D -> net delete; k=4: I then U -> net upsert v=41
+            (2, "b2", 99, "U", 1),
+            (2, None, None, "D", 2),
+            (4, "d", 40, "I", 1),
+            (4, "d", 41, "U", 2),
+            # k=3: plain update, single change
+            (3, "c3", 33, "U", 1),
+        ],
+        "k: long, name: string, v: long, op: string, seq: long",
+    )
+    apply_cdc_parquet(spark, path, changes, ["k"], seq_col="seq")
+    got = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: ("a", 10), 3: ("c3", 33), 4: ("d", 41)}
