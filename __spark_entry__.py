@@ -27,6 +27,7 @@ from milan_telecom_etl__spark import registry_series as _reg_ser  # noqa: F401  
 from milan_telecom_etl__spark import registry_similarity as _reg_sim  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_temporal as _reg_temp  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_text as _reg_text  # noqa: F401  (registers on import)
+from milan_telecom_etl__spark import registry_tpch as _reg_tpch  # noqa: F401  (registers on import)
 
 
 def entry(spark: SparkSession) -> DataFrame:
