@@ -16,7 +16,12 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _TYPES = ["view", "click", "purchase", "signup", "error"]
 _SCHEMA = (
@@ -50,6 +55,9 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
@@ -74,3 +82,43 @@ class SyntheticEventsReader(DataSourceReader):
             etype = _TYPES[m // 11 % len(_TYPES)]
             value = (m % 100_000) / 100.0
             yield (i, ts, user, etype, value)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant: SimpleDataSourceStreamReader — the same generator
+# exposed as an unbounded source with explicit offsets, so exactly-once
+# replay works: a micro-batch is DEFINED by its (start, end) row-id
+# range and regenerates identically on recovery.
+# ---------------------------------------------------------------------------
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self):
+        return {"row": 0}
+
+    def read(self, start):
+        lo = start["row"]
+        hi = min(lo + self.rows_per_batch, self.max_rows)
+        # list-iterator, not a generator: Spark's prefetch cache
+        # copy.copy()s the returned iterator (datasource_internal.py)
+        return iter(list(self._gen(lo, hi))), {"row": hi}
+
+    def readBetweenOffsets(self, start, end):
+        # replay path: regenerate the exact committed range
+        return iter(list(self._gen(start["row"], end["row"])))
+
+    def _gen(self, lo, hi):
+        for i in range(lo, hi):
+            m = _mix(self.seed, i)
+            ts = _T0 + dt.timedelta(seconds=(m % (30 * 86400)))
+            yield (
+                i,
+                ts,
+                m // 7 % 100,
+                _TYPES[m // 11 % len(_TYPES)],
+                (m % 100_000) / 100.0,
+            )
