@@ -253,3 +253,88 @@ def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(gap_s, 0.9)"), 6).alias("p90_s"),
         F.round(F.expr("percentile(gap_s, 0.99)"), 6).alias("p99_s"),
     )
+
+
+_REGR_SQL = f"""
+    SELECT event_type,
+           round(regr_slope(value, (epoch_us(ts) - {_T0_US}) / 86400e6), 6)
+             AS slope_per_day,
+           round(regr_intercept(value, (epoch_us(ts) - {_T0_US}) / 86400e6), 6)
+             AS intercept,
+           count(*) AS n
+    FROM events GROUP BY event_type
+"""
+
+
+@register("regr_trend_pandas", _REGR_SQL)
+def q_regr_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same OLS trend as `regr_value_trend`, but through the Arrow
+    grouped-map path (`applyInPandas` + numpy closed form) — the shape
+    for per-group model fits the built-in aggregates CAN'T express
+    (think per-series ARIMA/changepoint/robust fits). Each group
+    arrives as one pandas frame over Arrow; the kernel is vectorized
+    numpy, never per-row Python. Oracle-checked against the SQL
+    regr_* family, proving the Arrow path computes exactly what the
+    JVM does. Skew note: one group = one task; for heavy-tailed group
+    sizes pre-aggregate or salt before the grouped map."""
+    import pandas as pd  # noqa: F401 (arrow path)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.unix_micros("ts") - F.lit(_T0_US)) / F.lit(86400e6)).alias("x"),
+        F.col("value").alias("y"),
+    )
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x, y = pdf["x"].to_numpy(), pdf["y"].to_numpy()
+        xm, ym = x.mean(), y.mean()
+        cov = ((x - xm) * (y - ym)).sum()
+        var = ((x - xm) ** 2).sum()
+        slope = cov / var
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "slope_per_day": [round(slope, 6)],
+                "intercept": [round(ym - slope * xm, 6)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        fit, "event_type string, slope_per_day double, intercept double, n long"
+    )
+
+
+@register(
+    "sliding_window_counts",
+    """
+    WITH e AS (
+      SELECT event_type, value,
+             TIMESTAMP '1970-01-01'
+               + to_seconds((epoch_us(ts) // 900000000) * 900) AS w0
+      FROM events),
+    x AS (
+      SELECT event_type, value, w0 - to_seconds(k * 900) AS w_start
+      FROM e, UNNEST([0, 1, 2, 3]) AS t(k))
+    SELECT event_type, w_start, count(*) AS n, round(sum(value), 6) AS total
+    FROM x GROUP BY event_type, w_start
+    """,
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True sliding event-time windows (1 h length, 15 min hop) via the
+    built-in `window()` generator — each event lands in exactly 4
+    aligned windows (Expand: the fan-out happens inside the scan stage,
+    then one hash-agg on (type, window)). This is the batch twin of the
+    streaming sliding-window aggregation; the oracle derives the same 4
+    window starts arithmetically. At 100 TB note the 4× row fan-out is
+    map-side only — partial aggregation collapses it before the
+    exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type", F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
+        .select("event_type", F.col("w.start").alias("w_start"), "n", "total")
+    )
