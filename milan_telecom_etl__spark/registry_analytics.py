@@ -553,3 +553,62 @@ def q_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "price_rank_profile",
+    """
+    SELECT p_partkey, p_brand,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           ntile(4) OVER w AS quartile
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """,
+)
+def q_price_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-family windows (percent_rank / cume_dist / ntile) per brand
+    — one sort per partition serves all three (same WINDOW clause, and
+    the key tiebreak makes every rank deterministic)."""
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "exists_big_order",
+    """
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    """,
+)
+def q_exists_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery, expressed in SQL and left to Catalyst
+    to decorrelate into a left-semi hash join (the plan a hand-written
+    semi join would produce — pinned in tests/test_plans.py). Registered
+    via spark.sql to exercise the SQL front door end-to-end."""
+    from .sources.parquet import register_testdata
+
+    register_testdata(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        """
+    )

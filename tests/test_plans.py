@@ -156,3 +156,31 @@ def test_regr_trend_has_partial_aggregation(spark):
     plan = _plan(entry.queries()["regr_value_trend"](spark, SF))
     pre_exchange = plan.split("Exchange")[-1]  # bottom-most fragment
     assert "HashAggregate" in pre_exchange
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["exists_big_order"](spark, SF))
+    assert "LeftSemi" in plan  # Catalyst decorrelated EXISTS
+
+
+def test_sliding_window_partial_agg_below_exchange(spark):
+    # Expand (4-window fan-out) must be collapsed by a map-side partial
+    # HashAggregate BEFORE the exchange: the shuffle carries per-window
+    # partials, not 4x raw events.
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["sliding_window_counts"](spark, SF))
+    assert "Expand" in plan
+    below = plan.split("Exchange")[-1]
+    assert "HashAggregate" in below and "Expand" in below
+
+
+def test_tpch_q3_broadcasts_customer_side(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["tpch_q3"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # exactly one shuffle pair for the big join/agg: orderkey exchange
+    assert plan.count("Exchange hashpartitioning") <= 2
