@@ -8,6 +8,7 @@ engines compute identical buckets and identical (rounded) cosines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .operators import similarity as S
 from .queries_registry import register
@@ -237,3 +238,44 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio when the corpus clusters; at scale the corpus is written
     partitioned by cell so probes become partition-pruned scans."""
     return S.cosine_knn_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "embedding_quantization_error",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12)
+               AS scale
+      FROM embeddings)
+    SELECT vec_id, round(scale, 6) AS scale,
+           round(list_sum(list_transform(embedding,
+                 x -> pow(x - round(x * 127.0 / scale) * scale / 127.0, 2)))
+                 / len(embedding), 6) AS mse
+    FROM s
+    """,
+)
+def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization (per-vector absmax scale) with
+    reconstruction MSE — the storage/bandwidth lever for embedding
+    tables (4 bytes → 1 byte per dim before ANN). Pure array-expression
+    fold: the scale rides in the fold ACCUMULATOR so it's computed once
+    per vector, not re-evaluated per element (the higher-order-function
+    CollapseProject trap — a projected `scale` column would inline into
+    the lambda and run array_max d times per row)."""
+    emb = F.col("embedding")
+    absmax = F.greatest(
+        F.array_max(F.transform(emb, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    init = F.struct(absmax.alias("s"), F.lit(0.0).alias("sse"))
+
+    def step(acc, x):
+        err = x - F.round(x * 127.0 / acc["s"]) * acc["s"] / 127.0
+        return F.struct(acc["s"].alias("s"), (acc["sse"] + err * err).alias("sse"))
+
+    folded = F.aggregate(emb, init, step)
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(folded["s"], 6).alias("scale"),
+        F.round(folded["sse"] / F.size(emb), 6).alias("mse"),
+    )

@@ -201,3 +201,17 @@ def test_pandas_knn_equals_jvm_bruteforce(spark):
         tuple(r) for r in cosine_knn_pandas(emb, n_queries=5, k=5).collect()
     )
     assert jvm == arrow  # identical ids, ranks, and 6dp scores
+
+
+def test_quantization_error_within_half_step_bound(spark):
+    """int8 absmax quantization: per-element error ≤ scale/254, so
+    mse ≤ (scale/254)²."""
+    import __spark_entry__ as entry
+
+    rows = (
+        entry.queries()["embedding_quantization_error"](spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r.mse <= (r.scale / 254.0) ** 2 + 1e-9
