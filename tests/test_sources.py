@@ -118,3 +118,23 @@ def test_synthetic_stream_source_microbatches(spark, tmp_path):
         .load()
     )
     assert batch.exceptAll(spark.table("synth_stream")).count() == 0
+
+
+def test_expand_hourly_udtf_lateral_join(spark):
+    from milan_telecom_etl__spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", "2024-01-01 03:10:00")],
+        "id long, s string, e string",
+    ).createOrReplaceTempView("iv")
+    rows = spark.sql(
+        """
+        SELECT id, h.hour_start, h.hour_index
+        FROM iv, LATERAL expand_hourly(CAST(s AS timestamp), CAST(e AS timestamp)) h
+        ORDER BY hour_index
+        """
+    ).collect()
+    # 00:30 rounds up to 01:00; hours 01:00, 02:00, 03:00 are < 03:10
+    assert [r.hour_start.hour for r in rows] == [1, 2, 3]
+    assert [r.hour_index for r in rows] == [0, 1, 2]
