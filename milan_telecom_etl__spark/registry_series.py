@@ -338,3 +338,49 @@ def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 6).alias("total"))
         .select("event_type", F.col("w.start").alias("w_start"), "n", "total")
     )
+
+
+@register(
+    "rolling_7d_active_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    contrib AS (
+      SELECT DISTINCT user_id, d + k AS obs_day
+      FROM ud, UNNEST([0, 1, 2, 3, 4, 5, 6]) AS t(k)),
+    days AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS obs_day
+             FROM events)
+    SELECT c.obs_day, count(DISTINCT c.user_id) AS wau
+    FROM contrib c JOIN days USING (obs_day)
+    GROUP BY c.obs_day
+    """,
+)
+def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users (WAU per day): rolling COUNT DISTINCT
+    has no window form, so each (user, day) pair fans out to the ≤7
+    observation days it contributes to — bounded Expand, then one
+    distinct-agg keyed (day, user). The fan-out happens on the
+    user-day GRAIN (already deduped), not raw events: 100 TB of events
+    first collapses to |users|×|days| pairs. Restricted to days that
+    exist in the data (join with the observed-day set) so the tail
+    beyond the last day isn't reported."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    contrib = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.transform(F.sequence(F.lit(0), F.lit(6)), lambda k: F.date_add("d", k))
+            ).alias("obs_day"),
+        )
+        .distinct()
+    )
+    days = ev.select(F.to_date(F.date_trunc("day", "ts")).alias("obs_day")).distinct()
+    return (
+        contrib.join(days, "obs_day")
+        .groupBy("obs_day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )

@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 from .queries_registry import register
 from .sources.parquet import load_table
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev():
+    # lazy: building a Column requires an active SparkContext, and this
+    # module imports before the session exists (e.g. pytest collection)
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @register(
@@ -47,14 +50,14 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded at 2dp — at sf0.1 they're ~1e9 over ~6e5 terms, where 6dp
     would flip on summation order (SURVEY.md §7.4.3)."""
     li = load_table(spark, sf_dir, "lineitem")
-    charge = _REV * (1 + F.col("l_tax"))
+    charge = _rev() * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_REV), 2).alias("sum_disc_price"),
+            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
             F.round(F.sum(charge), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
@@ -99,7 +102,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") > cutoff)
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -143,7 +146,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_returnflag") == "R")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(_REV), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
     )
     c = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
@@ -159,4 +162,36 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecasting revenue change: pure filter+sum — every
+    predicate reaches the parquet scan (date range ⇒ row-group
+    skipping; discount/quantity ⇒ min/max pruning), then a single
+    partial-aggregated scalar. The canonical 'is pushdown working'
+    probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n"),
     )
