@@ -599,9 +599,10 @@ def q_exists_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     to decorrelate into a left-semi hash join (the plan a hand-written
     semi join would produce — pinned in tests/test_plans.py). Registered
     via spark.sql to exercise the SQL front door end-to-end."""
-    from .sources.parquet import register_testdata
-
-    register_testdata(spark, sf_dir)
+    # register only the two tables the SQL touches — registering the
+    # whole testdata set reads every parquet footer per call
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(
         """
         SELECT c_custkey, c_name
