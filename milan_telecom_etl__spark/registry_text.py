@@ -616,3 +616,105 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact Jaccard pass then runs only over candidate pairs, so the
     quadratic exact stage is bounded by the LSH recall set."""
     return D.lsh_verified_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# The flagship composition: everything a pretraining corpus pass does,
+# in one plan — quality gate, near-dedup, benchmark decontamination,
+# then per-source keep-set statistics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pretraining_pipeline",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT doc_b FROM pairs
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
+    ),
+    qq AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
+        len(regexp_extract_all(text, '(?i)\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS n_stop,
+        CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0 / length(text)
+             ELSE 0.0 END AS pr
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, n_words,
+        round(((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + least(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END * 5, 1.0)
+             + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3, 6) AS quality
+      FROM qq
+    ),
+    {_SHINGLE5_CTE.strip().lstrip()},
+    bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 97 = 0),
+    cont AS (
+      SELECT DISTINCT a.doc_id FROM sh5 a JOIN bench b USING (s)
+      WHERE a.doc_id % 97 <> 0
+    ),
+    keep AS (
+      SELECT s.doc_id, s.quality, s.n_words
+      FROM scored s
+      WHERE s.quality >= 0.5
+        AND s.doc_id % 97 <> 0
+        AND s.doc_id NOT IN (SELECT doc_b FROM near)
+        AND s.doc_id NOT IN (SELECT doc_id FROM cont)
+    )
+    SELECT d.source, count(*) AS n_docs,
+           CAST(sum(k.n_words) AS BIGINT) AS total_words,
+           round(avg(k.quality), 6) AS avg_quality
+    FROM keep k JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus pass in ONE Spark plan: Gopher-style quality
+    gate, exact near-dedup (drop the larger id of every ≥0.5-Jaccard
+    pair), benchmark decontamination (5-gram semi-join, benchmark slice
+    itself excluded), then per-source keep-set stats. Composability is
+    the point — each stage is the already-oracled operator, and
+    Catalyst fuses the whole thing: the documents scan is shared, the
+    two shingle pipelines (3-gram dedup, 5-gram decontamination) fan
+    out from one normalized-words projection, and every anti-join side
+    is a deduplicated id set (broadcastable at real benchmark sizes)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = X.quality_score(docs)  # doc_id, n_words, quality
+    drop_near = (
+        D.ngram_jaccard_pairs(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    sh5 = D.shingle_table(docs, n=5)
+    is_bench = (F.col("doc_id") % 97) == 0
+    bench_sh = sh5.filter(is_bench).select("shingle").distinct()
+    cont = (
+        sh5.filter(~is_bench)
+        .join(bench_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    keep = (
+        quality.filter((F.col("quality") >= 0.5) & ~is_bench)
+        .join(drop_near, "doc_id", "left_anti")
+        .join(cont, "doc_id", "left_anti")
+    )
+    return (
+        keep.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
