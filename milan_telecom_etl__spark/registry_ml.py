@@ -135,3 +135,27 @@ def q_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("u", 6).alias("u"),
         )
     )
+
+
+@register("multimodal_decode_features", None)  # rows-only: Python codec path
+def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal pipeline surfaced to the driver gate (rows-only — the
+    codec kernels are Python, outside SQL's reach): documents' bytes
+    stand in as opaque payloads (media_id, payload binary, modality),
+    run through decode (dims/sha/ok flags) and joined with the
+    64-d feature extraction, both Arrow-batched mapInPandas stages.
+    Payload pruning, batch shape, and error-as-data semantics are the
+    real contracts; the stub codec swaps for PIL/ffmpeg unchanged."""
+    from .operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image").alias("modality"),
+    )
+    decoded = M.decode_media(media).select(
+        "media_id", "width", "height", "n_bytes", "ok"
+    )
+    feats = M.extract_features(media).select("media_id", "feature_dim")
+    return decoded.join(feats, "media_id")
