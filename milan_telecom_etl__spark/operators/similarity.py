@@ -397,3 +397,37 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit
     v = _as_double(F.col(vec_col))
     n = l2_norm(v)
     return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def dot_scores_arrow(embeddings: DataFrame, query_vec: list[float]) -> DataFrame:
+    """Dot-product scores against a fixed query via mapInArrow — the
+    lowest-overhead Python tier (raw RecordBatches, no pandas
+    materialization): zero-copy to numpy, one matmul per batch. Use
+    this tier when the kernel is pure numpy and per-batch pandas
+    boxing would dominate (short rows, big batches). Same semantics as
+    the JVM `F.aggregate(zip_with(...))` fold — cross-checked in
+    tests."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+
+    def batches(it):
+        import pyarrow as pa
+
+        for rb in it:
+            tbl = pa.Table.from_batches([rb])
+            ids = tbl.column("vec_id").to_numpy()
+            # FixedSizeList/List of float -> (n, d) matrix
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in tbl.column("embedding").to_pylist()]
+            )
+            scores = mat @ q
+            out = pa.record_batch(
+                [pa.array(ids, type=pa.int64()), pa.array(np.round(scores, 6))],
+                names=["vec_id", "score"],
+            )
+            yield out
+
+    return embeddings.select("vec_id", "embedding").mapInArrow(
+        batches, schema="vec_id long, score double"
+    )

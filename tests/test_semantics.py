@@ -215,3 +215,34 @@ def test_quantization_error_within_half_step_bound(spark):
     assert rows
     for r in rows:
         assert r.mse <= (r.scale / 254.0) ** 2 + 1e-9
+
+
+def test_map_in_arrow_dot_equals_jvm_fold(spark):
+    """mapInArrow numpy matmul == built-in zip_with/aggregate fold."""
+    from pyspark.sql import functions as F
+
+    from milan_telecom_etl__spark.operators.similarity import dot_scores_arrow
+    from milan_telecom_etl__spark.sources.parquet import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    q = [((i * 37) % 19 - 9) / 10.0 for i in range(d)]
+    arrow = {r.vec_id: r.score for r in dot_scores_arrow(emb, q).collect()}
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    jvm = {
+        r.vec_id: r.score
+        for r in emb.select(
+            "vec_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with("embedding", qcol, lambda a, b: a.cast("double") * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("score"),
+        ).collect()
+    }
+    assert set(arrow) == set(jvm)
+    for k in arrow:
+        assert abs(arrow[k] - jvm[k]) <= 1e-6
