@@ -9,34 +9,68 @@ partition pruning on a date-partitioned warehouse), dimension joins
 broadcast, and every top-k is TakeOrderedAndProject — never a global
 sort. Ties at the k-boundary are broken by key so the result set is
 deterministic across engines and cluster sizes.
+
+Money discipline: every revenue/quantity aggregate runs in EXACT
+integer units (price cents × discount/tax basis points — the source
+columns are 2dp decimals), so sums are order-independent BIGINTs and
+both engines agree bit-for-bit; the final division is rounded at the
+value's exact decimal precision, where no half-way case can arise.
+Float summation instead flips ~0.3% of groups at the rounding
+boundary (Spark rounds the shortest-decimal representation HALF_UP,
+DuckDB rounds the raw binary — they disagree on exact .xx5).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .queries_registry import register
 from .sources.parquet import load_table
 
-def _rev():
-    # lazy: building a Column requires an active SparkContext, and this
-    # module imports before the session exists (e.g. pytest collection)
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+# --- exact integer units (lazy: Columns need an active SparkContext;
+# this module imports before the session exists, e.g. pytest collection)
+
+# SQL fragments (DuckDB oracle side)
+_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_D100 = "CAST(round(l_discount * 100) AS BIGINT)"
+_T100 = "CAST(round(l_tax * 100) AS BIGINT)"
+_Q100 = "CAST(round(l_quantity * 100) AS BIGINT)"
+
+
+def _cents() -> Column:
+    return F.round(F.col("l_extendedprice") * 100).cast("bigint")
+
+
+def _d100() -> Column:
+    return F.round(F.col("l_discount") * 100).cast("bigint")
+
+
+def _t100() -> Column:
+    return F.round(F.col("l_tax") * 100).cast("bigint")
+
+
+def _q100() -> Column:
+    return F.round(F.col("l_quantity") * 100).cast("bigint")
+
+
+def _rev_units() -> Column:
+    """Revenue in cents·basis-points (exact BIGINT): /1e4 → currency."""
+    return _cents() * (100 - _d100())
 
 
 @register(
     "tpch_q1",
-    """
+    f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
-             AS sum_charge,
-           round(avg(l_quantity), 6) AS avg_qty,
-           round(avg(l_extendedprice), 6) AS avg_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           round(sum({_Q100}) / 100.0, 2) AS sum_qty,
+           round(sum({_CENTS}) / 100.0, 2) AS sum_base_price,
+           round(sum({_CENTS} * (100 - {_D100})) / 10000.0, 4) AS sum_disc_price,
+           CAST(sum({_CENTS} * (100 - {_D100}) * (100 + {_T100})) AS BIGINT)
+             AS sum_charge_millionths,
+           round(sum({_Q100}) / 100.0 / count(*), 6) AS avg_qty,
+           round(sum({_CENTS}) / 100.0 / count(*), 6) AS avg_price,
+           round(sum({_D100}) / 100.0 / count(*), 6) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -46,32 +80,37 @@ def _rev():
 def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 pricing summary: the canonical full-scan aggregate.
     One hash-agg with map-side partials to 6 groups; the shipdate
-    predicate reaches the scan (row-group min/max skipping). Sums are
-    rounded at 2dp — at sf0.1 they're ~1e9 over ~6e5 terms, where 6dp
-    would flip on summation order (SURVEY.md §7.4.3)."""
+    predicate reaches the scan (row-group min/max skipping). All sums
+    run in exact integer units (see module docstring); averages are
+    ratios of those exact sums, so both engines divide identical
+    integers and round identical doubles."""
     li = load_table(spark, sf_dir, "lineitem")
-    charge = _rev() * (1 + F.col("l_tax"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_rev()), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(_q100()) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(_cents()) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(_rev_units()) / 10000.0, 4).alias("sum_disc_price"),
+            # exact integer millionths: at ~4.5e9 currency magnitude the
+            # double ulp (~1e-6) equals the 6dp grid, so ANY float form
+            # of this sum rounds differently across engines — keep it
+            # integral (flipped at sf0.1 otherwise)
+            F.sum(_rev_units() * (100 + _t100())).alias("sum_charge_millionths"),
+            F.round(F.sum(_q100()) / 100.0 / n, 6).alias("avg_qty"),
+            F.round(F.sum(_cents()) / 100.0 / n, 6).alias("avg_price"),
+            F.round(F.sum(_d100()) / 100.0 / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
     )
 
 
 @register(
     "tpch_q3",
-    """
+    f"""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum({_CENTS} * (100 - {_D100})) / 10000.0, 4) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -89,7 +128,8 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     is small → broadcast into orders (no shuffle of orders by custkey);
     lineitem⋈orders on orderkey is the single real shuffle, shared with
     the final groupBy(l_orderkey) — Catalyst reuses the partitioning.
-    Top-10 is TakeOrderedAndProject with a key tiebreak."""
+    Top-10 is TakeOrderedAndProject ordered on the EXACT revenue (so
+    the k-boundary can't move between engines), tiebroken by key."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -102,7 +142,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") > cutoff)
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_units()) / 10000.0, 4).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -111,9 +151,9 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q10",
-    """
+    f"""
     SELECT c_custkey, c_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum({_CENTS} * (100 - {_D100})) / 10000.0, 4) AS revenue,
            round(c_acctbal, 2) AS acctbal, n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -146,7 +186,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_returnflag") == "R")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_rev_units()) / 10000.0, 4).alias("revenue"))
     )
     c = cust.join(
         F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
@@ -167,8 +207,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q6",
-    """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    f"""
+    SELECT round(sum({_CENTS} * {_D100}) / 10000.0, 4) AS revenue,
            count(*) AS n
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -181,8 +221,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 forecasting revenue change: pure filter+sum — every
     predicate reaches the parquet scan (date range ⇒ row-group
     skipping; discount/quantity ⇒ min/max pruning), then a single
-    partial-aggregated scalar. The canonical 'is pushdown working'
-    probe."""
+    partial-aggregated exact-integer scalar. The canonical 'is
+    pushdown working' probe."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -190,9 +230,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-            "revenue"
-        ),
+        F.round(F.sum(_cents() * _d100()) / 10000.0, 4).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -237,10 +275,10 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q14",
-    """
+    f"""
     SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+                 THEN {_CENTS} * (100 - {_D100}) ELSE 0 END)
+             / sum({_CENTS} * (100 - {_D100})), 6) AS promo_revenue_pct
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01'
       AND l_shipdate < TIMESTAMP '1997-10-01'
@@ -249,13 +287,12 @@ def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 promotion effect: conditional-share aggregate over a
     fact⋈dim join. part broadcasts (dim side); the month filter prunes
-    the lineitem scan before the join; the whole thing reduces to one
-    scalar — no shuffle beyond the broadcast exchange and the final
-    single-row agg merge."""
+    the lineitem scan before the join; the result is a ratio of two
+    exact integer sums — one scalar, bit-identical across engines."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    rev = _rev()
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    units = _rev_units()
+    promo = F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0).cast("bigint"))
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
@@ -264,7 +301,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part.select("p_partkey", "p_type")),
               F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias(
+            F.round(100.0 * F.sum(promo) / F.sum(units), 6).alias(
                 "promo_revenue_pct"
             )
         )
@@ -273,14 +310,14 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q18",
-    """
+    f"""
     WITH big AS (
       SELECT l_orderkey FROM lineitem
-      GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+      GROUP BY l_orderkey HAVING sum({_Q100}) > 15000
     )
     SELECT c_name, c_custkey, o_orderkey, o_orderdate,
            round(o_totalprice, 2) AS totalprice,
-           round(sum(l_quantity), 2) AS total_qty
+           round(sum({_Q100}) / 100.0, 2) AS total_qty
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON o_orderkey = l_orderkey
@@ -292,23 +329,24 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 large-volume customers. The HAVING subquery is a
-    self-semi-join on lineitem: aggregate once to find big orders, then
-    semi-join the fact on orderkey — both sides hash on orderkey, so
-    the semi-join reuses the aggregation's partitioning. Customer
+    self-semi-join on lineitem: aggregate once to find big orders
+    (exact integer quantity units — the >150 threshold can't flip),
+    then semi-join the fact on orderkey; both sides hash on orderkey,
+    so the semi-join reuses the aggregation's partitioning. Customer
     attaches by broadcast AFTER the per-order aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .filter(F.col("q") > 150)
+        .agg(F.sum(_q100()).alias("q"))
+        .filter(F.col("q") > 15000)
         .select("l_orderkey")
     )
     per_order = (
         li.join(big, "l_orderkey", "left_semi")
         .groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(F.round(F.sum(_q100()) / 100.0, 2).alias("total_qty"))
     )
     return (
         per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
@@ -329,12 +367,10 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "tpch_q7",
-    """
+    f"""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(year(l_shipdate) AS BIGINT) AS l_year,
-           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                 / 10000.0, 4) AS volume
+           round(sum({_CENTS} * (100 - {_D100})) / 10000.0, 4) AS volume
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -353,7 +389,9 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation on the orders side, supplier→nation on the lineitem side —
     so the only exchange is the lineitem⋈orders orderkey shuffle; the
     cross-nation inequality filters after both broadcasts, before the
-    aggregation."""
+    aggregation. This query is where the float-rounding lottery was
+    first observed (~0.3% of its 600 groups flipped at 2dp) and why
+    the whole TPC-H family runs exact integer money math."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -385,18 +423,5 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        # exact integer-cents arithmetic: price is a 2dp decimal and
-        # discount a 2dp fraction, so cents*(100-d100) is an exact
-        # BIGINT — the sum is order-independent and the engines agree
-        # bit-for-bit (float summation flipped ~0.3% of groups at 2dp)
-        .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100).cast("bigint")
-                    * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
-                )
-                / 10000.0,
-                4,  # 4dp = this value's EXACT precision: no half-way cases
-            ).alias("volume")
-        )
+        .agg(F.round(F.sum(_rev_units()) / 10000.0, 4).alias("volume"))
     )
