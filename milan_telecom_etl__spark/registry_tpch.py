@@ -425,3 +425,170 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(_rev_units()) / 10000.0, 4).alias("volume"))
     )
+
+
+@register(
+    "tpch_q13",
+    """
+    WITH per_cust AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join so
+    order-less customers land in the c_count=0 bucket, then a second
+    aggregation over the per-customer counts (a histogram of an
+    aggregate — the two-level agg shape). count(o_orderkey) counts
+    non-null keys only, which is what makes the outer join's null rows
+    become zero."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15",
+    f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no,
+             sum({_CENTS} * (100 - {_D100})) AS total_units
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(total_units / 10000.0, 4) AS total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE total_units = (SELECT max(total_units) FROM revenue0)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the revenue view + scalar-subquery max.
+    The view aggregates lineitem once; the max is a scalar over the
+    (tiny) per-supplier aggregate, and the equality filter compares
+    EXACT integer units — a float max here could tie-break differently
+    per engine. Supplier attaches by broadcast after the filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_rev_units()).alias("total_units"))
+    )
+    mx = rev.agg(F.max("total_units").alias("m"))
+    top = rev.join(F.broadcast(mx), rev.total_units == mx.m)
+    return (
+        top.join(
+            F.broadcast(supp.select("s_suppkey", "s_name")),
+            top.supplier_no == F.col("s_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_units") / 10000.0, 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q17",
+    f"""
+    WITH avg_q AS (
+      SELECT l_partkey AS pk, avg(l_quantity) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(sum({_CENTS}) / 100.0 / 7.0, 6) AS avg_yearly,
+           count(*) AS n
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN avg_q ON l_partkey = pk
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * aq
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated scalar
+    subquery (0.2 × per-part average quantity) decorrelated into a
+    pre-aggregated per-part side joined back on partkey — the standard
+    Catalyst rewrite, expressed directly so the aggregate runs once,
+    not per row. The brand filter broadcasts; the quantity comparison
+    is double on both engines over identical inputs (sum-free, so no
+    ordering sensitivity)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    avg_q = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    brand = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand), li.l_partkey == F.col("p_partkey"))
+        .join(avg_q, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            F.round(F.sum(_cents()) / 100.0 / 7.0, 6).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "tpch_q19",
+    f"""
+    SELECT round(sum({_CENTS} * (100 - {_D100})) / 10000.0, 4) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue (adapted: brand/size/quantity bands
+    — no container/shipmode columns exist). Disjunctive cross-table
+    predicate: Catalyst pushes the part-only disjunction (brand+size)
+    to the part scan and the quantity envelope to the lineitem scan,
+    then evaluates the full OR after the broadcast join — the classic
+    'OR-of-ANDs still prunes' case."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == F.col("p_partkey"),
+    )
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & (q >= 20) & (q <= 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(_rev_units()) / 10000.0, 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
