@@ -32,6 +32,15 @@ from .text import normalize_text
 # 31-bit Mersenne prime — (a*x+b) stays within int64 for a,x < 2^31.
 MERSENNE_31 = 2_147_483_647
 
+# Default stop-shingle cap for the exact-Jaccard verify stage: shingles
+# appearing in more than this many docs are dropped before the shingle
+# equality join. The join cost is Σ_shingle df², so one boilerplate
+# shingle shared by M docs contributes M² pairs — at corpus scale that
+# is THE near-dup scale-killer. 1000 bounds any single shingle's
+# contribution to 10⁶ candidate rows while being far above the df of
+# any content-bearing shingle (validated by the crafted-skew test).
+DEFAULT_MAX_SHINGLE_DF = 1000
+
 
 def _md5_int60(c: Column) -> Column:
     """Stable 60-bit integer hash (md5 prefix) — identical in DuckDB via
@@ -120,18 +129,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs by shingle-set Jaccard ≥ threshold.
 
     |A∩B| from the shingle-hash equality self-join; |A|,|B| from per-doc
     counts; Jaccard = inter / (|A|+|B|-inter). Join keys are uniform
-    hashes; complexity is Σ_shingle df², bounded via shingle_table's
-    df cap at scale.
+    hashes; complexity is Σ_shingle df² — UNBOUNDED unless
+    `max_shingle_df` caps stop-shingle document frequency. This is the
+    validation oracle for the LSH path; production pipelines should use
+    `lsh_verified_pairs` (candidates only) or pass a df cap.
     """
     # Persist: the shingle table feeds three consumers (both self-join
     # sides + the per-doc sizes); without it the regex-normalize +
     # explode upstream runs three times.
-    sh = shingle_table(docs, text_col, n).persist()
+    sh = shingle_table(docs, text_col, n, max_shingle_df).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -258,8 +270,18 @@ def near_dup_clusters(
     text_col: str = "text",
     threshold: float = 0.5,
     max_iter: int = 10,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Connected components over the near-dup pair graph → cluster ids.
+
+    Edges come from `lsh_verified_pairs` — LSH banding prunes the pair
+    space, exact Jaccard (stop-shingle df capped) verifies candidates —
+    so the edge build never runs an unbanded shingle self-join; that is
+    the only formulation that survives corpus scale (the exact
+    all-pairs variant is Σdf² in shingle document frequency).
 
     Iterative min-label propagation: every doc starts labeled with its
     own id; each round, a doc adopts the smallest label among itself and
@@ -270,13 +292,18 @@ def near_dup_clusters(
 
     This is the grouping step of corpus dedup: keep one doc per cluster
     (label == doc_id) instead of dropping both ends of every pair.
-    Genuinely iterative — not expressible in one SQL query — so the
-    registry records it rows-only (driver's weaker check) plus golden
-    tests on crafted graphs.
+    The registry oracles it with a DuckDB recursive-CTE transitive
+    closure over the identical verified pair list.
     """
-    pairs = ngram_jaccard_pairs(docs, text_col, threshold=threshold).select(
-        "doc_a", "doc_b"
-    )
+    pairs = lsh_verified_pairs(
+        docs,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        threshold=threshold,
+        max_shingle_df=max_shingle_df,
+    ).select("doc_a", "doc_b")
     # undirected edge list, both directions
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -329,6 +356,7 @@ def lsh_verified_pairs(
     num_hashes: int = 16,
     band_size: int = 2,
     threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """The production two-stage near-dup pipeline: LSH banding prunes
     the pair space to candidates, then EXACT shingle Jaccard verifies
@@ -336,9 +364,12 @@ def lsh_verified_pairs(
     the shape that works: the exact self-join over all pairs is
     quadratic in shingle document frequency, but restricted to LSH
     candidates it touches only O(|candidates| · |doc shingles|) rows.
+    The verify stage additionally drops stop-shingles with document
+    frequency above `max_shingle_df` (both from intersections AND from
+    per-doc sizes), bounding per-shingle join fan-out.
     """
     cands = minhash_lsh_candidates(docs, text_col, n, num_hashes, band_size)
-    sh = shingle_table(docs, text_col, n).persist()
+    sh = shingle_table(docs, text_col, n, max_shingle_df).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # candidate pairs × shingles of side A, semi-matched against side B
     pair_sh = cands.join(

@@ -27,11 +27,15 @@ def _norm(c: str = "text") -> str:
     return _NORM.format(c=c)
 
 
-# (doc_id, shingle_hash) CTE — distinct word-3-gram shingles, md5→60-bit int
-_SHINGLE_CTE = f"""
+# (doc_id, shingle_hash) CTE — distinct word-3-gram shingles, md5→60-bit int.
+# cap = max shingle document frequency (mirrors shingle_table's
+# max_shingle_df: stop-shingles above the cap leave both the join AND
+# the per-doc sizes).
+def _shingle_cte(cap: int | None = None) -> str:
+    raw = f"""
   docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
   words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
-  sh AS (
+  sh_raw AS (
     SELECT DISTINCT doc_id,
            ('0x' || substr(md5(s), 1, 15))::BIGINT AS shingle_hash
     FROM (
@@ -39,8 +43,21 @@ _SHINGLE_CTE = f"""
              unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
                      i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
       FROM words)
-  )
-"""
+  )"""
+    if cap is None:
+        return raw + ",\n  sh AS (SELECT * FROM sh_raw)"
+    return (
+        raw
+        + f""",
+  sh AS (
+    SELECT sh_raw.* FROM sh_raw
+    WHERE shingle_hash NOT IN (
+      SELECT shingle_hash FROM sh_raw GROUP BY 1 HAVING count(*) > {cap})
+  )"""
+    )
+
+
+_SHINGLE_CTE = _shingle_cte()
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +242,33 @@ def _minhash_sql_body(num_hashes: int = 16) -> str:
     return f"SELECT doc_id, {', '.join(aggs)} FROM sh GROUP BY doc_id"
 
 
+def _lsh_verified_sql(
+    threshold: float = 0.5, cap: int | None = D.DEFAULT_MAX_SHINGLE_DF
+) -> str:
+    """Two-stage near-dup oracle: LSH candidates (inner WITH — its own
+    UNCAPPED shingle/minhash pipeline, shadowing the outer CTE names)
+    verified by exact Jaccard over the df-CAPPED shingle table, exactly
+    mirroring dedup.lsh_verified_pairs(max_shingle_df=cap)."""
+    return f"""
+    WITH {_shingle_cte(cap)},
+    cand AS (SELECT * FROM ({_lsh_sql()})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= {threshold}
+    """
+
+
 @register("minhash_lsh_candidates", _lsh_sql())
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs (8 bands × 2 rows) — equality joins only."""
@@ -255,30 +299,43 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(load_table(spark, sf_dir, "documents"))
 
 
-@register("near_dup_clusters", None)
+def _near_dup_clusters_sql(threshold: float = 0.5) -> str:
+    """Transitive closure over the SAME LSH-verified pair list the Spark
+    side uses, as a DuckDB recursive CTE: walk(doc, lbl) enumerates every
+    label reachable from doc; min per doc == smallest doc_id in the
+    connected component — exactly the fixpoint of Spark's min-label
+    propagation."""
+    return f"""
+    WITH RECURSIVE
+    pairs AS (SELECT doc_a, doc_b FROM ({_lsh_verified_sql(threshold)})),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    walk(doc_id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.doc_id = e.dst
+    )
+    SELECT doc_id, min(lbl) AS cluster_id FROM walk GROUP BY doc_id
+    """
+
+
+@register("near_dup_clusters", _near_dup_clusters_sql())
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-dup graph (iterative label
-    propagation — not single-query SQL-expressible; rows-only check,
-    golden-tested on crafted graphs in test_semantics)."""
+    """Connected components over the LSH-verified near-dup graph
+    (iterative min-label propagation on Spark; recursive-CTE transitive
+    closure in the oracle — both converge to min doc_id per component).
+    The edge build touches only LSH band candidates, never an unbanded
+    shingle self-join (plan-pinned in tests/test_plans.py)."""
     return D.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
 @register(
     "corpus_curation",
     f"""
-    WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    near AS (
-      SELECT doc_b FROM pairs
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
-    ),
+    WITH near AS (SELECT DISTINCT doc_b FROM ({_lsh_verified_sql(0.5)})),
     q AS (
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
@@ -302,13 +359,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: quality filter + pairwise near-dedup
-    (drop the larger id of every ≥0.5-Jaccard pair) — the composed
-    keep-set a pretraining pipeline materializes. One shingle pipeline
-    feeds both the dedup and (via documents) the quality scorer."""
+    (drop the larger id of every ≥0.5-Jaccard pair, pairs from the
+    LSH-pruned two-stage path — no unbanded shingle self-join) — the
+    composed keep-set a pretraining pipeline materializes."""
     docs = load_table(spark, sf_dir, "documents")
     quality = X.quality_score(docs).select("doc_id", "quality")
     drop = (
-        D.ngram_jaccard_pairs(docs, threshold=0.5)
+        D.lsh_verified_pairs(docs, threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
@@ -585,28 +642,9 @@ def q_decontamination_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Two-stage near-dup: LSH candidates -> exact Jaccard verification.
+# (_lsh_verified_sql is defined above, next to its banding/minhash
+# building blocks, because near_dup_clusters' oracle also composes it.)
 # ---------------------------------------------------------------------------
-
-
-def _lsh_verified_sql(threshold: float = 0.5) -> str:
-    return f"""
-    WITH {_SHINGLE_CTE},
-    cand AS (SELECT * FROM ({_lsh_sql()})),
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-    inter AS (
-      SELECT c.doc_a, c.doc_b, count(*) AS n_common
-      FROM cand c
-      JOIN sh a ON a.doc_id = c.doc_a
-      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle_hash = a.shingle_hash
-      GROUP BY 1, 2
-    )
-    SELECT doc_a, doc_b, n_common,
-           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON doc_a = sa.doc_id
-    JOIN sizes sb ON doc_b = sb.doc_id
-    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= {threshold}
-    """
 
 
 @register("lsh_verified_pairs", _lsh_verified_sql())
@@ -628,19 +666,7 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pretraining_pipeline",
     f"""
-    WITH {_SHINGLE_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-    pairs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    near AS (
-      SELECT doc_b FROM pairs
-      JOIN sizes sa ON doc_a = sa.doc_id
-      JOIN sizes sb ON doc_b = sb.doc_id
-      WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.5
-    ),
+    WITH near AS (SELECT DISTINCT doc_b FROM ({_lsh_verified_sql(0.5)})),
     qq AS (
       SELECT doc_id,
         CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
@@ -680,9 +706,11 @@ def q_lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus pass in ONE Spark plan: Gopher-style quality
-    gate, exact near-dedup (drop the larger id of every ≥0.5-Jaccard
-    pair), benchmark decontamination (5-gram semi-join, benchmark slice
-    itself excluded), then per-source keep-set stats. Composability is
+    gate, near-dedup (drop the larger id of every ≥0.5-Jaccard pair,
+    pairs from the LSH-pruned two-stage path — band candidates + df
+    cap, never an unbanded shingle self-join), benchmark
+    decontamination (5-gram semi-join, benchmark slice itself
+    excluded), then per-source keep-set stats. Composability is
     the point — each stage is the already-oracled operator, and
     Catalyst fuses the whole thing: the documents scan is shared, the
     two shingle pipelines (3-gram dedup, 5-gram decontamination) fan
@@ -691,7 +719,7 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     quality = X.quality_score(docs)  # doc_id, n_words, quality
     drop_near = (
-        D.ngram_jaccard_pairs(docs, threshold=0.5)
+        D.lsh_verified_pairs(docs, threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

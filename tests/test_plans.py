@@ -184,3 +184,26 @@ def test_tpch_q3_broadcasts_customer_side(spark):
     assert "BroadcastHashJoin" in plan
     # exactly one shuffle pair for the big join/agg: orderkey exchange
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_near_dup_edge_build_is_lsh_pruned(spark):
+    """VERDICT r1 #1: the near-dup edge substrate must come from LSH
+    banding (equality join on band_hash), never an UNBANDED shingle
+    self-join (Σdf² blowup at corpus scale). An unbanded self-join shows
+    up as a join keyed on shingle alone; the verified path only ever
+    joins shingle TOGETHER WITH a doc key."""
+    import re
+
+    from milan_telecom_etl__spark.operators import dedup as D
+
+    docs = load_table(spark, SF, "documents")
+    plan = _plan(D.lsh_verified_pairs(docs))
+    assert "band_hash" in plan  # candidates come from the banding join
+    # no INNER join keyed on shingle alone (the Σdf² pair-generating
+    # self-join); the LeftAnti single-key shingle join is the df cap
+    # itself and is fine (bounded by the broadcast heavy-shingle list)
+    assert not re.search(r"Join \[shingle#\d+\], \[shingle#\d+\], Inner", plan)
+
+    clusters = D.near_dup_clusters(docs, threshold=0.5, max_iter=1)
+    cplan = clusters._jdf.queryExecution().analyzed().toString()
+    assert "band_hash" in cplan  # edges derive from the banded path

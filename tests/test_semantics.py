@@ -246,3 +246,40 @@ def test_map_in_arrow_dot_equals_jvm_fold(spark):
     assert set(arrow) == set(jvm)
     for k in arrow:
         assert abs(arrow[k] - jvm[k]) <= 1e-6
+
+
+def test_shingle_df_cap_bounds_skewed_join(spark):
+    """VERDICT r1 #7 (skew hardening): one boilerplate sentence shared
+    by ~95% of docs makes the uncapped exact-Jaccard join quadratic
+    (C(40,2)=780 pairs); max_shingle_df drops the stop-shingles so only
+    genuine near-dups survive, and bounds the join input itself."""
+    from milan_telecom_etl__spark.operators.dedup import shingle_table
+
+    boiler = "click here to accept cookies and continue to the site"
+    rows = [
+        (i, f"{boiler} page{i} widget{i} item{i} thing{i} object{i} token{i}")
+        for i in range(40)
+    ]
+    t = (
+        "completely original research about adaptive query execution "
+        "and shuffle partition strategy"
+    )
+    rows += [(100, t), (101, t + " extended")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = ngram_jaccard_pairs(docs, threshold=0.1).count()
+    assert uncapped >= 780  # the skew blowup the cap exists to kill
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=10).collect()
+    }
+    assert (100, 101) in capped  # true near-dup survives (unique shingles)
+    assert all(a >= 100 for a, _ in capped)  # boilerplate-only pairs gone
+
+    # the cap bounds the join INPUT, not just the output
+    sh = shingle_table(docs, max_shingle_df=10)
+    max_df = (
+        sh.groupBy("shingle").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert max_df <= 10
