@@ -65,15 +65,21 @@ def assign_clusters(
     )
 
 
-def recompute_centroids(assigned: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def recompute_centroids(
+    assigned: DataFrame, vec_col: str = "embedding", round_dp: int | None = None
+) -> DataFrame:
     """M-step: per-cluster mean vector. Explode to (cluster, dim),
     average, and fold back into a dim-ordered array — the shuffle
     carries k·d keys regardless of input size (map-side partials do
-    the heavy lifting)."""
+    the heavy lifting). `round_dp` quantizes each mean component
+    (engine-parity: both Spark and a SQL oracle round their own avg, so
+    sub-ulp summation-order drift can't cascade into the next round's
+    assignments)."""
     ex = assigned.select("cluster", F.posexplode(vec_col).alias("pos", "v"))
-    per_dim = ex.groupBy("cluster", "pos").agg(
-        F.avg(F.col("v").cast("double")).alias("c")
-    )
+    c = F.avg(F.col("v").cast("double"))
+    if round_dp is not None:
+        c = F.round(c, round_dp)
+    per_dim = ex.groupBy("cluster", "pos").agg(c.alias("c"))
     return per_dim.groupBy("cluster").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
@@ -84,9 +90,11 @@ def recompute_centroids(assigned: DataFrame, vec_col: str = "embedding") -> Data
 def seed_rows(
     vectors: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic seeds: the k lowest ids (seed choice must be
-    reproducible; k-means|| sampling is the scale upgrade)."""
-    rows = vectors.orderBy(id_col).limit(k).select(id_col, vec_col).collect()
+    """Deterministic seeds: the rows with id < k (ids are dense from 0
+    in the testdata tables). A filter is a pushed-down scan predicate —
+    no global sort (orderBy().limit() would Sort the whole table to
+    pick k rows); k-means|| sampling is the scale upgrade."""
+    rows = vectors.filter(F.col(id_col) < k).select(id_col, vec_col).collect()
     return [(r[id_col], [float(x) for x in r[vec_col]]) for r in rows]
 
 
@@ -96,16 +104,19 @@ def kmeans(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = 6,
 ) -> DataFrame:
     """Lloyd iterations; returns (id, cluster, dist). Each round
     collects the k·d centroid numbers to the driver — that is the
     broadcast, not a data-path collect — so the lineage stays one
-    scan + one tiny agg per iteration."""
+    scan + one tiny agg per iteration. Centroids are quantized to
+    `round_dp` decimals each M-step (see recompute_centroids) so the
+    full iterative run is oracle-checkable across engines."""
     cents = seed_rows(vectors, k, id_col, vec_col)
     for _ in range(iters):
         assigned = assign_clusters(vectors, cents, vec_col)
         cents = sorted(
             (r["cluster"], [float(x) for x in r["centroid"]])
-            for r in recompute_centroids(assigned, vec_col).collect()
+            for r in recompute_centroids(assigned, vec_col, round_dp).collect()
         )
     return assign_clusters(vectors, cents, vec_col).select(id_col, "cluster", "dist")

@@ -2,11 +2,14 @@
 opaque binary + typed metadata, with decode/feature/resize/frame-sample
 stages as Arrow-batched Pandas functions over mapInPandas.
 
-The image/audio codecs are NOT in this container (no PIL/ffmpeg), so the
-decode kernels are STUBS — clearly marked, swappable — while everything
-Spark-side is real and tested: schema (schemas.MEDIA), partitioning,
-the mapInPandas batch shape (pandas DataFrame per Arrow batch), and the
-output contracts. A real deployment replaces `_decode_image_stub` with
+The image/audio codecs are NOT in this container (no PIL/ffmpeg), so
+the decode kernels run a DETERMINISTIC SYNTHETIC CODEC with a fully
+specified, cross-engine-verifiable contract (sha256-derived dimensions
+and features — see `synthetic_decode`; the registry oracles it exactly
+in DuckDB SQL). Everything Spark-side is production-shaped: schema
+(schemas.MEDIA), partitioning, the mapInPandas batch shape (pandas
+DataFrame per Arrow batch), payload pruning, and error-as-data
+semantics. A real deployment replaces `synthetic_decode` with
 PIL/torchvision inside the same iterator; nothing else changes.
 
 Scale notes:
@@ -38,21 +41,30 @@ DECODED_SCHEMA = (
     "n_bytes long, sha256 string, ok boolean, error string"
 )
 
-FEATURES_SCHEMA = f"media_id long, features array<float>, feature_dim int"
+# doubles (not float32) so feature values survive the Arrow round-trip
+# bit-exactly and can be compared against a SQL oracle after 6dp rounding
+FEATURES_SCHEMA = "media_id long, features array<double>, feature_dim int"
 
 FRAMES_SCHEMA = "media_id long, frame_index int, frame_ms long, frame_sha256 string"
 
 
-def _decode_image_stub(payload: bytes | None) -> tuple[int, int]:
-    """STUB decode: deterministic fake dimensions from the payload hash.
+def synthetic_decode(payload: bytes | None) -> tuple[int, int]:
+    """Deterministic synthetic codec with an exact output contract:
+        digest = sha256(payload)
+        width  = 64 + digest[0] % 512
+        height = 64 + digest[1] % 512
+    Both engines can compute this (DuckDB: sha256() + hex-byte
+    extraction), so the decode stage has a FULL value oracle — see
+    registry_ml.multimodal_decode_features. An empty/NULL payload is
+    undecodable data (ValueError → caught as an ok=false row).
 
     A real deployment does:
         from PIL import Image; im = Image.open(io.BytesIO(payload))
         return im.width, im.height
-    and that import is exactly why this is stubbed here (PIL absent).
+    inside the same iterator (PIL is absent from this container).
     """
     if not payload:
-        raise NotImplementedError("empty payload and no codec available")
+        raise ValueError("empty payload")
     h = hashlib.sha256(payload).digest()
     return 64 + h[0] % 512, 64 + h[1] % 512
 
@@ -69,7 +81,7 @@ def decode_media(media: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 payload = row.payload
                 try:
-                    w, h = _decode_image_stub(payload)
+                    w, h = synthetic_decode(payload)
                     out.append(
                         (row.media_id, row.modality, w, h, len(payload),
                          hashlib.sha256(payload).hexdigest(), True, None)
@@ -91,9 +103,11 @@ def decode_media(media: DataFrame) -> DataFrame:
 
 
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
-    """Feature stage: payload → fixed-dim float vector (STUB kernel:
-    bytes of the sha256 digest scaled to [0,1); a real deployment runs
-    the vision/audio encoder here, batched over the same iterator)."""
+    """Feature stage: payload → fixed-dim vector with the exact
+    contract features[i] = sha256(payload)[i] / 255.0 (empty payload →
+    sha256 of b''), oracle-checkable per component; a real deployment
+    runs the vision/audio encoder here, batched over the same
+    iterator."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd

@@ -128,16 +128,32 @@ def q_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sketch-based distinct counting: HLL implementations differ between
-# engines, so no value-parity oracle exists — the driver records the
-# weaker rows-only check, and tests/test_semantics.py asserts <5% error
-# against the exact count.
-@register("approx_distinct_users", None)
+# engines, so the ESTIMATE can't value-match an oracle — instead this is
+# a bracket oracle (VERDICT r1 #2): the query emits the exact count plus
+# a boolean asserting the HLL++ estimate landed within 3·rsd of it; the
+# oracle emits the exact count and TRUE. An out-of-bound estimate
+# hash-mismatches and fails the gate. (The exact count here exists to
+# *verify the estimator* — production profiling runs only the sketch.)
+@register(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS within_3rsd
+    FROM events GROUP BY event_type
+    """,
+)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++, rsd=0.02) per event_type —
-    the constant-memory distinct-count for 100 TB cardinality profiling."""
+    the constant-memory distinct-count for 100 TB cardinality profiling —
+    bracket-checked against the exact count (|est-exact| ≤ 3·rsd·exact,
+    the standard ±3σ HLL guarantee, +1 for integer-rounding slack)."""
     ev = load_table(spark, sf_dir, "events")
+    est = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct("user_id")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+        exact.alias("exact_users"),
+        (F.abs(est - exact) <= 3 * 0.02 * exact + 1).alias("within_3rsd"),
     )
 
 
