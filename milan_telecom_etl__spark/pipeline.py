@@ -151,6 +151,13 @@ def load_traffic(
         F.sum(F.when(F.col(m) < 0, 1).otherwise(0)).alias(f"neg_{m}")
         for m in TRAFFIC_METRICS
     ]
+    counters.append(
+        F.sum(
+            F.when(
+                ts.isNull() | ~F.col("CellID").between(CELL_ID_MIN, CELL_ID_MAX), 1
+            ).otherwise(0)
+        ).alias("rejected_any")
+    )
     observed = raw.observe(obs, *counters)
 
     cleansed = cleanse_traffic(observed).withColumn(
@@ -162,7 +169,11 @@ def load_traffic(
     report.invalid_dates = int(got.get("invalid_dates") or 0)
     report.rejected_cells = int(got.get("rejected_cells") or 0)
     report.negatives = {m: int(got.get(f"neg_{m}") or 0) for m in TRAFFIC_METRICS}
-    report.loaded_rows = int(got["n_raw"]) - report.invalid_dates - report.rejected_cells
+    # single OR-combined rejected counter: a row failing BOTH checks
+    # (unparseable datetime AND out-of-range cell) must subtract once,
+    # not twice (ADVICE r1) — the per-cause counters above remain
+    # independent diagnostics and may overlap.
+    report.loaded_rows = int(got["n_raw"]) - int(got.get("rejected_any") or 0)
     return report
 
 
@@ -294,18 +305,41 @@ def write_bucketed(
     )
 
 
+def _snapshot_swap(path: str, tmp: str, back_suffix: str) -> None:
+    """Swap a fully-written snapshot directory into place via two
+    renames. NOT atomic (ADVICE r1): between rename(path→back) and
+    rename(tmp→path) a crash or concurrent reader sees `path` missing.
+    Recovery is mechanical — the data survives in exactly one of the
+    two well-known directories: if `path` is absent, rename the
+    `back_suffix` dir (pre-swap state) or the tmp dir (post-write
+    state) back into place. True single-syscall atomicity needs a
+    versioned directory + symlink flip (or a table format's metadata
+    pointer — what Delta/Iceberg's log provides); plain parquet over
+    POSIX/object stores has no 2-directory atomic rename, so this
+    documents the window instead of pretending it away. Readers built
+    on snapshot caching (Spark keeps the file listing of an already-
+    analyzed DataFrame) are unaffected mid-query; only a NEW reader in
+    the window errors, and retries succeed."""
+    import shutil
+
+    back = path.rstrip("/") + back_suffix
+    os.rename(path, back)
+    os.rename(tmp, path)
+    shutil.rmtree(back)
+
+
 def compact_parquet(
     spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
-    ceil(total_bytes / target_bytes) files and atomically swap. The
+    ceil(total_bytes / target_bytes) files and snapshot-swap (see
+    _snapshot_swap for the non-atomic window + recovery). The
     small-files problem is the top operational failure of streaming
     ingest at scale (every micro-batch leaves a file; a million 100 KB
     files make NameNode/scan planning the bottleneck) — periodic
     compaction to ~128 MB restores scan efficiency. Returns the new
     file count."""
     import math
-    import shutil
 
     total = sum(
         os.path.getsize(os.path.join(dp, f))
@@ -318,10 +352,7 @@ def compact_parquet(
     tmp = path.rstrip("/") + ".__compact_tmp__"
     # coalesce, not repartition: merging files needs no shuffle
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    back = path.rstrip("/") + ".__compact_old__"
-    os.rename(path, back)
-    os.rename(tmp, path)
-    shutil.rmtree(back)
+    _snapshot_swap(path, tmp, ".__compact_old__")
     return n_files
 
 
@@ -334,24 +365,20 @@ def upsert_parquet(
     """MERGE-style upsert onto a plain-parquet table: new keys insert,
     existing keys take the update's row — implemented as
     (target ANTI-JOIN updates) UNION updates, written to a new
-    snapshot and atomically swapped. This is what table formats
+    snapshot and snapshot-swapped (see _snapshot_swap for the
+    non-atomic window + recovery). This is what table formats
     (Delta/Iceberg) do under MERGE INTO minus the transaction log; on
     a partitioned table restrict the rewrite to partitions containing
     touched keys (dynamic partition overwrite) so a 100 TB table
     rewrites only the partitions the batch hits. The anti join
     broadcasts the update batch — CDC batches are small next to the
     table."""
-    import shutil
-
     target = spark.read.parquet(path)
     keep = target.join(F.broadcast(updates.select(*key_cols)), key_cols, "left_anti")
     merged = keep.unionByName(updates.select(*target.columns))
     tmp = path.rstrip("/") + ".__upsert_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
-    back = path.rstrip("/") + ".__upsert_old__"
-    os.rename(path, back)
-    os.rename(tmp, path)
-    shutil.rmtree(back)
+    _snapshot_swap(path, tmp, ".__upsert_old__")
 
 
 def apply_cdc_parquet(
@@ -367,10 +394,9 @@ def apply_cdc_parquet(
     seq column is given, multiple changes per key collapse to the
     latest first (so one batch can hold I→U→D chains). Deletes become
     pure anti-join removals; I/U rows ride the upsert path. Same
-    snapshot-swap atomicity as upsert_parquet — and the same
+    snapshot-swap semantics as upsert_parquet (non-atomic window
+    documented at _snapshot_swap) — and the same
     restrict-to-touched-partitions refinement applies at 100 TB."""
-    import shutil
-
     from pyspark.sql.window import Window
 
     if seq_col is not None:
@@ -388,7 +414,4 @@ def apply_cdc_parquet(
     merged = keep.unionByName(upserts)
     tmp = path.rstrip("/") + ".__cdc_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
-    back = path.rstrip("/") + ".__cdc_old__"
-    os.rename(path, back)
-    os.rename(tmp, path)
-    shutil.rmtree(back)
+    _snapshot_swap(path, tmp, ".__cdc_old__")

@@ -111,8 +111,13 @@ def _near_dup_sql(n_planes: int = 4, threshold: float = 0.4) -> str:
 
 @register("embedding_near_dups", _near_dup_sql())
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-blocked embedding near-dup pairs (cos ≥ 0.4)."""
-    return S.embedding_near_dups(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+    """LSH-blocked embedding near-dup pairs (cos ≥ 0.4). n_planes=4 is
+    pinned here because the oracle's bucket constants are static; the
+    library default auto-derives from corpus size (auto_n_planes), and
+    lsh_bucket_audit below sweeps the candidates."""
+    return S.embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=4
+    )
 
 
 @register(
@@ -129,6 +134,71 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vectors"))
+
+
+_AUDIT_PLANES = (2, 4, 6, 8)
+_AUDIT_TARGET = 128
+
+
+def _bucket_audit_sql() -> str:
+    """Index-sizing sweep (VERDICT r1 #8): for each candidate plane
+    count, the bucket-size distribution summary + the Σ|b|² candidate-
+    join cost, with `chosen` marking auto_n_planes' pick — the same
+    ceil(log2(n/target)) rule in SQL."""
+    parts = []
+    for np_ in _AUDIT_PLANES:
+        parts.append(
+            f"""
+      SELECT {np_} AS n_planes, count(*) AS n_buckets,
+             CAST(max(c) AS BIGINT) AS max_bucket,
+             round(avg(c * 1.0), 6) AS avg_bucket,
+             CAST(sum(c * c) AS BIGINT) AS candidate_cost
+      FROM (SELECT {_bucket_sql("embedding", np_)} AS bucket, count(*) AS c
+            FROM embeddings GROUP BY 1)"""
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+    sweep AS ({union})
+    SELECT sweep.*,
+           n_planes = greatest(1, CAST(ceil(log2(cnt / {_AUDIT_TARGET}.0)) AS INT))
+             AS chosen
+    FROM sweep, n
+    """
+
+
+@register("lsh_bucket_audit", _bucket_audit_sql())
+def q_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-size-distribution sweep over candidate plane counts —
+    the audit you run BEFORE sizing the near-dup index: per n_planes,
+    bucket count, worst bucket, mean occupancy, and the Σ|b|² cost the
+    within-bucket verify join would pay; `chosen` marks what
+    auto_n_planes derives for this corpus. One scan per candidate
+    (4 scans total — an offline audit, not a hot path); each scan is a
+    pure projection + one hash agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    derived = S.auto_n_planes(n, _AUDIT_TARGET)
+    sweeps = []
+    for np_ in _AUDIT_PLANES:
+        hist = (
+            S.lsh_buckets(emb, n_planes=np_)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        sweeps.append(
+            hist.agg(
+                F.lit(np_).cast("int").alias("n_planes"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.max("c").cast("long").alias("max_bucket"),
+                F.round(F.avg(F.col("c") * 1.0), 6).alias("avg_bucket"),
+                F.sum(F.col("c") * F.col("c")).cast("long").alias("candidate_cost"),
+            )
+        )
+    out = sweeps[0]
+    for s in sweeps[1:]:
+        out = out.unionByName(s)
+    return out.withColumn("chosen", F.col("n_planes") == F.lit(derived))
 
 
 def _knn_lsh_multi_sql(n_tables: int = 4, n_planes: int = 2, k: int = 5, n_queries: int = 5) -> str:

@@ -592,3 +592,553 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(_rev_units()) / 10000.0, 4).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: the remaining TPC-H family (VERDICT r1 #4). The testdata has
+# no partsupp table, so Q2/Q11/Q16/Q20 derive the part-supplier relation
+# from lineitem (distinct pairs / per-pair aggregates) — the QUERY SHAPES
+# (min-scalar-subquery-per-group, HAVING-over-global-threshold, distinct
+# counting with anti-join, nested semi-join chains) are preserved exactly.
+# No commitdate/receiptdate either, so "late" is shipdate > orderdate+Δ.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, min({_CENTS} * (100 - {_D100})) AS cost_units
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    costs AS (
+      SELECT ps.l_partkey, ps.cost_units, e.s_suppkey, e.s_name, e.s_acctbal, e.n_name
+      FROM ps JOIN eligible e ON ps.l_suppkey = e.s_suppkey
+    ),
+    min_c AS (SELECT l_partkey AS pk, min(cost_units) AS mc FROM costs GROUP BY 1)
+    SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_name,
+           round(cost_units / 10000.0, 4) AS supply_cost
+    FROM costs
+    JOIN part ON l_partkey = p_partkey
+    JOIN min_c ON l_partkey = pk AND cost_units = mc
+    WHERE p_size BETWEEN 10 AND 20 AND p_type = 'PROMO'
+    ORDER BY s_acctbal DESC, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: supply cost per
+    (part, supplier) = MIN exact-integer discounted line revenue from
+    lineitem — no partsupp table exists). The shape under test is the
+    correlated MIN subquery per part over region-restricted suppliers,
+    decorrelated into a per-part min aggregate joined back on
+    (partkey, cost) — cost equality compares exact BIGINTs, so min-ties
+    (both suppliers reported, as in spec Q2) are engine-identical.
+    The 100-supplier region side broadcasts; ps aggregates shuffle once
+    on (partkey, suppkey) and the per-part min reuses that partitioning
+    (partial key-group); part attaches by broadcast at the end."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    eligible = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_rev_units()).alias("cost_units")
+    )
+    costs = ps.join(F.broadcast(eligible), ps.l_suppkey == eligible.s_suppkey)
+    min_c = costs.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("cost_units").alias("mc")
+    )
+    p = part.filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "PROMO")
+    ).select("p_partkey", "p_name")
+    return (
+        costs.join(min_c, (costs.l_partkey == min_c.pk)
+                   & (costs.cost_units == min_c.mc))
+        .join(F.broadcast(p), costs.l_partkey == p.p_partkey)
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name", "n_name", "p_partkey", "p_name",
+            F.round(F.col("cost_units") / 10000.0, 4).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q8",
+    f"""
+    WITH all_nations AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+             {_CENTS} * (100 - {_D100}) AS vol_units,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+    )
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN vol_units
+                          ELSE 0 END) * 1.0 / sum(vol_units), 6) AS mkt_share
+    FROM all_nations GROUP BY o_year
+    """,
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 national market share: NATION_5's share of ECONOMY-part
+    revenue sold into ASIA's customer market, per year. Eight-relation
+    join where EVERY dimension chain broadcasts (part filter, customer→
+    nation→region market side, supplier→nation source side) — the only
+    exchange is lineitem⋈orders on orderkey. Share = ratio of two exact
+    integer sums computed in one conditional aggregate (no second pass),
+    rounded at 6dp identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    cn = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    mkt_cust = cust.join(F.broadcast(cn), cust.c_nationkey == cn.c_nk).select(
+        "c_custkey"
+    )
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(F.broadcast(mkt_cust), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    supp_side = supp.join(F.broadcast(sn), supp.s_nationkey == sn.s_nk).select(
+        "s_suppkey", "supp_nation"
+    )
+    econ = part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    vol = _rev_units()
+    n5 = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(econ), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_side), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(F.sum(n5) * 1.0 / F.sum(vol), 6).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           round(sum({_CENTS} * (100 - {_D100})
+                     - CAST(round(p_retailprice * 100) AS BIGINT) * {_Q100})
+                 / 10000.0, 4) AS sum_profit
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: supply cost :=
+    p_retailprice per unit — no partsupp). profit = discounted revenue
+    minus retail-cost-of-goods, all in exact integer 1e-4 currency
+    units (cents × basis points and retail-cents × quantity-hundredths
+    land on the same grid), so the per-(nation, year) sums are
+    order-independent BIGINTs. part filter ('%gear%') and the
+    supplier→nation chain broadcast; lineitem⋈orders on orderkey is
+    the one exchange, shared with nothing downstream (group keys are
+    broadcast-attached attributes — Spark shuffles k·groups partials)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    gear = part.filter(F.col("p_name").contains("gear")).select(
+        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("bigint").alias("retail_cents")
+    )
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit_units = _rev_units() - F.col("retail_cents") * _q100()
+    return (
+        li.join(F.broadcast(gear), li.l_partkey == gear.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(profit_units) / 10000.0, 4).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q11",
+    f"""
+    WITH vals AS (
+      SELECT l_partkey, sum({_CENTS} * (100 - {_D100})) AS value_units
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+      GROUP BY 1
+    ),
+    total AS (SELECT sum(value_units) AS t FROM vals)
+    SELECT l_partkey AS p_partkey, round(value_units / 10000.0, 4) AS part_value
+    FROM vals, total
+    WHERE value_units > 0.001 * t
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: per-part 'inventory value' =
+    exact-integer discounted revenue through EUROPE suppliers). The
+    shape is HAVING-over-global-threshold: a scalar aggregate of the
+    aggregate itself re-enters as a filter. The scalar (one row) cross-
+    joins back by broadcast — no second scan of lineitem; the threshold
+    compares value_units (exact int) against 0.001·t where t is the
+    identical int on both engines, so the boundary cannot drift."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    eu_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    vals = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_rev_units()).alias("value_units"))
+    )
+    total = vals.agg(F.sum("value_units").alias("t"))
+    return (
+        vals.join(F.broadcast(total))
+        .filter(F.col("value_units") > 0.001 * F.col("t"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_units") / 10000.0, 4).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "p_partkey")
+    )
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT l_linestatus,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-priority audit (adapted: ship modes don't
+    exist → grouped by l_linestatus; 'late receipt' := shipped ≥30 days
+    after order). Conditional two-way counts in ONE aggregate pass; the
+    year filter prunes the lineitem scan before the orderkey join, and
+    the cross-table date comparison rides the join condition (evaluated
+    at the join, not a post-filter over a wider intermediate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "tpch_q16",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    bad AS (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM bad)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 part-supplier relationship count (adapted: the
+    part-supplier relation is DISTINCT lineitem pairs; 'complaint'
+    suppliers := negative account balance). Shape: negated dim
+    predicates + IN-list + anti-join against the excluded supplier set
+    + count(DISTINCT) per 3-column group. The distinct-pair reduction
+    happens FIRST (dedup on the shuffle of (partkey, suppkey) — far
+    smaller than raw lineitem); the bad-supplier set broadcasts as a
+    LeftAnti; part attaches by broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "tpch_q20",
+    f"""
+    WITH red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    sold AS (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM red_parts)
+        AND l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey
+      HAVING sum({_Q100}) > 30000
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (SELECT l_suppkey FROM sold)
+    ORDER BY s_name
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: 'availqty above
+    half the year's sales' becomes 'sold >300 units of red* parts in
+    1997' — no partsupp). The shape is the nested semi-join chain:
+    parts LIKE-filtered → semi-join restricts lineitem → per-supplier
+    HAVING over an exact integer quantity sum → semi-join restricts the
+    region's suppliers. Every arrow is a semi-join on a key (no
+    exists-per-row subquery execution); the red-part set and the
+    qualified-supplier set both broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    red = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    sold = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(red), li.l_partkey == red.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_q100()).alias("q"))
+        .filter(F.col("q") > 30000)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(sold), supp.s_suppkey == sold.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21",
+    """
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey, o_orderstatus,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    l1 AS (SELECT * FROM lo WHERE late AND o_orderstatus = 'F')
+    SELECT s_name, count(*) AS numwait
+    FROM l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lo l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lo l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting (adapted: late :=
+    shipped >60 days after order — no commit/receipt dates). The
+    anti-join chain the verdict called out: a late line on a finished
+    order counts IFF another supplier participated (semi-join) AND no
+    OTHER supplier was also late (anti-join) — the sole-blame
+    attribution. lineitem⋈orders builds the lo substrate once; l1, the
+    semi and the anti probe all hash on l_orderkey, so the three joins
+    reuse one exchange partitioning; supplier names broadcast at the
+    end. numwait counts LINES (multiple late lines of one order all
+    attribute), deterministic across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    lo = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias("late"),
+        "o_orderstatus",
+    )
+    lo = lo.persist()  # three consumers: l1, the semi probe, the anti probe
+    l1 = lo.filter(F.col("late") & (F.col("o_orderstatus") == "F")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = lo.select(
+        F.col("l_orderkey").alias("o_key"), F.col("l_suppkey").alias("o_supp"), "late"
+    )
+    waited = l1.join(
+        others,
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_semi",
+    ).join(
+        others.filter(F.col("late")),
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("l_suppkey") != F.col("o_supp")),
+        "left_anti",
+    )
+    return (
+        waited.join(F.broadcast(supp.select("s_suppkey", "s_name")),
+                    waited.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22",
+    """
+    WITH pool AS (
+      SELECT c_custkey, c_nationkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_nationkey IN (0, 3, 5, 8, 12, 17, 21)
+    ),
+    avg_bal AS (
+      SELECT sum(bal_cents) * 1.0 / count(*) AS ab
+      FROM pool WHERE bal_cents > 0
+    ),
+    lapsed AS (
+      SELECT p.* FROM pool p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = p.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    )
+    SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+           round(sum(bal_cents) / 100.0, 2) AS totacctbal
+    FROM lapsed, avg_bal
+    WHERE bal_cents > ab
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity (adapted: country code :=
+    c_nationkey — no phone column; 'no orders' := none since
+    2000-01-01, since every customer has SOME order). Shape: IN-list
+    pool → scalar AVG subquery re-entering as a filter → NOT EXISTS
+    anti-join against date-filtered orders → grouped count/sum.
+    The average is computed over exact integer cents (one division of
+    identical BIGINTs per engine, so the rich-customer boundary cannot
+    drift); the anti-join probes only orders after the cutoff (filter
+    pushed below the join); the scalar broadcasts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    pool = cust.filter(
+        F.col("c_nationkey").isin(0, 3, 5, 8, 12, 17, 21)
+    ).select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    avg_bal = pool.filter(F.col("bal_cents") > 0).agg(
+        (F.sum("bal_cents") * 1.0 / F.count(F.lit(1))).alias("ab")
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    lapsed = pool.join(recent, pool.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        lapsed.join(F.broadcast(avg_bal))
+        .filter(F.col("bal_cents") > F.col("ab"))
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

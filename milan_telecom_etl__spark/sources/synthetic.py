@@ -95,6 +95,9 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.rows_per_batch = int(options.get("rows_per_batch", 100))
         self.max_rows = int(options.get("max_rows", 1000))
+        # same option surface as the batch reader: identical options
+        # must yield identical rows in both modes (ADVICE r1)
+        self.n_users = int(options.get("n_users", 100))
         self.seed = int(options.get("seed", 0))
 
     def initialOffset(self):
@@ -118,7 +121,7 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
             yield (
                 i,
                 ts,
-                m // 7 % 100,
+                m // 7 % self.n_users,
                 _TYPES[m // 11 % len(_TYPES)],
                 (m % 100_000) / 100.0,
             )

@@ -23,7 +23,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # Epsilon for sub-ulp engine drift ONLY (documented contract:
+        # queries round their own floats to 6dp on both sides). 9dp is
+        # strictly tighter than the 6dp convention, so a query that
+        # FORGOT its round() surfaces here instead of passing locally
+        # and diverging under a stricter external gate (ADVICE r1).
+        return round(v, 9)
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):

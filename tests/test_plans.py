@@ -207,3 +207,29 @@ def test_near_dup_edge_build_is_lsh_pruned(spark):
     clusters = D.near_dup_clusters(docs, threshold=0.5, max_iter=1)
     cplan = clusters._jdf.queryExecution().analyzed().toString()
     assert "band_hash" in cplan  # edges derive from the banded path
+
+
+def test_tpch_q9_broadcasts_all_dims_one_exchange_pair(spark):
+    # part/supplier/nation attach by broadcast; the only hash exchanges
+    # belong to the lineitem-orders orderkey join + final group-by.
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["tpch_q9"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_tpch_q21_semi_anti_chain(spark):
+    # sole-blame attribution = one LeftSemi + one LeftAnti, both keyed
+    # on l_orderkey (no exists-subquery re-execution per row).
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["tpch_q21"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpch_q16_distinct_then_broadcast_anti(spark):
+    import __spark_entry__ as entry
+
+    plan = _plan(entry.queries()["tpch_q16"](spark, SF))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan

@@ -283,3 +283,37 @@ def test_shingle_df_cap_bounds_skewed_join(spark):
         sh.groupBy("shingle").count().agg(F.max("count").alias("m")).collect()[0]["m"]
     )
     assert max_df <= 10
+
+
+def test_embedding_near_dup_auto_planes_recall(spark):
+    """VERDICT r1 #8: with n_planes auto-derived from corpus size, the
+    LSH-blocked near-dup pass must keep >=0.9 recall against the exact
+    all-pairs result at the registry threshold."""
+    from milan_telecom_etl__spark.operators.similarity import (
+        _as_double,
+        auto_n_planes,
+        cosine,
+        embedding_near_dups,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    assert auto_n_planes(n) >= 1
+    a = emb.select(F.col("vec_id").alias("vec_a"), _as_double("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), _as_double("embedding").alias("vb"))
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cosine(F.col("va"), F.col("vb")), 6) >= 0.4)
+        .collect()
+    }
+    assert exact, "corpus should contain cos>=0.4 pairs"
+    # auto-derived plane count bounds the per-table buckets; 8-table
+    # OR-amplification buys the recall (1-(1-p^k)^8) at this moderate
+    # threshold — single-table at cos 0.4 is structurally ~p^k ≈ 0.4
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dups(emb, threshold=0.4, n_tables=8).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"auto-planes near-dup recall {recall:.2f} over {len(exact)}"
