@@ -308,36 +308,52 @@ def near_dup_clusters(
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label")).persist()
+    # Iterate ONLY over edge-touching vertices: an isolated doc keeps
+    # its own label forever, so propagation state is O(|edge endpoints|)
+    # — the duplicate neighborhood — not O(corpus). At 100 TB that is
+    # the difference between joining the whole corpus per round and
+    # joining just the near-dup subgraph; isolated docs re-attach with
+    # label = doc_id in one final projection-join.
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # one pass computes both the new label and the changed flag —
+        # no second old-vs-new join per round
+        cand = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.col("label").alias("__old"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = cand.filter(F.col("label") < F.col("__old")).limit(1).count()
         labels.unpersist()
-        labels = new_labels
+        labels = cand.select("doc_id", "label")
         if changed == 0:
             break
+    out = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
     edges.unpersist()
-    return labels.withColumnRenamed("label", "cluster_id")
+    return out
 
 
 def dedupe_near(

@@ -655,7 +655,16 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+    # Push the (broadcast) supplier-region restriction BELOW the
+    # per-(part, supplier) aggregation: min is supplier-local, so
+    # filtering lineitem first is semantics-identical and shrinks the
+    # agg's shuffle input to the region's share of the fact table.
+    li_eu = li.join(
+        F.broadcast(eligible.select("s_suppkey")),
+        li.l_suppkey == F.col("s_suppkey"),
+        "left_semi",
+    )
+    ps = li_eu.groupBy("l_partkey", "l_suppkey").agg(
         F.min(_rev_units()).alias("cost_units")
     )
     costs = ps.join(F.broadcast(eligible), ps.l_suppkey == eligible.s_suppkey)
