@@ -47,6 +47,7 @@ _R2_NEW = [
     "multimodal_decode_features",
     "lsh_verified_pairs", "corpus_curation", "pretraining_pipeline",
     "lsh_bucket_audit", "user_gap_stats_arrow", "sessionize_udtf",
+    "winnowing_fingerprints", "vocab_oov_rate",
 ]
 _R1_RECORDED = [
     "top_cells", "hourly_rollup", "star_join_revenue", "constraint_audit",

@@ -746,3 +746,157 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("quality"), 6).alias("avg_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting — the
+# MOSS algorithm): hash every ORDERED word 3-gram, slide a w=4 window
+# over the hash sequence, keep each window's minimum, dedupe. The
+# guarantee: any shared run of >= w+2 words between two docs shares at
+# least one fingerprint — position-robust plagiarism/overlap detection
+# at a fraction of full-shingle storage.
+# ---------------------------------------------------------------------------
+
+_WINNOW_W = 4
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    sh AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                 i -> struct_pack(i := i,
+                                  s := array_to_string(list_slice(ws, i, i + 2), ' '))))
+                 AS u
+        FROM words)
+    ),
+    wm AS (
+      SELECT doc_id, pos,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+               AS fp,
+             count(*) OVER (PARTITION BY doc_id) AS n
+      FROM sh
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n - {_WINNOW_W} + 1
+    )
+    SELECT doc_id, count(*) AS n_fingerprints,
+           CAST(min(fp) AS BIGINT) AS min_fp,
+           CAST(bit_xor(fp) AS BIGINT) AS fp_checksum
+    FROM fps GROUP BY doc_id
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing summary per doc: fingerprint count, min fingerprint,
+    and an order-independent bit_xor checksum over the selected set
+    (the full (doc_id, fp) relation is what a plagiarism index stores;
+    the checksum makes the whole selection oracle-checkable without
+    shipping it). ORDERED (non-distinct) trigram hashes ride one
+    posexplode; the window min is ROWS-framed per doc; docs shorter
+    than the window emit nothing (no fingerprintable run). All exact
+    integers — no float parity surface at all."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = D._words_df(docs)
+    k = F.greatest(F.size("__words") - F.lit(2), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice("__words", i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = words.select("doc_id", F.posexplode(grams).alias("pos0", "s")).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        D._md5_int60(F.col("s")).alias("h"),
+    )
+    w_min = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    w_all = Window.partitionBy("doc_id")
+    fps = (
+        sh.select(
+            "doc_id",
+            "pos",
+            F.min("h").over(w_min).alias("fp"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("pos") <= F.col("n") - _WINNOW_W + 1)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("fp").cast("long").alias("min_fp"),
+        F.bit_xor("fp").cast("long").alias("fp_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV rate — the tokenizer-planning audit: how
+# much of each source's token mass a top-N vocabulary covers.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vocab_oov_rate",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM docs),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, count(*) AS c FROM words GROUP BY 1
+        ORDER BY c DESC, w LIMIT 1000)
+    ),
+    j AS (
+      SELECT d.source,
+             CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM words
+      JOIN documents d USING (doc_id)
+      LEFT JOIN vocab v ON words.w = v.w
+    )
+    SELECT source, count(*) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           round(sum(oov) * 1.0 / count(*), 6) AS oov_rate
+    FROM j GROUP BY source
+    """,
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary token rate per source against the corpus's own
+    top-1000-word vocabulary (ties broken lexicographically so the
+    vocabulary boundary is engine-identical). The vocab is a top-k over
+    the word counts (TakeOrderedAndProject) broadcast into a left join
+    — membership against a small dictionary never shuffles the token
+    stream; per-source rates are exact-integer ratios rounded at 6dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = D._words_df(docs).select(
+        "doc_id", F.explode(F.col("__words")).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(1000)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    j = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"))
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round(F.sum("oov") * 1.0 / F.count(F.lit(1)), 6).alias("oov_rate"),
+    )

@@ -318,3 +318,52 @@ def test_embedding_near_dup_auto_planes_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, f"auto-planes near-dup recall {recall:.2f} over {len(exact)}"
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a run of >= w+2 words
+    (w+1 = 5 consecutive trigrams >= one full window) share at least
+    one selected fingerprint; disjoint docs share none."""
+    from milan_telecom_etl__spark.registry_text import _WINNOW_W  # noqa: F401
+    import __spark_entry__ as m
+
+    common = "the quick brown fox jumps over the lazy dog tonight"  # 10 words
+    rows = [
+        (0, "alpha beta gamma " + common + " delta epsilon"),
+        (1, "one two three four " + common + " five six seven"),
+        (2, "completely unrelated text about query optimizers and shuffle exchanges here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # recompute the per-doc fingerprint SETS via the same library path
+    from pyspark.sql.window import Window
+    from milan_telecom_etl__spark.operators import dedup as D
+
+    words = D._words_df(docs)
+    k = F.greatest(F.size("__words") - F.lit(2), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice("__words", i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = words.select("doc_id", F.posexplode(grams).alias("pos0", "s")).select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), D._md5_int60(F.col("s")).alias("h")
+    )
+    w_min = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    w_all = Window.partitionBy("doc_id")
+    fps = (
+        sh.select(
+            "doc_id", "pos",
+            F.min("h").over(w_min).alias("fp"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("pos") <= F.col("n") - 3)
+        .select("doc_id", "fp").distinct().collect()
+    )
+    sets: dict[int, set] = {}
+    for r in fps:
+        sets.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert sets[0] & sets[1], "shared 10-word run must share a fingerprint"
+    assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
