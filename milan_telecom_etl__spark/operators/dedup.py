@@ -102,15 +102,23 @@ def dedupe_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_table(
-    docs: DataFrame, text_col: str = "text", n: int = 3, max_shingle_df: int | None = None
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_df: int | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, shingle) exploded table — the substrate for exact
     Jaccard. Joins happen on the raw shingle string (≈ the same shuffle
     bytes as a hex hash, and skips 2×N md5 computations). `max_shingle_df`
     drops shingles appearing in more than that many docs (stop-shingle
     skew cap: at corpus scale a boilerplate shingle shared by millions of
-    docs would otherwise produce a quadratic join blowup)."""
-    sh = _words_df(docs, text_col).select(
+    docs would otherwise produce a quadratic join blowup). Pass `words`
+    (a persisted _words_df) to share the normalize+split stage with
+    other consumers — the regex pipeline is the CPU hot spot, so
+    composed pipelines should run it once."""
+    w = words if words is not None else _words_df(docs, text_col)
+    sh = w.select(
         "doc_id", F.explode(shingles_of(F.col("__words"), n)).alias("shingle")
     )
     if max_shingle_df is not None:
@@ -186,7 +194,11 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
 
 
 def minhash_signatures(
-    docs: DataFrame, text_col: str = "text", n: int = 3, num_hashes: int = 16
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature as `num_hashes` columns mh_0..mh_{k-1}.
 
@@ -195,7 +207,8 @@ def minhash_signatures(
     (one md5 per shingle), then k array_min folds — no explode, no
     shuffle, no aggregation. Signing 100 TB of docs is map-only.
     """
-    sh = _words_df(docs, text_col).select(
+    w = words if words is not None else _words_df(docs, text_col)
+    sh = w.select(
         "doc_id", F.explode(shingles_of(F.col("__words"), n)).alias("shingle")
     ).withColumn("x", _md5_int60(F.col("shingle")) % F.lit(MERSENNE_31))
     aggs = [
@@ -211,11 +224,12 @@ def minhash_lsh_candidates(
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 2,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature become a
     candidate pair. Equality join per band on (band_id, band_hash) —
     distributed-friendly; no cross join anywhere."""
-    sig = minhash_signatures(docs, text_col, n, num_hashes)
+    sig = minhash_signatures(docs, text_col, n, num_hashes, words)
     n_bands = num_hashes // band_size
     bands = []
     for bi in range(n_bands):
@@ -384,8 +398,12 @@ def lsh_verified_pairs(
     frequency above `max_shingle_df` (both from intersections AND from
     per-doc sizes), bounding per-shingle join fan-out.
     """
-    cands = minhash_lsh_candidates(docs, text_col, n, num_hashes, band_size)
-    sh = shingle_table(docs, text_col, n, max_shingle_df).persist()
+    # ONE normalize+split pass feeds both the minhash candidates and
+    # the verify-stage shingle table — the regex pipeline is the CPU
+    # hot spot and would otherwise run twice.
+    words = _words_df(docs, text_col).persist()
+    cands = minhash_lsh_candidates(docs, text_col, n, num_hashes, band_size, words)
+    sh = shingle_table(docs, text_col, n, max_shingle_df, words).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # candidate pairs × shingles of side A, semi-matched against side B
     pair_sh = cands.join(
