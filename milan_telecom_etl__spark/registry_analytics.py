@@ -613,3 +613,129 @@ def q_exists_big_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2 additions: sketch-percentile bracket + iterative PageRank.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "approx_percentile_bracket",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_exact,
+           TRUE AS p50_in_bracket,
+           TRUE AS p90_in_bracket
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_approx_percentile_bracket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (the constant-memory quantile sketch — the
+    100 TB path) bracket-checked like the HLL entry: the sketch's
+    guarantee is RANK error <= 1/accuracy, so the estimate must lie
+    between the exact quantiles at q ∓ 0.02 (a 200x-slack rank window
+    for accuracy=1000). The query emits the exact quantiles plus the
+    in-bracket booleans; the oracle emits the exact quantiles and TRUE
+    — an out-of-bracket sketch hash-fails the gate."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bracket(q: float) -> F.Column:
+        est = F.expr(f"approx_percentile(o_totalprice, {q}, 1000)")
+        lo = F.expr(f"percentile(o_totalprice, {max(q - 0.02, 0.0)})")
+        hi = F.expr(f"percentile(o_totalprice, {min(q + 0.02, 1.0)})")
+        return (est >= lo) & (est <= hi)
+
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50_exact"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_exact"),
+        bracket(0.5).alias("p50_in_bracket"),
+        bracket(0.9).alias("p90_in_bracket"),
+    )
+
+
+_PR_D = 0.85
+_PR_ITERS = 3
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    """PageRank unrolled as chained CTEs (same oracle technique as the
+    kmeans Lloyd loop): ranks are 9dp-quantized per iteration so
+    neighbor-sum ordering noise (~1e-19) can't cascade across engines."""
+    ctes = [
+        "ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)",
+        """edges AS (
+      SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM ps
+      UNION ALL
+      SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst FROM ps)""",
+        "nodes AS (SELECT DISTINCT src AS id FROM edges)",
+        "n AS (SELECT count(*) AS cnt FROM nodes)",
+        "deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1)",
+        "r0 AS (SELECT id, 1.0 / (SELECT cnt FROM n) AS r FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""r{i} AS (
+      SELECT e.dst AS id,
+             round({1 - _PR_D} / (SELECT cnt FROM n)
+                   + {_PR_D} * sum(p.r / deg.d), 9) AS r
+      FROM edges e
+      JOIN r{i - 1} p ON e.src = p.id
+      JOIN deg ON e.src = deg.src
+      GROUP BY e.dst)"""
+        )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT id AS node_id,
+           CASE WHEN id % 2 = 0 THEN 'part' ELSE 'supplier' END AS side,
+           r AS pagerank
+    FROM r{iters}
+    """
+
+
+@register("pagerank_part_supplier", _pagerank_sql())
+def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite part–supplier graph (edges =
+    DISTINCT lineitem pairs; node ids disambiguated by parity). The
+    second iterative-graph family next to connected components: each
+    round is one edges⋈ranks join + one aggregation, both keyed on
+    node id — rank state is |V| rows however big the fact table, and
+    the unchanging edges/deg sides are persisted across rounds. Every
+    graph node has degree >= 1 by construction (nodes ARE edge
+    endpoints), so no dangling-mass term. Oracle: the loop unrolled as
+    chained CTEs with per-iteration 9dp rank quantization."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    edges = (
+        ps.select(
+            (F.col("l_partkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .union(
+            ps.select(
+                (F.col("l_suppkey") * 2 + 1).alias("src"),
+                (F.col("l_partkey") * 2).alias("dst"),
+            )
+        )
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "src").persist()  # constant across iterations
+    nodes = edges.select(F.col("src").alias("id")).distinct().persist()
+    n = nodes.count()
+    ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    for _ in range(_PR_ITERS):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(
+                F.round(
+                    F.lit((1 - _PR_D) / n) + _PR_D * F.sum(F.col("r") / F.col("d")), 9
+                ).alias("r")
+            )
+        )
+    return ranks.select(
+        F.col("id").alias("node_id"),
+        F.when(F.col("id") % 2 == 0, "part").otherwise("supplier").alias("side"),
+        F.col("r").alias("pagerank"),
+    )
