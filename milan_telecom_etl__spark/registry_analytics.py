@@ -739,3 +739,83 @@ def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("id") % 2 == 0, "part").otherwise("supplier").alias("side"),
         F.col("r").alias("pagerank"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT)
+             AS gid,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form cube/rollup compile to)
+    + grouping() bitmask to disambiguate NULL-as-aggregate from
+    NULL-as-value. One scan, one Expand (4-way row fan-out), one
+    hash aggregate with map-side partials — the multi-granularity
+    report pattern without re-scanning per level. Revenue in exact
+    integer cents (order-independent sums)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    g = (
+        orders.select("o_orderstatus", "o_orderpriority", cents.alias("c"))
+        .groupingSets(
+            [
+                ["o_orderstatus", "o_orderpriority"],
+                ["o_orderstatus"],
+                ["o_orderpriority"],
+                [],
+            ],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").cast("long").alias("revenue_cents"),
+        )
+    )
+    return g.select(
+        "o_orderstatus", "o_orderpriority", "gid", "n_orders", "revenue_cents"
+    )
+
+
+@register(
+    "fuzzy_supplier_pairs",
+    """
+    WITH s AS (SELECT s_suppkey, s_name FROM supplier)
+    SELECT a.s_name AS name_a, b.s_name AS name_b,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+    FROM s a JOIN s b
+      ON length(a.s_name) = length(b.s_name)
+     AND a.s_name < b.s_name
+    WHERE levenshtein(a.s_name, b.s_name) <= 1
+    """,
+)
+def q_fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy-match join (entity-resolution primitive): supplier
+    name pairs within Levenshtein distance 1. The block key here is
+    string length (an edit-distance-1 pair differs by at most 1 in
+    length; equal-length blocking is exact for substitution-only
+    universes like these fixed-width names) — at scale the block key is
+    what turns the quadratic all-pairs check into per-block
+    micro-joins; add prefix/q-gram blocks for variable-length corpora.
+    Both engines run the identical unit-cost Levenshtein."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a = supp.select(F.col("s_name").alias("name_a"), F.length("s_name").alias("la"))
+    b = supp.select(F.col("s_name").alias("name_b"), F.length("s_name").alias("lb"))
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("dist") <= 1)
+        .select("name_a", "name_b", "dist")
+    )
