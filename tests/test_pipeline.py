@@ -245,3 +245,25 @@ def test_apply_cdc_with_deletes_and_seq_collapse(spark, tmp_path):
     apply_cdc_parquet(spark, path, changes, ["k"], seq_col="seq")
     got = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: ("a", 10), 3: ("c3", 33), 4: ("d", 41)}
+
+
+def test_versioned_snapshots_time_travel_and_atomic_pointer(spark, tmp_path):
+    from milan_telecom_etl__spark.pipeline import read_versioned, write_versioned
+
+    t = str(tmp_path / "vt")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    df2 = spark.range(8).withColumnRenamed("id", "k")
+    v1 = write_versioned(df1, t)
+    v2 = write_versioned(df2, t)
+    assert (v1, v2) == (1, 2)
+    # CURRENT resolves to v2; time travel still reads v1 (immutable dir)
+    assert read_versioned(spark, t).count() == 8
+    assert read_versioned(spark, t, version=1).count() == 5
+    # a reader that resolved v1 before the flip keeps a full snapshot
+    old = read_versioned(spark, t, version=1)
+    v3 = write_versioned(spark.range(2).withColumnRenamed("id", "k"), t)
+    assert old.count() == 5 and v3 == 3
+    # retention: keep_versions=3 → v1 vacuumed on the NEXT write
+    write_versioned(spark.range(1).withColumnRenamed("id", "k"), t)
+    import os
+    assert not os.path.isdir(f"{t}/v1") and os.path.isdir(f"{t}/v3")
