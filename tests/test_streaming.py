@@ -143,3 +143,37 @@ def test_stream_stream_interval_join_equals_batch(spark, tmp_path_factory):
         for r in interval_join_streams(clicks, purchases).collect()
     }
     assert got == batch == {(1, ts(100), ts(90)), (2, ts(20), ts(10))}
+
+
+def test_stream_merge_sink_upserts_versioned_table(spark, tmp_path_factory):
+    """foreachBatch merge sink: micro-batches upsert into the versioned
+    table; re-delivered keys overwrite, new keys insert, and every
+    batch lands as one atomic pointer flip."""
+    from milan_telecom_etl__spark.pipeline import read_versioned
+    from milan_telecom_etl__spark.streaming.ingest import stream_merge_sink
+
+    d = tmp_path_factory.mktemp("merge_sink")
+    src, tbl, ckpt = str(d / "src"), str(d / "tbl"), str(d / "ckpt")
+    import os
+
+    os.makedirs(src)
+    # batch 1: two keys
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).write.mode("overwrite").json(src)
+    stream = spark.readStream.schema("k long, v string").json(src)
+    q = stream_merge_sink(stream, tbl, ["k"], ckpt, query_name="ms1")
+    q.awaitTermination()
+    got1 = {(r["k"], r["v"]) for r in read_versioned(spark, tbl).collect()}
+    assert got1 == {(1, "a"), (2, "b")}
+
+    # batch 2 (new files): update k=2, insert k=3
+    spark.createDataFrame(
+        [(2, "B"), (3, "c")], "k long, v string"
+    ).write.mode("append").json(src)
+    q = stream_merge_sink(stream, tbl, ["k"], ckpt, query_name="ms2")
+    q.awaitTermination()
+    got2 = {(r["k"], r["v"]) for r in read_versioned(spark, tbl).collect()}
+    assert got2 == {(1, "a"), (2, "B"), (3, "c")}
+    # time travel: version 1 is still the pre-merge snapshot
+    assert {(r["k"], r["v"]) for r in read_versioned(spark, tbl, 1).collect()} == got1
