@@ -49,7 +49,7 @@ _R2_NEW = [
     "lsh_bucket_audit", "user_gap_stats_arrow", "sessionize_udtf",
     "winnowing_fingerprints", "vocab_oov_rate",
     "approx_percentile_bracket", "pagerank_part_supplier",
-    "grouping_sets_revenue", "fuzzy_supplier_pairs",
+    "grouping_sets_revenue", "fuzzy_supplier_pairs", "scd2_user_state",
 ]
 _R1_RECORDED = [
     "top_cells", "hourly_rollup", "star_join_revenue", "constraint_audit",

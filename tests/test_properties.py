@@ -1,0 +1,125 @@
+"""Property-based differential tests (hypothesis): random inputs, the
+Spark operator vs an independent pure-Python reference. These cover the
+input space the crafted golden tests can't enumerate — money rounding
+near half-way decimals, arbitrary gap layouts for sessionization,
+duplicate injection under id permutation."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+# money values as exact 2dp decimals in [0.01, 99999.99], discounts 0-10%
+_price = st.integers(min_value=1, max_value=9_999_999).map(lambda c: c / 100.0)
+_disc = st.integers(min_value=0, max_value=10).map(lambda d: d / 100.0)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_price, _disc), min_size=1, max_size=40))
+def test_exact_cents_revenue_matches_decimal_reference(spark, rows):
+    """The TPC-H exact-integer money path must equal Decimal arithmetic:
+    sum(round(p*100) * (100 - round(d*100))) over doubles that ARE 2dp
+    decimals — including the .xx5 half-way values that break float
+    rounding — reproduces the exact cents x basis-points integer."""
+    expected = sum(
+        int(Decimal(str(p)) * 100) * (100 - int(Decimal(str(d)) * 100))
+        for p, d in rows
+    )
+    df = spark.createDataFrame(rows, "l_extendedprice double, l_discount double")
+    got = df.agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (100 - F.round(F.col("l_discount") * 100).cast("bigint"))
+        ).alias("units")
+    ).collect()[0]["units"]
+    assert got == expected
+
+
+def _sessionize_reference(ts_list, gap_s=1800):
+    """Pure-Python 30-min-gap sessionizer: [(session_id, n, start, end)]."""
+    out = []
+    sid, n, start, last = 0, 0, None, None
+    for t in sorted(ts_list):
+        if last is None or (t - last).total_seconds() > gap_s:
+            if last is not None:
+                out.append((sid, n, start, last))
+            sid += 1
+            n, start = 1, t
+        else:
+            n += 1
+        last = t
+    if last is not None:
+        out.append((sid, n, start, last))
+    return out
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=7 * 86400),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_sessionize_matches_python_reference(spark, offsets):
+    """Window-based sessionization vs an independent sequential
+    reference over arbitrary (unique) timestamp layouts."""
+    from milan_telecom_etl__spark.registry_analytics import q_sessionize  # noqa: F401
+    from pyspark.sql.window import Window
+
+    base = dt.datetime(2024, 1, 1)
+    ts = [base + dt.timedelta(seconds=o) for o in offsets]
+    df = spark.createDataFrame(
+        [(1, i, t) for i, t in enumerate(ts)], "user_id long, event_id long, ts timestamp"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    got = sorted(
+        (r["session_id"], r["n"], r["s"], r["e"])
+        for r in df.withColumn(
+            "new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+        )
+        .withColumn("session_id", F.sum("new_s").over(ws).cast("long"))
+        .groupBy("session_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .collect()
+    )
+    assert got == _sessionize_reference(ts)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abcd ", min_size=1, max_size=30), min_size=1, max_size=20),
+    st.permutations(range(40)),
+)
+def test_exact_dedup_invariant_under_id_permutation(spark, texts, perm):
+    """dedupe_exact keeps exactly one doc per normalized content, and
+    the keeper is always the minimum doc_id — regardless of how ids are
+    assigned or how many duplicates are injected."""
+    from milan_telecom_etl__spark.operators.dedup import dedupe_exact
+    from milan_telecom_etl__spark.operators.text import normalize_text
+
+    # duplicate every text 1-2x with permuted ids
+    docs = []
+    ids = iter(perm)
+    for t in texts:
+        docs.append((next(ids), t))
+        docs.append((next(ids), " " + t.upper()))  # normalized dup
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalize_text("text").alias("n")).collect()
+    }
+    expected = sorted(
+        min(i for i, _ in docs if norm[i] == key)
+        for key in {norm[i] for i, _ in docs}
+    )
+    kept = sorted(r["doc_id"] for r in dedupe_exact(df).collect())
+    assert kept == expected
