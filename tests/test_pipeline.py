@@ -267,3 +267,26 @@ def test_versioned_snapshots_time_travel_and_atomic_pointer(spark, tmp_path):
     write_versioned(spark.range(1).withColumnRenamed("id", "k"), t)
     import os
     assert not os.path.isdir(f"{t}/v1") and os.path.isdir(f"{t}/v3")
+
+
+def test_loaded_rows_counts_double_failure_once(spark, tmp_path):
+    """ADVICE r1: a row failing BOTH quality checks (unparseable
+    datetime AND out-of-range CellID) must reduce loaded_rows by one,
+    not two — loaded_rows equals the rows actually written."""
+    from milan_telecom_etl__spark.pipeline import Warehouse, load_traffic
+
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "sms-call-internet-mi-2013-11-01.csv").write_text(
+        "datetime,CellID,countrycode,smsin,smsout,callin,callout,internet\n"
+        "2013-11-01 00:00:00,1,39,1.0,1.0,1.0,1.0,1.0\n"   # clean
+        "bad,2,39,1.0,1.0,1.0,1.0,1.0\n"                    # bad date only
+        "2013-11-01 00:10:00,99999,39,1,1,1,1,1\n"          # bad cell only
+        "bad,88888,39,1,1,1,1,1\n"                          # fails BOTH
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    rep = load_traffic(wh, str(d))
+    written = spark.read.parquet(wh.path("fact_traffic_milan")).count()
+    assert written == 1
+    assert rep.loaded_rows == written  # 4 raw - 3 rejected, NOT 4 - (2+2)
+    assert rep.invalid_dates == 2 and rep.rejected_cells == 2  # diagnostics overlap
