@@ -233,3 +233,13 @@ def test_tpch_q16_distinct_then_broadcast_anti(spark):
 
     plan = _plan(entry.queries()["tpch_q16"](spark, SF))
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_l2_normalize_materializes_norm_once(spark):
+    # the norm fold must appear ONCE in the plan, not inlined into the
+    # per-element division lambda (64x re-eval otherwise; 7x slowdown)
+    from milan_telecom_etl__spark.operators.similarity import l2_normalize
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = _plan(l2_normalize(emb))
+    assert plan.count("zip_with") == 1
