@@ -435,15 +435,22 @@ def l2_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit
     is a plain dot product — at 100 TB that halves the per-pair fold
     and removes two sqrt()s from the hot loop).
 
-    The norm is materialized as its OWN column before the division
-    lambda: HOF lambdas re-evaluate captured subtrees per element, so
-    an inlined norm fold runs 64x per row (two cast-transforms + a
-    64-fold each time — measured 7x slower end-to-end). An attribute
-    reference inside the lambda survives optimization un-inlined; the
-    plan-pin test asserts the fold appears exactly once."""
+    The norm is materialized BEHIND AN EXCHANGE BARRIER before the
+    division lambda: HOF lambdas re-evaluate captured subtrees per
+    element, so an inlined norm fold runs 64x per row (two
+    cast-transforms + a 64-fold each time — measured 7x slower
+    end-to-end), and a bare Project fence is NOT enough (CollapseProject
+    re-inlines single-use attributes into downstream lambdas). The
+    repartition is the same fence _words_df uses; normalize-at-ingest
+    is followed by a write anyway, so the one exchange is the right
+    trade against a 64x per-element re-eval. Plan pin asserts the fold
+    appears exactly once even composed under posexplode."""
     cast_v, norm_c = f"__{out_col}_v", f"__{out_col}_n"
-    with_n = df.withColumn(cast_v, _as_double(F.col(vec_col))).withColumn(
-        norm_c, l2_norm(F.col(cast_v))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    with_n = (
+        df.withColumn(cast_v, _as_double(F.col(vec_col)))
+        .withColumn(norm_c, l2_norm(F.col(cast_v)))
+        .repartition(n_parts)
     )
     return with_n.withColumn(
         out_col, F.transform(F.col(cast_v), lambda x: x / F.col(norm_c))

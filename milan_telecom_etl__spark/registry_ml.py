@@ -174,7 +174,12 @@ def q_l2_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
     return (
         l2_normalize(emb)
-        .select("vec_id", F.posexplode("unit").alias("pos", "u"))
+        # posexplode_outer: plain posexplode makes Catalyst infer a
+        # size(unit)>0 filter and push it to the scan with the WHOLE
+        # normalization expression substituted in — re-running the norm
+        # fold per row below the fence. outer skips the inference;
+        # embeddings are fixed 64-dim so the null row never occurs.
+        .select("vec_id", F.posexplode_outer("unit").alias("pos", "u"))
         .filter(F.col("pos") < 4)
         .select(
             "vec_id",

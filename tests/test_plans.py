@@ -243,3 +243,8 @@ def test_l2_normalize_materializes_norm_once(spark):
     emb = load_table(spark, SF, "embeddings")
     plan = _plan(l2_normalize(emb))
     assert plan.count("zip_with") == 1
+    # and the fence must survive composition under a generator
+    # (posexplode_outer: plain posexplode infers a size()>0 filter that
+    # pushes below the fence with the full expression substituted)
+    composed = l2_normalize(emb).select("vec_id", F.posexplode_outer("unit"))
+    assert _plan(composed).count("zip_with") == 1
