@@ -41,7 +41,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # round, then entries the round-1 artifact never covered, then the 50 it
 # already recorded green.
 _R2_NEW = [
-    "tpch_q2", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
+    "tpch_q2", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
     "tpch_q20", "tpch_q21", "tpch_q22",
     "near_dup_clusters", "kmeans_clusters", "approx_distinct_users",
     "multimodal_decode_features",

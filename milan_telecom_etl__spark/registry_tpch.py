@@ -1,7 +1,8 @@
 """Registry entries: canonical TPC-H queries adapted to the testdata's
 TPC-H-ish schema — the industry-standard shapes a general analytics
 engine must run well (pricing summary, shipping priority, returned-item
-report; Q5 lives in `plans/queries.star_join_revenue`).
+report; the literal Q5 is `tpch_q5` below — star_join_revenue
+covers the same star shape without the local-supplier condition).
 
 Scale notes are per-query; the common themes: the shipdate/orderdate
 predicates push down to the parquet scan (min/max row-group skipping,
@@ -1150,4 +1151,66 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
         )
         .orderBy("cntrycode")
+    )
+
+
+@register(
+    "tpch_q5",
+    f"""
+    SELECT n_name,
+           round(sum({_CENTS} * (100 - {_D100})) / 10000.0, 4) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local-supplier volume — the literal spec query
+    (star_join_revenue covers the star shape; this adds Q5's
+    distinctive cross-dimension equality c_nationkey = s_nationkey:
+    revenue only counts when the customer and the shipping supplier
+    share a nation). The customer side (filtered to ASIA via broadcast
+    nation⋈region) broadcasts into orders; supplier broadcasts into
+    lineitem; the nation-equality rides the supplier join condition so
+    mismatched rows die AT the broadcast join, before the orderkey
+    exchange — the one real shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    c = cust.join(
+        F.broadcast(asia_nations), cust.c_nationkey == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
+    s = supp.select("s_suppkey", "s_nationkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_rev_units()) / 10000.0, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
     )
