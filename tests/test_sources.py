@@ -138,3 +138,30 @@ def test_expand_hourly_udtf_lateral_join(spark):
     # 00:30 rounds up to 01:00; hours 01:00, 02:00, 03:00 are < 03:10
     assert [r.hour_start.hour for r in rows] == [1, 2, 3]
     assert [r.hour_index for r in rows] == [0, 1, 2]
+
+
+def test_binaryfile_media_ingest(spark, tmp_path):
+    """binaryFile → MEDIA shape: payloads intact, modality from
+    extension, deterministic path-hash ids, and the size cap filters on
+    file-length METADATA (oversized content never read)."""
+    from milan_telecom_etl__spark.sources.binary import read_media_files
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-bytes-a")
+    (tmp_path / "b.wav").write_bytes(b"RIFF-bytes-b")
+    (tmp_path / "big.mp4").write_bytes(b"x" * 10_000)
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    df = read_media_files(spark, str(tmp_path), glob="*.{png,wav,mp4}", max_bytes=5_000)
+    rows = {r["modality"]: r for r in df.collect()}
+    assert set(rows) == {"image", "audio"}  # mp4 over cap, txt unglobbed
+    assert bytes(rows["image"]["payload"]) == b"\x89PNG-bytes-a"
+    assert rows["audio"]["n_bytes"] == 12
+    # deterministic ids: same path → same id across reads
+    again = {r["source_path"]: r["media_id"] for r in read_media_files(
+        spark, str(tmp_path), glob="*.{png,wav,mp4}", max_bytes=5_000).collect()}
+    assert all(again[r["source_path"]] == r["media_id"] for r in rows.values())
+    # plumbs straight into the multimodal decode stage
+    from milan_telecom_etl__spark.operators.multimodal import decode_media
+
+    decoded = decode_media(df).collect()
+    assert all(r["ok"] for r in decoded) and len(decoded) == 2
