@@ -35,47 +35,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return _reg.QUERIES["top_cells"](spark, "/root/testdata/sf0.001")
 
 
-# Gate ordering (VERDICT r1 #5): round 1's driver artifact captured only
-# the first 50 registration-order entries, so newest/least-proven work
-# must gate FIRST. Three tiers: entries new or materially changed this
-# round, then entries the round-1 artifact never covered, then the 50 it
-# already recorded green.
-_R2_NEW = [
-    "tpch_q2", "tpch_q5", "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q12", "tpch_q16",
-    "tpch_q20", "tpch_q21", "tpch_q22",
-    "near_dup_clusters", "kmeans_clusters", "approx_distinct_users",
-    "multimodal_decode_features",
-    "lsh_verified_pairs", "corpus_curation", "pretraining_pipeline",
-    "lsh_bucket_audit", "user_gap_stats_arrow", "sessionize_udtf",
-    "winnowing_fingerprints", "vocab_oov_rate",
-    "approx_percentile_bracket", "pagerank_part_supplier",
-    "grouping_sets_revenue", "fuzzy_supplier_pairs", "scd2_user_state",
+# Gate ordering (VERDICT r2 #3): the driver artifact caps at ~50
+# entries/round, so the least-externally-proven work must gate FIRST.
+# Tier 1: the 42 entries absent from BOTH CORRECTNESS_r01 and _r02
+# (never driver-gated). Tier 2: the three r2 hash-fails, re-gated after
+# their HUGEINT oracle casts. Tier 3: entries new/changed in round 3.
+# Tail: everything already recorded green.
+_R3_NEVER_GATED = [
+    "salted_type_totals", "above_avg_balance", "running_user_totals",
+    "variant_props_stats", "regr_value_trend", "rolling_zscore_anomalies",
+    "time_weighted_avg", "wma_trailing", "gap_percentiles",
+    "regr_trend_pandas", "sliding_window_counts", "rolling_7d_active_users",
+    "knn_bruteforce", "knn_lsh", "embedding_near_dups",
+    "lsh_bucket_histogram", "knn_lsh_multi", "knn_pandas_vectorized",
+    "knn_ivf", "embedding_quantization_error", "sliding_hour_avg",
+    "user_top_type", "user_type_set", "weekday_hour_profile",
+    "fuzzy_name_match", "keep_latest_per_user", "gap_fill_hourly",
+    "scd2_user_type_intervals", "transition_matrix", "rolling_median",
+    "tpch_q1", "tpch_q3", "tpch_q10", "tpch_q6", "tpch_q4", "tpch_q14",
+    "tpch_q18", "tpch_q7", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19",
 ]
-_R1_RECORDED = [
-    "top_cells", "hourly_rollup", "star_join_revenue", "constraint_audit",
-    "pk_dup_audit", "fk_orphan_audit", "semi_join_filter", "conform_names",
-    "topk_per_group", "hourly_pivot", "daily_user_activity", "top_cells_sql",
-    "sessionize", "asof_last_click", "burst_pairs", "revenue_rollup",
-    "set_ops_customers", "price_percentiles", "event_type_profile",
-    "signup_purchase_funnel", "cohort_retention", "value_histogram",
-    "profile_orders", "price_deciles", "quantity_price_correlation",
-    "snapshot_diff", "cube_type_hour", "session_window_builtin",
-    "price_rank_profile", "exists_big_order", "grid_envelope",
-    "utm_reproject", "spatial_join_zones", "embedding_centroids",
-    "kmeans_estep", "l2_normalized_vectors", "unpivot_measures",
-    "quartile_bins", "psi_price_drift", "class_balance_entropy",
-    "mad_outliers", "group_zscore", "zorder_keys", "salted_join_priority",
-    "expectations_report", "revenue_share", "benford_first_digit",
-    "heavy_hitters",
+_R3_FIXED_REDS = ["tpch_q12", "context_packing", "regex_redaction"]
+_R3_NEW: list[str] = [
+    "streaming_rollup_batch", "streaming_dedupe_batch",
+    "streaming_interval_join_batch", "streaming_merge_batch",
 ]
 
 
 def _gate_order(names: list[str]) -> list[str]:
-    new = [n for n in _R2_NEW if n in names]
-    recorded = set(_R1_RECORDED) | set(new)
-    middle = [n for n in names if n not in recorded]
-    tail = [n for n in names if n in set(_R1_RECORDED) and n not in set(new)]
-    return new + middle + tail
+    head = [
+        n
+        for n in _R3_NEVER_GATED + _R3_FIXED_REDS + _R3_NEW
+        if n in names
+    ]
+    seen = set(head)
+    # stable de-dup: head tiers first, then registration order
+    return head + [n for n in names if n not in seen]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

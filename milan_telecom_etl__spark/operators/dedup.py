@@ -283,7 +283,7 @@ def near_dup_clusters(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = 0.5,
-    max_iter: int = 10,
+    max_iter: int | None = None,
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 2,
@@ -300,9 +300,13 @@ def near_dup_clusters(
     Iterative min-label propagation: every doc starts labeled with its
     own id; each round, a doc adopts the smallest label among itself and
     its neighbors; fixpoint ⇒ each connected component is labeled by its
-    smallest doc_id. Iteration count is bounded by the graph diameter
-    (near-dup clusters are tiny — a handful of rounds), and each round
-    is one join + one aggregation, both keyed on doc ids.
+    smallest doc_id. Iteration count is bounded by the graph diameter,
+    and each round is one join + one aggregation, both keyed on doc ids.
+    `max_iter=None` (default) runs to FIXPOINT — a hard cap could leave
+    a long-chain component (diameter > cap) mislabeled and diverge from
+    the oracle's exact transitive closure (ADVICE r2); the changed-count
+    early exit terminates after diameter+1 rounds, with a large safety
+    bound against pathological inputs.
 
     This is the grouping step of corpus dedup: keep one doc per cluster
     (label == doc_id) instead of dropping both ends of every pair.
@@ -328,13 +332,15 @@ def near_dup_clusters(
     # the difference between joining the whole corpus per round and
     # joining just the near-dup subgraph; isolated docs re-attach with
     # label = doc_id in one final projection-join.
-    labels = (
+    prev_cached = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
         .persist()
     )
-    for _ in range(max_iter):
+    labels = prev_cached
+    n_rounds = max_iter if max_iter is not None else 10_000  # safety bound only
+    for _ in range(n_rounds):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
@@ -353,9 +359,13 @@ def near_dup_clusters(
             )
             .persist()
         )
-        changed = cand.filter(F.col("label") < F.col("__old")).limit(1).count()
-        labels.unpersist()
-        labels = cand.select("doc_id", "label")
+        # full count (not limit(1)) so every partition of this round's
+        # labels is materialized into the cache before the previous
+        # round's cache — its only lineage input — is released
+        changed = cand.filter(F.col("label") < F.col("__old")).count()
+        prev_cached.unpersist()
+        prev_cached = cand  # unpersist the PERSISTED frame next round,
+        labels = cand.select("doc_id", "label")  # not this derived select
         if changed == 0:
             break
     out = (
@@ -366,12 +376,18 @@ def near_dup_clusters(
             F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
         )
     )
+    # the final label cache is fully materialized (count above), so the
+    # edge cache can be released now without forcing a recompute of the
+    # LSH pair build when the caller consumes `out`
     edges.unpersist()
     return out
 
 
 def dedupe_near(
-    docs: DataFrame, text_col: str = "text", threshold: float = 0.5, max_iter: int = 10
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_iter: int | None = None,
 ) -> DataFrame:
     """Near-dedup keep-set: one doc (the cluster's min doc_id) per
     near-dup cluster."""

@@ -33,7 +33,7 @@ SESSION_GAP_MIN = 30
     s AS (
       SELECT user_id, ts,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM e
     )
@@ -53,7 +53,9 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_session = F.when(
         gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
     ).otherwise(0)
-    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id tie-break keeps tied-timestamp rows deterministic on both
+    # sides of the parity gate (ADVICE r2)
+    ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
@@ -527,7 +529,7 @@ def q_cube_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), s AS (
       SELECT user_id, ts, sum(new_s) OVER (
-        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
       FROM e
     )
     SELECT user_id, min(ts) AS session_start,

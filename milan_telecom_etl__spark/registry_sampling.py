@@ -50,7 +50,8 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "train_val_test_split",
     f"""
-    SELECT split, count(*) AS n_docs, round(sum(n_chars) * 1.0, 6) AS total_chars
+    SELECT split, count(*) AS n_docs,
+           round(CAST(sum(n_chars) AS DOUBLE), 6) AS total_chars
     FROM (
       SELECT n_chars,
         CASE WHEN {_HASH_SQL.format(salt="split:", key="doc_id")} < 900 THEN 'train'
@@ -119,7 +120,7 @@ def q_corpus_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     )
     SELECT CAST(floor((cum - n_tokens) / 2048) AS BIGINT) AS bin_id,
-           count(*) AS n_docs, sum(n_tokens) AS bin_tokens
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
     FROM runsum GROUP BY 1
     """,
 )

@@ -427,7 +427,7 @@ def q_user_gap_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, ts,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
+               PARTITION BY user_id ORDER BY ts, event_id
                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM e
     )

@@ -543,12 +543,13 @@ _REDACT_PAT = r"\b(table|hash|window)\b"
     "regex_redaction",
     f"""
     SELECT source,
-           sum(len(regexp_extract_all(text, '{_REDACT_PAT}'))) AS n_matches,
-           sum(CASE WHEN regexp_matches(text, '{_REDACT_PAT}')
-               THEN 1 ELSE 0 END) AS docs_hit,
-           sum(length(text)
+           CAST(sum(len(regexp_extract_all(text, '{_REDACT_PAT}'))) AS BIGINT)
+             AS n_matches,
+           CAST(sum(CASE WHEN regexp_matches(text, '{_REDACT_PAT}')
+               THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+           CAST(sum(length(text)
                - length(regexp_replace(text, '{_REDACT_PAT}', '', 'g')))
-             AS chars_redacted
+             AS BIGINT) AS chars_redacted
     FROM documents GROUP BY source
     """,
 )

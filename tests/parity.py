@@ -42,12 +42,57 @@ def _norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
     return sorted(out, key=repr)
 
 
+# DuckDB types whose wire representation diverges from any Spark type the
+# driver's value-hash can match: sum(INTEGER) widens to HUGEINT (int128)
+# while Spark's sum is BIGINT — values equal, hashes differ (VERDICT r2).
+# Oracles must CAST these away.
+_BANNED_DUCK_TYPES = {"HUGEINT", "UHUGEINT"}
+
+
+def oracle_output_types(
+    con: duckdb.DuckDBPyConnection, sql: str
+) -> dict[str, str]:
+    """Bind (without executing) an oracle query and return its DuckDB
+    output column types, uppercased."""
+    rel = con.sql(sql)
+    return {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+
+
+def check_oracle_types(
+    spark_dtypes: dict[str, str] | None,
+    duck_types: dict[str, str],
+) -> list[str]:
+    """Return a list of type-hazard descriptions (empty = safe).
+
+    HUGEINT/UHUGEINT are always hazards. DECIMAL is a hazard unless the
+    Spark side deliberately emits a decimal of the same scale (scale
+    drives the rendered value, hence the hash)."""
+    problems = []
+    for col, dt in duck_types.items():
+        base = dt.split("(")[0]
+        if base in _BANNED_DUCK_TYPES:
+            problems.append(f"{col}: duck={dt} (int128 wire type; CAST AS BIGINT)")
+        elif base == "DECIMAL" and spark_dtypes is not None:
+            s = spark_dtypes.get(col, "")
+            if not s.startswith("decimal"):
+                problems.append(
+                    f"{col}: duck={dt} but spark={s or 'missing'}; "
+                    "CAST oracle to DOUBLE/BIGINT or make Spark emit the decimal"
+                )
+    return problems
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
     d_cols = [d[0] for d in rel.description]
     d_rows = rel.fetchall()
+    hazards = check_oracle_types(
+        dict(spark_df.dtypes), oracle_output_types(con, sql)
+    )
+    if hazards:
+        return False, f"oracle type hazard: {hazards}"
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
