@@ -25,6 +25,7 @@ from milan_telecom_etl__spark import registry_sampling as _reg_samp  # noqa: F40
 from milan_telecom_etl__spark import registry_semistructured as _reg_semi  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_series as _reg_ser  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_similarity as _reg_sim  # noqa: F401  (registers on import)
+from milan_telecom_etl__spark import registry_streaming as _reg_stream  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_temporal as _reg_temp  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_text as _reg_text  # noqa: F401  (registers on import)
 from milan_telecom_etl__spark import registry_tpch as _reg_tpch  # noqa: F401  (registers on import)
@@ -35,48 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return _reg.QUERIES["top_cells"](spark, "/root/testdata/sf0.001")
 
 
-# Gate ordering (VERDICT r2 #3): the driver artifact caps at ~50
+# Gate ordering (VERDICT r3 #3/#7): the driver artifact caps at ~50
 # entries/round, so the least-externally-proven work must gate FIRST.
-# Tier 1: the 42 entries absent from BOTH CORRECTNESS_r01 and _r02
-# (never driver-gated). Tier 2: the three r2 hash-fails, re-gated after
-# their HUGEINT oracle casts. Tier 3: entries new/changed in round 3.
-# Tail: everything already recorded green.
-_R3_NEVER_GATED = [
-    "salted_type_totals", "above_avg_balance", "running_user_totals",
-    "variant_props_stats", "regr_value_trend", "rolling_zscore_anomalies",
-    "time_weighted_avg", "wma_trailing", "gap_percentiles",
-    "regr_trend_pandas", "sliding_window_counts", "rolling_7d_active_users",
-    "knn_bruteforce", "knn_lsh", "embedding_near_dups",
-    "lsh_bucket_histogram", "knn_lsh_multi", "knn_pandas_vectorized",
-    "knn_ivf", "embedding_quantization_error", "sliding_hour_avg",
-    "user_top_type", "user_type_set", "weekday_hour_profile",
-    "fuzzy_name_match", "keep_latest_per_user", "gap_fill_hourly",
-    "scd2_user_type_intervals", "transition_matrix", "rolling_median",
-    "tpch_q1", "tpch_q3", "tpch_q10", "tpch_q6", "tpch_q4", "tpch_q14",
-    "tpch_q18", "tpch_q7", "tpch_q13", "tpch_q15", "tpch_q17", "tpch_q19",
-]
-_R3_FIXED_REDS = ["tpch_q12", "context_packing", "regex_redaction"]
-_R3_NEW: list[str] = [
-    "streaming_rollup_batch", "streaming_dedupe_batch",
-    "streaming_interval_join_batch", "streaming_merge_batch",
-]
-
-
-def _gate_order(names: list[str]) -> list[str]:
-    head = [
-        n
-        for n in _R3_NEVER_GATED + _R3_FIXED_REDS + _R3_NEW
-        if n in names
-    ]
-    seen = set(head)
-    # stable de-dup: head tiers first, then registration order
-    return head + [n for n in names if n not in seen]
+# The order is DERIVED, not hand-curated: GATES.json records each
+# entry's last green driver gate (round + git sha of the gated code
+# state; rebuilt by scripts/update_gates.py), and gating.gate_order()
+# leads with (1) entries never gated green, then (2) entries whose
+# implementing modules — transitive intra-package import closure of
+# their registry module — changed since their last-gate sha, then the
+# proven tail in registration order. Edits can no longer hide behind
+# prior-round green artifacts.
+from milan_telecom_etl__spark.gating import gate_order as _gate_order
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {n: _reg.QUERIES[n] for n in _gate_order(list(_reg.QUERIES))}
+    return {n: _reg.QUERIES[n] for n in _gate_order(_reg.QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
-    q = _gate_order(list(_reg.QUERIES))
+    q = _gate_order(_reg.QUERIES)
     return {n: _reg.ORACLES[n] for n in q if n in _reg.ORACLES}

@@ -417,7 +417,7 @@ def q_user_gap_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_udtf",
     f"""
     WITH e AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -1,0 +1,245 @@
+"""Registry entries: Structured Streaming operators driven in batch
+mode (VERDICT r3 missing-item #4).
+
+The streaming machinery (watermarked windowed aggregation, bounded-state
+dedupe, watermarked stream-stream interval join, foreachBatch MERGE
+sink) already has batch-equivalence pytest coverage
+(tests/test_streaming.py); these entries give each a DuckDB-oracled
+front door: readStream over the driver's parquet testdata, drained with
+``trigger(availableNow=True)`` into a memory sink, result returned as a
+plain DataFrame the driver can collect and hash against ANSI SQL.
+
+Determinism notes (what makes a streaming op oracle-able):
+- availableNow with no maxFilesPerTrigger processes all input as ONE
+  micro-batch, so no state is watermark-GC'd mid-drain and inner joins
+  emit exactly the batch join result.
+- the dedupe entry projects ONLY its key columns — which physical row
+  of a duplicate group survives is execution-order-dependent, the key
+  set is not.
+- the merge entry manufactures a deterministic TWO-batch history
+  (mtime-ordered single-file batches + maxFilesPerTrigger=1) so the
+  upsert path — not just blind insert — is what the oracle checks.
+
+Scale: identical shapes to the batch twins — the windowed agg keys
+state on (window, event_type) bounded by the watermark; dedupe state
+ages out at the watermark horizon; the interval join GCs both sides'
+state past the event-time bound; the merge sink rewrites only touched
+keys per micro-batch.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .queries_registry import register
+
+_EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the driver's events parquet. Same nanos handling
+    as sources/parquet.load_table: TIMESTAMP(NANOS) surfaces as long
+    under nanosAsLong, floor-converted ns → µs (matching DuckDB's
+    TIMESTAMP_NS fetch truncation) before any event-time op."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # file streams need a directory source; pathGlobFilter narrows the
+    # listing to the one events file
+    raw = (
+        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _drain(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming plan to completion (availableNow) into a memory
+    sink and hand back the materialized table."""
+    name = f"bt_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "streaming_rollup_batch",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_rollup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The A2 hourly roll-up as a watermarked tumbling-window streaming
+    aggregation (streaming/ingest.hourly_rollup_stream shape), drained
+    batch-style. Exact-integer micro-unit sums (the gap_fill_hourly
+    convention) keep the float total order-insensitive on both sides.
+    State story at scale: incremental agg keyed on (window, event_type),
+    watermark bounds open windows."""
+    ev = _stream_events(spark, sf_dir).withColumn(
+        "vu", F.round(F.col("value") * 1000000).cast("long")
+    )
+    agg = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("vu").alias("su"))
+    )
+    out = _drain(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("hour"),
+        "event_type",
+        "n_events",
+        F.round(F.col("su") / 1000000.0, 6).alias("total_value"),
+    )
+
+
+@register(
+    "streaming_dedupe_batch",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q_streaming_dedupe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-state streaming dedupe (dropDuplicatesWithinWatermark,
+    streaming/ingest.dedupe_stream shape) on (user_id, event_type).
+    Only the key columns are emitted — WHICH row of a duplicate group
+    survives is execution-order-dependent, the key set equals batch
+    DISTINCT exactly. State ages out at the watermark horizon, the fix
+    that keeps an exactly-once repair viable on an unbounded stream."""
+    ev = _stream_events(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return _drain(deduped, "append")
+
+
+@register(
+    "streaming_interval_join_batch",
+    """
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_streaming_interval_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (last-touch attribution,
+    streaming/ingest.interval_join_streams shape): purchases join the
+    clicks that preceded them by ≤1 h for the same user. Both sides
+    watermarked + event-time-bounded join condition = GC-able state on
+    a real stream; drained as one availableNow batch it emits exactly
+    the batch interval-join matches."""
+    clicks = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    purchases = (
+        _stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user_id = p_user_id AND p_ts >= c_ts "
+            "AND p_ts <= c_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select(F.col("p_user_id").alias("user_id"), "purchase_id", "click_id")
+    return _drain(joined, "append")
+
+
+@register(
+    "streaming_merge_batch",
+    """
+    SELECT event_id, user_id, event_type FROM events WHERE event_id % 2 = 1
+    UNION ALL
+    SELECT event_id, user_id, event_type FROM events
+    WHERE event_id % 2 = 0
+      AND user_id NOT IN (SELECT user_id FROM events WHERE event_id % 2 = 1)
+    """,
+)
+def q_streaming_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE sink (streaming/ingest.stream_merge_sink) onto
+    a versioned snapshot table, driven through a manufactured TWO-batch
+    history: even-event_id rows land as micro-batch 1, odd rows as
+    micro-batch 2 (single-file batches, mtime-ordered,
+    maxFilesPerTrigger=1). Batch 2 upserts by user_id — every user with
+    an odd event has ALL their even rows replaced — so the oracle checks
+    the replace path, not just insert. Final table = odd rows ∪ even
+    rows of odd-untouched users."""
+    from .pipeline import read_versioned
+    from .sources.parquet import load_table
+    from .streaming.ingest import stream_merge_sink
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    work = tempfile.mkdtemp(prefix="merge_batch_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        # one file per micro-batch; FileStreamSource orders by mtime
+        for i, (pred, mtime) in enumerate(
+            [(F.col("event_id") % 2 == 0, 1_000_000), (F.col("event_id") % 2 == 1, 2_000_000)]
+        ):
+            part_dir = os.path.join(work, f"stage{i}")
+            ev.where(pred).coalesce(1).write.parquet(part_dir)
+            part = next(
+                f for f in os.listdir(part_dir) if f.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(os.path.join(part_dir, part), dst)
+            os.utime(dst, (mtime, mtime))
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        tbl = os.path.join(work, "tbl")
+        ckpt = os.path.join(work, "ckpt")
+        q = stream_merge_sink(
+            stream, tbl, ["user_id"], ckpt,
+            query_name=f"merge_batch_{uuid.uuid4().hex[:8]}",
+        )
+        q.awaitTermination()
+        # materialize before the version dirs are deleted; extract by
+        # field name (createDataFrame binds Rows to a schema by position)
+        rows = [
+            (r["event_id"], r["user_id"], r["event_type"])
+            for r in read_versioned(spark, tbl).collect()
+        ]
+        return spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
