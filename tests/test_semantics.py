@@ -367,3 +367,29 @@ def test_winnowing_shared_run_shares_fingerprint(spark):
         sets.setdefault(r["doc_id"], set()).add(r["fp"])
     assert sets[0] & sets[1], "shared 10-word run must share a fingerprint"
     assert not (sets[0] & sets[2]) and not (sets[1] & sets[2])
+
+
+def test_fuzzy_blocking_is_not_degenerate(spark):
+    """VERDICT r3 #3: length-blocking collapsed fixed-width supplier
+    names into ONE all-pairs block. The deletion-variant blocks must
+    stay bounded — no single block may contain the whole table — while
+    remaining exact for the equal-length dist<=1 predicate."""
+    from milan_telecom_etl__spark.registry_analytics import fuzzy_block_variants
+
+    # sf0.01: 100 suppliers — sf0.001's 10 sequential names are ALL
+    # genuinely within dist 1 of each other, so its candidate block
+    # legitimately spans the table
+    supp = load_table(spark, "/root/testdata/sf0.01", "supplier").select(
+        F.col("s_name").alias("name_a")
+    )
+    n_names = supp.count()
+    sizes = (
+        fuzzy_block_variants(supp, "name_a")
+        .groupBy("pos", "variant")
+        .count()
+        .agg(F.max("count").alias("mx"), F.count(F.lit(1)).alias("n_blocks"))
+        .first()
+    )
+    assert sizes["mx"] < n_names, "a single block holds the whole table"
+    # block count must scale with the corpus, not stay O(#lengths)
+    assert sizes["n_blocks"] > n_names
