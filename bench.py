@@ -52,9 +52,25 @@ def main() -> None:
     # The stdout line must stay SHORT: the driver captures a bounded tail
     # and failed to parse the 140-entry map in r1/r2 ("parsed": null).
     # Full per-query timings go to a sidecar instead (VERDICT r2 #4).
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump({"sf": sf, "queries": timings}, f, sort_keys=True)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail = {"sf": sf, "queries": timings}
+    with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, sort_keys=True)
+    # round-stamped sidecar too (VERDICT r3 #8): the current round is one
+    # past the newest driver CORRECTNESS artifact, so per-query timings
+    # can be diffed across rounds from git history alone
+    import glob as _glob
+    import re as _re
+
+    rounds = [
+        int(m.group(1))
+        for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+        if (m := _re.search(r"r(\d+)\.json$", p))
+    ]
+    with open(
+        os.path.join(repo, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json"), "w"
+    ) as f:
+        json.dump(detail, f, sort_keys=True)
     slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:5])
     print(
         json.dumps(

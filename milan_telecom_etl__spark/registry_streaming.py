@@ -63,17 +63,31 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain(stream_df: DataFrame, mode: str) -> DataFrame:
     """Run a streaming plan to completion (availableNow) into a memory
-    sink and hand back the materialized table."""
+    sink and hand back the materialized table.
+
+    State partitions are pinned low (8) for the drain: every stateful
+    operator commits one state store PER shuffle partition PER batch,
+    and at 32 partitions that fixed commit cost is ~4× the actual work
+    for a bounded single-batch drain. A production deployment of the
+    same plan sizes spark.sql.shuffle.partitions to stream throughput
+    instead — the knob is per-query-start, which is why it's set here
+    and restored after."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"bt_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
 
 
 @register(

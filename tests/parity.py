@@ -83,16 +83,21 @@ def check_oracle_types(
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    # Bind the oracle and check type hazards FIRST (ADVICE r3): a binder
+    # error or int128 wire type fails fast, before either engine
+    # executes, and the oracle is processed once per side, not twice.
+    try:
+        duck_types = oracle_output_types(con, sql)
+    except duckdb.Error as e:
+        return False, f"oracle failed to bind: {e}"
+    hazards = check_oracle_types(dict(spark_df.dtypes), duck_types)
+    if hazards:
+        return False, f"oracle type hazard: {hazards}"
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(sql)
     d_cols = [d[0] for d in rel.description]
     d_rows = rel.fetchall()
-    hazards = check_oracle_types(
-        dict(spark_df.dtypes), oracle_output_types(con, sql)
-    )
-    if hazards:
-        return False, f"oracle type hazard: {hazards}"
     if sorted(s_cols) != sorted(d_cols):
         return False, f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
