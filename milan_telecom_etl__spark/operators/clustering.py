@@ -30,10 +30,22 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def _centroid_array(cent_rows: list[tuple[int, list[float]]]) -> Column:
-    """Centroids as a literal array<struct<cid, ce>> — the broadcast-
-    variable pattern, expressed as a constant the optimizer can fold."""
-    return F.array(
+def assign_clusters(
+    vectors: DataFrame,
+    cent_rows: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """E-step, map-side: per row, fold the centroid literal to the
+    (dist², cid) minimum — array_min on the struct picks min distance
+    with a deterministic cid tiebreak. Centroids enter as a folded
+    constant (the broadcast-variable pattern for k·d driver-side
+    numbers); a broadcast one-row relation was tried and measured
+    SLOWER warm — the extra per-iteration broadcast exchange outweighs
+    literal-plan codegen churn. The scored array is referenced twice
+    (cluster, dist), so the k·d fold is evaluated twice per row — still
+    cheaper at scale than any formulation that shuffles the vectors
+    (CollapseProject would inline a shared column anyway)."""
+    cents = F.array(
         *[
             F.struct(
                 F.lit(int(cid)).cast("long").alias("cid"),
@@ -42,22 +54,9 @@ def _centroid_array(cent_rows: list[tuple[int, list[float]]]) -> Column:
             for cid, ce in cent_rows
         ]
     )
-
-
-def assign_clusters(
-    vectors: DataFrame,
-    cent_rows: list[tuple[int, list[float]]],
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """E-step, map-side: per row, fold the centroid literal to the
-    (dist², cid) minimum — array_min on the struct picks min distance
-    with a deterministic cid tiebreak. The scored array is referenced
-    twice (cluster, dist), so the k·d fold is evaluated twice per row —
-    still cheaper at scale than any formulation that shuffles the
-    vectors (CollapseProject would inline a shared column anyway)."""
     v = _as_double(F.col(vec_col))
     scored = F.transform(
-        _centroid_array(cent_rows),
+        cents,
         lambda c: F.struct(sq_dist(v, c["ce"]).alias("d"), c["cid"].alias("cid")),
     )
     return vectors.withColumn("cluster", F.array_min(scored)["cid"]).withColumn(
@@ -112,6 +111,10 @@ def kmeans(
     scan + one tiny agg per iteration. Centroids are quantized to
     `round_dp` decimals each M-step (see recompute_centroids) so the
     full iterative run is oracle-checkable across engines."""
+    # cache the (reused-every-round) input — the MLlib convention for
+    # iterative algorithms; released once the final assignment below is
+    # the only remaining consumer
+    vectors = vectors.persist()
     cents = seed_rows(vectors, k, id_col, vec_col)
     for _ in range(iters):
         assigned = assign_clusters(vectors, cents, vec_col)
@@ -119,4 +122,9 @@ def kmeans(
             (r["cluster"], [float(x) for x in r["centroid"]])
             for r in recompute_centroids(assigned, vec_col, round_dp).collect()
         )
-    return assign_clusters(vectors, cents, vec_col).select(id_col, "cluster", "dist")
+    out = assign_clusters(vectors, cents, vec_col).select(id_col, "cluster", "dist")
+    # final E-step output is O(N) id/cluster/dist triples — snapshot it
+    # so the input cache releases here instead of leaking to the caller
+    out = out.localCheckpoint(eager=True)
+    vectors.unpersist()
+    return out

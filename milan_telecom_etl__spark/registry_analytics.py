@@ -726,9 +726,16 @@ def q_pagerank_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("id")).distinct().persist()
     n = nodes.count()
     ranks = nodes.withColumn("r", F.lit(1.0 / n))
+    # rank state is |V| rows — known exactly (n). Below ~1M nodes the
+    # per-iteration join broadcasts the rank side, so the (much larger,
+    # persisted) edge list is never re-shuffled or re-sorted: one
+    # shuffle per iteration (the dst aggregation) instead of three.
+    # Larger graphs fall back to the shuffle join automatically.
+    small_v = n < 1_000_000
     for _ in range(_PR_ITERS):
+        rk = F.broadcast(ranks) if small_v else ranks
         ranks = (
-            ed.join(ranks, ed.src == ranks.id)
+            ed.join(rk, ed.src == rk.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(
                 F.round(
