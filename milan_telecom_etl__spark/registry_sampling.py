@@ -170,6 +170,11 @@ def q_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-frequency signature."""
     from .operators.dedup import simhash
 
+    # the signature subplan appears on both sides of the self-join;
+    # measured: recomputing it per side beats materialize-once here
+    # (both branches pipeline inside one job, while an eager snapshot
+    # serializes build → join). At corpus scale, flip to a persisted
+    # signature table once the build dominates the join.
     sig = simhash(load_table(spark, sf_dir, "documents"))
     bands = F.explode(
         F.array(
@@ -232,5 +237,69 @@ def q_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_kept"),
             F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "weighted_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) + 1 AS w,
+             ({_FULL_HASH_SQL.format(salt="ws:", key="doc_id")} % 1000000 + 0.5)
+               / 1000000.0 AS u
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, w,
+             row_number() OVER (
+               PARTITION BY source ORDER BY ln(u) / w DESC, doc_id) AS rk
+      FROM t
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(w) AS BIGINT) AS w_sum, CAST(sum(doc_id) AS BIGINT) AS id_sum
+    FROM r WHERE rk <= 10 GROUP BY source
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, per source: the
+    Efraimidis–Spirakis one-pass scheme — rank by ln(u)/w (u a salted
+    hash-uniform, w the token-count weight) and keep the top k per
+    partition. Longer documents draw proportionally more keep
+    probability, the draw is engine-reproducible (no RNG state: u is a
+    pure function of doc_id), and the whole thing is one window shuffle
+    keyed on source. Integer outputs (counts + weight/id sums) prove
+    both engines kept the IDENTICAL subset; the only float is the sort
+    key, where sub-ulp libm drift cannot reorder hash-grid-spaced keys
+    and exact ties fall to the doc_id tie-break. At 100 TB this is the
+    corpus-mixing draw: temperature-adjust w per source and the same
+    window does quality-weighted mixture sampling."""
+    from .operators.text import word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = docs.select(
+        "doc_id",
+        "source",
+        (word_count(F.col("text")) + 1).cast("long").alias("w"),
+        ((h % 1000000 + 0.5) / 1000000.0).alias("u"),
+    )
+    wnd = Window.partitionBy("source").orderBy(
+        (F.log("u") / F.col("w")).desc(), "doc_id"
+    )
+    return (
+        t.withColumn("rk", F.row_number().over(wnd))
+        .filter(F.col("rk") <= 10)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("w").cast("long").alias("w_sum"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )
