@@ -204,9 +204,14 @@ def test_near_dup_edge_build_is_lsh_pruned(spark):
     # itself and is fine (bounded by the broadcast heavy-shingle list)
     assert not re.search(r"Join \[shingle#\d+\], \[shingle#\d+\], Inner", plan)
 
+    # the edge substrate (checked banded above) is consumed through a
+    # materialized label snapshot: the cluster output must be the tiny
+    # label set broadcast back onto the corpus, not a re-derivation of
+    # the whole LSH lineage per consumer
     clusters = D.near_dup_clusters(docs, threshold=0.5, max_iter=1)
     cplan = clusters._jdf.queryExecution().analyzed().toString()
-    assert "band_hash" in cplan  # edges derive from the banded path
+    assert "LogicalRDD" in cplan  # snapshotted labels, lineage truncated
+    assert "broadcast" in cplan  # reattachment join broadcasts the labels
 
 
 def test_tpch_q9_broadcasts_all_dims_one_exchange_pair(spark):
@@ -248,3 +253,24 @@ def test_l2_normalize_materializes_norm_once(spark):
     # pushes below the fence with the full expression substituted)
     composed = l2_normalize(emb).select("vec_id", F.posexplode_outer("unit"))
     assert _plan(composed).count("zip_with") == 1
+
+
+def test_fuzzy_pairs_joins_on_block_keys_not_nested_loop(spark):
+    """VERDICT r3 #3: the fuzzy match must be an EQUALITY join on the
+    deletion-variant block keys — never a nested-loop/cartesian over a
+    degenerate block."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["fuzzy_supplier_pairs"](spark, SF))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # the join keys are the block columns, hashed or sorted on equality
+    assert "pos" in plan and "variant" in plan
+
+
+def test_pagerank_iterations_broadcast_rank_state(spark):
+    """Rank state below the node threshold rides BroadcastHashJoins;
+    the persisted edge list must not be re-sorted per iteration."""
+    import __spark_entry__ as entrymod
+
+    plan = _plan(entrymod.queries()["pagerank_part_supplier"](spark, SF))
+    assert "BroadcastHashJoin" in plan
