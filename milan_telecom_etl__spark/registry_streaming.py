@@ -40,25 +40,36 @@ from pyspark.sql import functions as F
 from .queries_registry import register
 
 _EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
+    "event_id long, ts {ts_type}, user_id long, event_type string, value double, props string"
 )
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the driver's events parquet. Same nanos handling
-    as sources/parquet.load_table: TIMESTAMP(NANOS) surfaces as long
-    under nanosAsLong, floor-converted ns → µs (matching DuckDB's
-    TIMESTAMP_NS fetch truncation) before any event-time op."""
+    """readStream over the driver's events parquet. Same timestamp
+    handling as sources/parquet.load_table, made schema-adaptive: a
+    cheap batch footer probe decides whether `ts` is TIMESTAMP(NANOS)
+    (surfaces as long under nanosAsLong; floor-convert ns → µs, the
+    same truncation DuckDB applies fetching TIMESTAMP_NS) or a native
+    TIMESTAMP(MICROS) Spark reads directly. File streams take a fixed
+    user schema, so the probe picks it before the stream starts."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import types as T
+
+    probe = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = isinstance(probe["ts"].dataType, T.LongType)
     # file streams need a directory source; pathGlobFilter narrows the
     # listing to the one events file
     raw = (
-        spark.readStream.schema(_EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(
+            _EVENTS_STREAM_SCHEMA.format(ts_type="long" if ts_is_long else "timestamp")
+        )
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def _drain(stream_df: DataFrame, mode: str) -> DataFrame:

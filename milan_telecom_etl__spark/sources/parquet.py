@@ -19,23 +19,32 @@ from ..schemas import TESTDATA_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark only reads as
-# long (spark.sql.legacy.parquet.nanosAsLong). We floor-convert ns → µs
-# — same truncation DuckDB applies fetching TIMESTAMP_NS — and pin the
-# session TZ to UTC (the engine's parity convention, SURVEY.md §7.4.5)
-# so the reconstructed wall-clock matches the oracle's naive reading.
-_NANOS_TS_COLS = {"events": ["ts"]}
+# Event-time columns whose parquet physical type has varied across
+# driver testdata generations: TIMESTAMP(NANOS) (Spark only reads as
+# long under spark.sql.legacy.parquet.nanosAsLong) through round 4,
+# TIMESTAMP(MICROS) isAdjustedToUTC=false (Spark 4 infers
+# TIMESTAMP_NTZ) since round 5. Either way the engine normalizes to
+# session-TZ TIMESTAMP with the session pinned to UTC (the parity
+# convention, SURVEY.md §7.4.5) so downstream `cast(ts as bigint)`
+# epoch math works and the wall-clock matches the oracle's naive read:
+# - long nanos → floor ns→µs (same truncation DuckDB applies fetching
+#   TIMESTAMP_NS) → timestamp_micros
+# - TIMESTAMP_NTZ → cast to TIMESTAMP (interpreted in the UTC session
+#   TZ, so the wall-clock is preserved bit-for-bit)
+_EVENT_TS_COLS = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in _NANOS_TS_COLS.get(name, []):
+    for c in _EVENT_TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):
             # `div` = integer division: ns/1000 as a double would lose
             # precision (epoch-ns ≈ 1.7e18 > 2^53) and round µs up.
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
 
 
