@@ -859,3 +859,58 @@ def q_fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("name_a", "name_b", "dist")
     )
+
+
+@register(
+    "pareto_frontier_parts",
+    """
+    WITH pts AS (
+      SELECT p_retailprice AS price, p_size AS size, count(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT price, size, n_parts
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.price <= p.price AND q.size >= p.size
+        AND (q.price < p.price OR q.size > p.size)
+    )
+    """,
+)
+def q_pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier query: the set of (price, size) points
+    not dominated by any other (cheaper-or-equal AND bigger-or-equal,
+    strict somewhere) — minimize p_retailprice, maximize p_size.
+
+    The oracle states dominance directly (NOT EXISTS self-join); the
+    Spark plan is the sort-scan formulation: after reducing to distinct
+    points, sort by (price asc, size desc) and keep rows whose running
+    max size over all PRECEDING rows is below their own — an exact
+    rewrite of the dominance test, O(n log n) not O(n^2).
+
+    Scale story: a skyline is prunable partition-locally — any point
+    dominated within one partition is dominated globally — so stage 1
+    runs the same window keyed by partition id (parallel, no global
+    sort), and only the per-partition survivors (tiny: each partition's
+    own frontier) reach the stage-2 global window."""
+    from pyspark.sql.window import Window
+
+    part = load_table(spark, sf_dir, "part")
+    pts = part.groupBy(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+
+    def _survivors(df: DataFrame, *keys) -> DataFrame:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.asc("price"), F.desc("size"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("_pm", F.max("size").over(w))
+            .filter(F.col("_pm").isNull() | (F.col("_pm") < F.col("size")))
+            .drop("_pm")
+        )
+
+    local = _survivors(pts.withColumn("pid", F.spark_partition_id()), "pid")
+    return _survivors(local.drop("pid")).select("price", "size", "n_parts")

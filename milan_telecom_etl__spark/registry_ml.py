@@ -244,3 +244,114 @@ def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.round(F.col("features")[i], 6).alias(f"f{i}") for i in range(4)],
     )
     return decoded.join(feats, "media_id")
+
+
+@register(
+    "auc_returnflag",
+    """
+    WITH scored AS (
+      SELECT l_extendedprice AS score,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS pos
+      FROM lineitem
+    ),
+    g AS (
+      SELECT score, count(*) AS n, sum(pos) AS n_pos
+      FROM scored GROUP BY score
+    ),
+    r AS (
+      SELECT n, n_pos,
+             2 * (sum(n) OVER (ORDER BY score) - n) + n + 1 AS two_avg_rank
+      FROM g
+    ),
+    u AS (
+      SELECT sum(n_pos) AS np, sum(n - n_pos) AS nn,
+             sum(n_pos * two_avg_rank) AS s2
+      FROM r
+    )
+    SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+           round((s2 - np * (np + 1.0)) / (2.0 * np * nn), 6) AS auc
+    FROM u
+    """,
+)
+def q_auc_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC via the Mann-Whitney U statistic with
+    tie-averaged ranks (label: l_returnflag = 'R', score:
+    l_extendedprice) — the model-eval aggregate for any quality/toxicity
+    classifier scoring a corpus.
+
+    All rank arithmetic is integer (2*avg_rank is always integral), so
+    the result is exact, not summation-order floating point.
+
+    Scale story: no global single-partition sort. Scores are first
+    reduced to one row per distinct score (map-side combine), then the
+    running rank prefix is computed distributively: rows get a
+    VALUE-DERIVED range bucket (count of broadcast approx-quantile
+    cutpoints below the score — same 1-row-crossJoin shape as the
+    quality-registry cutpoint entries), per-bucket windows run in
+    parallel, and a window over the 16-row per-bucket totals yields the
+    broadcast offsets — the classic two-phase distributed prefix sum.
+    The bucket key MUST be derived from the value, not
+    spark_partition_id() after repartitionByRange: the range
+    partitioner's sampled boundaries change between evaluations of the
+    same plan (seeded by rdd id), so partition ids computed in two
+    branches of a self-join need not agree. Bucket skew only degrades
+    parallelism, never correctness.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.col("l_extendedprice").alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
+    )
+    g = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    cuts = g.agg(
+        F.percentile_approx(
+            "score", [i / 16.0 for i in range(1, 16)], 10000
+        ).alias("cuts")
+    )
+    ranged = g.crossJoin(F.broadcast(cuts)).withColumn(
+        "pid",
+        F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(F.col("score") > c, 1).otherwise(0),
+        ),
+    ).drop("cuts")
+    # one row per range bucket -> tiny window, then broadcast back
+    off_w = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.sum("n").alias("pn"))
+        .select("pid", F.coalesce(F.sum("pn").over(off_w), F.lit(0)).alias("off"))
+    )
+    in_w = Window.partitionBy("pid").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = ranged.join(F.broadcast(offsets), "pid").select(
+        "n",
+        "n_pos",
+        (
+            2 * (F.col("off") + F.sum("n").over(in_w) - F.col("n"))
+            + F.col("n")
+            + 1
+        ).alias("two_avg_rank"),
+    )
+    u = r.agg(
+        F.sum("n_pos").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("nn"),
+        F.sum(F.col("n_pos") * F.col("two_avg_rank")).alias("s2"),
+    )
+    return u.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("s2") - F.col("np") * (F.col("np") + F.lit(1.0)))
+            / (F.lit(2.0) * F.col("np") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )

@@ -576,3 +576,101 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), "o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: the fixed-memory answer when even the exact key
+# table of `heavy_hitters` won't fit.
+# ---------------------------------------------------------------------------
+
+_CM_D = 4  # hash rows
+_CM_W = 512  # buckets per row
+
+# Portable md5-derived bucket (same convention as registry_sampling):
+# row j draws an independent hash via the salt "cm{j}:".
+_CM_BUCKET_SQL = (
+    "(('0x' || substr(md5('cm' || CAST({j} AS VARCHAR) || ':' "
+    "|| CAST({key} AS VARCHAR)), 1, 15))::BIGINT % {w})"
+)
+
+
+def _cm_bucket(key, j):
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("cm"), j.cast("string"), F.lit(":"), key.cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % _CM_W
+
+
+@register(
+    "countmin_heavy_hitters",
+    f"""
+    WITH rows_j AS (
+      SELECT user_id, j
+      FROM events CROSS JOIN (SELECT unnest(range({_CM_D})) AS j)
+    ),
+    sketch AS (
+      SELECT j, {_CM_BUCKET_SQL.format(j="j", key="user_id", w=_CM_W)} AS bucket,
+             count(*) AS c
+      FROM rows_j GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT user_id, count(*) AS n_exact
+      FROM events GROUP BY user_id
+      ORDER BY n_exact DESC, user_id LIMIT 10
+    ),
+    probes AS (
+      SELECT e.user_id, e.n_exact, j.j,
+             {_CM_BUCKET_SQL.format(j="j.j", key="e.user_id", w=_CM_W)} AS bucket
+      FROM exact e CROSS JOIN (SELECT unnest(range({_CM_D})) AS j) j
+    )
+    SELECT p.user_id, p.n_exact, min(s.c) AS n_cms
+    FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+    GROUP BY p.user_id, p.n_exact
+    """,
+)
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (d=4 x w=512, md5-derived
+    portable hashes) probed at the exact top-10 event users, so the
+    oracle checks the sketch's actual estimates (n_cms >= n_exact by
+    construction; overestimate bounded by ~e*N/w per row, min over d).
+
+    Scale story: the sketch build is one explode(d) + hash-agg —
+    map-side partial aggregation IS the sketch merge, so each executor
+    reduces its split to a d x w grid (2048 cells) before the shuffle,
+    and sketch size is independent of both corpus size and key
+    cardinality. The probe side is a broadcast join of 10 keys x d
+    rows against the sketch. This is the drop-in replacement for
+    `heavy_hitters` when the per-key exact table itself is the thing
+    that won't fit (billions of distinct keys)."""
+    ev = load_table(spark, sf_dir, "events")
+    js = F.array([F.lit(j) for j in range(_CM_D)])
+    fan = ev.select("user_id", F.explode(js).alias("j"))
+    sketch = (
+        fan.withColumn("bucket", _cm_bucket(F.col("user_id"), F.col("j")))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.desc("n_exact"), "user_id")
+        .limit(10)
+    )
+    probes = exact.select(
+        "user_id", "n_exact", F.explode(js).alias("j")
+    ).withColumn("bucket", _cm_bucket(F.col("user_id"), F.col("j")))
+    return (
+        sketch.join(F.broadcast(probes), ["j", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("c").alias("n_cms"))
+    )
