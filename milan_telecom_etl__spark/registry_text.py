@@ -1146,3 +1146,199 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb").cast("long").alias("n_bigrams"),
         F.round(F.col("sq") / (F.col("nb") * F.lit(1e9)), 6).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: exact set-similarity join (prefix filter) + fixed-size-
+# broadcast decontamination (expression-level Bloom filter)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setsim_prefix_join",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    tok AS (
+      SELECT DISTINCT doc_id, s AS w
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                      i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+        FROM words)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
+    """,
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set Jaccard >= 0.6 pair join via prefix filtering
+    (Bayardo/Chaudhuri PPJoin family) — the deterministic complement to
+    the probabilistic MinHash-LSH path: zero false negatives, no
+    signature tuning. The set universe is distinct word-3-gram shingles
+    (the ngram_jaccard_pairs substrate); unigram sets degenerate on
+    template-heavy corpora where every doc shares the same vocabulary.
+
+    Candidate generation joins only each set's PREFIX — its
+    |s| - ceil(tau*|s|) + 1 rarest shingles under a global (document
+    frequency asc, shingle asc) order; two sets with J >= tau must
+    share a prefix shingle. Survivors get an exact intersection count
+    and the real Jaccard test. The oracle generates candidates from ANY
+    shared shingle (brute force), so the parity gate itself proves the
+    prefix filter loses no pairs on this corpus.
+
+    Scale story: the quadratic explosion lives in the candidate join,
+    and prefix filtering shrinks it doubly — only rare shingles join
+    (frequency order puts boilerplate OUT of prefixes), and only
+    prefix-vs-prefix rows pair. Shingle df ranks ride the per-doc sort
+    (window per doc, parallel); no global rank table is materialized.
+    The exact-verify join touches candidates only."""
+    from pyspark.sql.window import Window
+
+    tau = 0.6
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        D.shingle_table(docs, n=3)
+        .select("doc_id", F.col("shingle").alias("w"))
+        .distinct()
+    )
+    dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ordered = tok.join(dfreq, "w").join(sizes, "doc_id")
+    doc_w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("w"))
+    prefix = (
+        ordered.withColumn("rn", F.row_number().over(doc_w))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + F.lit(1)
+        )
+        .select("doc_id", "w")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "w")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "w")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "w")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "w"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= tau)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+_BLOOM_M = 65536  # bits
+_BLOOM_K = 3  # hash functions, salts "bf0:".."bf2:"
+
+
+@register(
+    "bloom_decontamination",
+    f"""
+    WITH {_SHINGLE5_CTE},
+    bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 89 = 0)
+    SELECT a.doc_id, count(*) AS n_hit_shingles
+    FROM sh5 a JOIN bench b USING (s)
+    WHERE a.doc_id % 89 <> 0
+    GROUP BY a.doc_id
+    """,
+)
+def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination with a FIXED-SIZE broadcast: the benchmark's
+    5-gram shingle set is folded into a 65536-bit Bloom filter built as
+    a distributed bit_or aggregation (k=3 portable md5 hashes -> bit
+    positions -> 64-bit words; map-side partial agg IS the bloom
+    merge). The corpus side probes the <=1024-row (word, bits) table
+    through a broadcast join — so the broadcast cost is CAPPED at m/64
+    rows no matter how many benchmark shingles exist, unlike the plain
+    broadcast semi-join of `decontamination_audit` whose build side
+    grows with the benchmark. Bloom positives (k/k bits set) are then
+    verified EXACTLY against the true shingle set — candidates only —
+    so false positives never reach the result and the oracle is plain
+    exact SQL.
+
+    This is the hand-rolled, engine-portable twin of Spark's own
+    runtime bloom-filter join pruning
+    (spark.sql.optimizer.runtime.bloomFilter.enabled)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs, n=5).distinct()
+    is_bench = (F.col("doc_id") % 89) == 0
+    bench_sh = sh.filter(is_bench).select("shingle").distinct()
+    corpus_sh = sh.filter(~is_bench)
+
+    js = F.array([F.lit(j) for j in range(_BLOOM_K)])
+
+    def _pos(shingle_col, j_col):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("bf"), j_col.cast("string"), F.lit(":"), shingle_col)),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return h % _BLOOM_M
+
+    def _word_mask(df):
+        pos = _pos(F.col("shingle"), F.col("j"))
+        return df.withColumn("__pos", pos).select(
+            df["*"],
+            (F.col("__pos") / 64).cast("long").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__pos % 64 AS INT))").alias(
+                "mask"
+            ),
+        )
+
+    bench_bits = (
+        _word_mask(bench_sh.select("shingle", F.explode(js).alias("j")))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probed = (
+        _word_mask(corpus_sh.select("doc_id", "shingle", F.explode(js).alias("j")))
+        .join(F.broadcast(bench_bits), "word", "left")
+        .select(
+            "doc_id",
+            "shingle",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) != 0),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+        .groupBy("doc_id", "shingle")
+        .agg(F.sum("hit").alias("k_hits"))
+        .filter(F.col("k_hits") == _BLOOM_K)
+        .select("doc_id", "shingle")
+    )
+    verified = probed.join(bench_sh, "shingle", "left_semi")
+    return verified.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hit_shingles")
+    )

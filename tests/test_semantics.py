@@ -499,3 +499,48 @@ def test_bigram_lm_scores_fluent_text_higher(spark):
         F.size(F.split(normalize_text("text"), " ")) >= 2
     ).count()
     assert len(rows) == eligible
+
+
+def test_setsim_prefix_join_equals_bruteforce_operator(spark):
+    """Prefix-filtered exact join must return exactly the pairs the
+    brute-force shingle-Jaccard operator finds at the same threshold
+    (prefix filtering loses nothing, adds nothing)."""
+    from milan_telecom_etl__spark.registry_text import q_setsim_prefix_join
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in q_setsim_prefix_join(spark, sf).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 6)
+        for r in ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"), threshold=0.6
+        ).collect()
+        if r["jaccard"] >= 0.6
+    }
+    assert got == want and got, "prefix join must match brute force (non-empty)"
+
+
+def test_bloom_decontamination_matches_exact_semi_join(spark):
+    """Bloom prefilter + exact verify == plain exact decontamination
+    (false positives never survive, false negatives impossible)."""
+    from milan_telecom_etl__spark.operators import dedup as D
+    from milan_telecom_etl__spark.registry_text import q_bloom_decontamination
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_id"], r["n_hit_shingles"])
+        for r in q_bloom_decontamination(spark, sf).collect()
+    }
+    sh = D.shingle_table(load_table(spark, sf, "documents"), n=5).distinct()
+    bench = sh.filter((F.col("doc_id") % 89) == 0).select("shingle").distinct()
+    exact = {
+        (r["doc_id"], r["n"])
+        for r in sh.filter((F.col("doc_id") % 89) != 0)
+        .join(bench, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exact and got
