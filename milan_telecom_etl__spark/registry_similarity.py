@@ -349,3 +349,94 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(folded["s"], 6).alias("scale"),
         F.round(folded["sse"] / F.size(emb), 6).alias("mse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: SemDeDup — cluster-scoped embedding dedup
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_K = 8
+_SEMDEDUP_TAU = 0.4
+_SQDIST_ES = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE)"
+    " * (e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE)))"
+)
+
+
+@register(
+    "semdedup_keepers",
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {_SEMDEDUP_K}
+    ), pairs AS (
+      SELECT e.vec_id, s.cid, {_SQDIST_ES} AS d
+      FROM embeddings e, seeds s
+    ), best AS (
+      SELECT vec_id, arg_min(cid, d) AS cluster FROM pairs GROUP BY vec_id
+    ), b AS (
+      SELECT e.vec_id, e.embedding, t.cluster
+      FROM embeddings e JOIN best t USING (vec_id)
+    ), dropped AS (
+      SELECT DISTINCT y.vec_id
+      FROM b x JOIN b y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE {_cos("x.embedding", "y.embedding")} >= {_SEMDEDUP_TAU}
+    )
+    SELECT b.vec_id, CAST(b.cluster AS BIGINT) AS cluster
+    FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """,
+)
+def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup of an embedding
+    corpus by restricting the quadratic cosine comparison to k-means
+    cluster scopes — assign every vector to its nearest deterministic
+    seed centroid (vec_id < k, the kmeans_estep convention), then
+    inside each cluster drop any vector whose cosine to a LOWER-id
+    cluster-mate reaches tau (keep-first greedy; exact, deterministic).
+
+    Scale story: clustering is the tractability device — the pair join
+    is keyed on (cluster, ...) so each cluster's block is quadratic
+    only in ITS size, never in the corpus; centroids broadcast
+    (k rows), assignment is a map-side fold with no shuffle, and the
+    pair join shuffles on the cluster key. With balanced k ~ n/10k the
+    total comparison count is ~n^2/k — the knob the SemDeDup paper
+    turns. Distances/cosines are index-ordered folds, bit-identical to
+    the oracle's list_sum."""
+    from .operators.clustering import sq_dist
+    from .operators.similarity import _as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    d = sq_dist(_as_double(F.col("embedding")), _as_double(F.col("ce")))
+    best = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cid", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", F.col("d")).alias("cluster"))
+    )
+    b = emb.join(best, "vec_id").select("vec_id", "embedding", "cluster")
+    x = b.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("ea"),
+    )
+    y = b.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = F.round(cosine(_as_double(F.col("ea")), _as_double(F.col("eb"))), 6)
+    dropped = (
+        x.join(y, "cluster")
+        .filter(F.col("vid_a") < F.col("vid_b"))
+        .filter(cos >= F.lit(_SEMDEDUP_TAU))
+        .select(F.col("vid_b").alias("vec_id"))
+        .distinct()
+    )
+    return b.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", F.col("cluster").cast("long").alias("cluster")
+    )

