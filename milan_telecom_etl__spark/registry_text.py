@@ -1211,6 +1211,9 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.shingle_table(docs, n=3)
         .select("doc_id", F.col("shingle").alias("w"))
         .distinct()
+        .persist()  # five consumers (df ranks, sizes, prefix, both verify probes):
+        # without the cache each re-runs the normalize+regex+explode pipeline,
+        # the CPU hot spot (the registry_tpch.py:1063 convention)
     )
     dfreq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
