@@ -440,3 +440,121 @@ def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(dropped, "vec_id", "left_anti").select(
         "vec_id", F.col("cluster").cast("long").alias("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: product quantization (PQ) + asymmetric distance (ADC) kNN
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_SUBD = 8  # dims per subspace (M * SUBD = DIM)
+_PQ_K = 16  # codebook entries per subspace (vec_id < 16 seed convention)
+_PQ_NQ = 5  # queries
+_PQ_TOPK = 5
+
+_PQ_SUBDIST = (
+    "CAST(round(list_sum(list_transform(range(1, {subd} + 1), i -> "
+    "({a}[{s} * {subd} + i]::DOUBLE - {b}[{s} * {subd} + i]::DOUBLE)"
+    " * ({a}[{s} * {subd} + i]::DOUBLE - {b}[{s} * {subd} + i]::DOUBLE)))"
+    " * 1e9) AS BIGINT)"
+)
+
+
+@register(
+    "knn_pq_adc",
+    f"""
+    WITH cb AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {_PQ_K}
+    ), ss AS (SELECT unnest(range({_PQ_M})) AS s),
+    enc AS (
+      SELECT e.vec_id, ss.s, cb.cid,
+             {_PQ_SUBDIST.format(a="e.embedding", b="cb.ce", s="ss.s", subd=_PQ_SUBD)} AS dq
+      FROM embeddings e, cb, ss
+    ),
+    codes AS (
+      SELECT vec_id, s, arg_min(cid, dq * 16 + cid) AS code
+      FROM enc GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT vec_id AS query_id, s, cid, dq FROM enc WHERE vec_id < {_PQ_NQ}
+    ),
+    scored AS (
+      SELECT a.query_id, c.vec_id AS neighbor_id, sum(a.dq) AS dsum
+      FROM codes c JOIN adc a ON a.s = c.s AND a.cid = c.code
+      WHERE c.vec_id <> a.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(dsum / 1e9, 6) AS dist_pq,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY dsum, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_PQ_TOPK}
+    """,
+)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al.) — the fourth ANN strategy next to brute force,
+    sign-LSH, and IVF, and the one that shrinks the CORPUS: each
+    64-dim vector compresses to M=8 one-byte codes (64x), and query
+    distances come from an M x K lookup table (ADC) built per query,
+    never from the original corpus vectors.
+
+    Every subspace distance is 1e9-quantized at source, so code
+    assignment (arg_min over (dq, cid)) and the ADC sum ranking are
+    exact integer arithmetic on both engines.
+
+    Scale story: encoding is a map-side fold against the broadcast
+    codebook (K x M tiny); the corpus afterwards ships only
+    (vec_id, s, code) — the 64x compression is what lets a 100 TB
+    embedding table fit an in-memory ANN tier. Scoring joins the code
+    table to the broadcast per-query ADC tables on (s, code): one
+    shuffle-free broadcast join + one (query, neighbor) aggregation."""
+    from .operators.similarity import _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    cb = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    ss = spark.range(_PQ_M).select(F.col("id").cast("int").alias("s"))
+    subdist = F.expr(
+        f"CAST(round(aggregate(sequence(1, {_PQ_SUBD}), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + (element_at(e, s * {_PQ_SUBD} + i)"
+        f" - element_at(ce, s * {_PQ_SUBD} + i))"
+        f" * (element_at(e, s * {_PQ_SUBD} + i)"
+        f" - element_at(ce, s * {_PQ_SUBD} + i))) * 1e9) AS BIGINT)"
+    )
+    enc = (
+        emb.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(ss))
+        .select("vec_id", "s", "cid", subdist.alias("dq"))
+    )
+    codes = enc.groupBy("vec_id", "s").agg(
+        F.min_by("cid", F.col("dq") * 16 + F.col("cid")).alias("code")
+    )
+    adc = enc.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("cid").alias("code"), "dq"
+    )
+    scored = (
+        codes.join(F.broadcast(adc), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dq").alias("dsum"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("dsum", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dsum") / F.lit(1e9), 6).alias("dist_pq"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

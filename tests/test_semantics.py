@@ -590,3 +590,19 @@ def test_triangle_orientation_equals_id_order_count(spark):
     naive = e1.join(e2, "y").join(e3, ["x", "z"]).count()
     assert got["n_triangles"] == naive
     assert got["n_edges"] == e.count()
+
+
+def test_pq_adc_ranks_by_distance(spark):
+    from milan_telecom_etl__spark.registry_similarity import q_knn_pq_adc
+
+    rows = q_knn_pq_adc(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rk"], r["dist_pq"]))
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, lst in by_q.items():
+        lst.sort()
+        assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
+        dists = [d for _, d in lst]
+        assert dists == sorted(dists), "ADC distance must be non-decreasing in rank"
