@@ -268,3 +268,73 @@ def q_streaming_merge_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, "event_id long, user_id long, event_type string")
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_sessionize_batch",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 1000000) AS BIGINT) AS vu,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, vu,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*) AS n_events, sum(vu) AS total_micro
+      FROM s GROUP BY 1, 2
+    ),
+    mx AS (SELECT user_id, max(session_id) AS last_id FROM agg GROUP BY 1)
+    SELECT a.user_id, a.session_start, a.session_end,
+           CAST(a.n_events AS BIGINT) AS n_events,
+           CAST(a.total_micro AS BIGINT) AS total_micro
+    FROM agg a JOIN mx ON mx.user_id = a.user_id
+    WHERE a.session_id < mx.last_id
+    """,
+)
+def q_streaming_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The applyInPandasWithState custom stateful sessionizer
+    (streaming/sessions.py) drained batch-style — the fifth streaming
+    batch twin, covering the arbitrary-state API the windowed twins
+    don't touch.
+
+    Determinism contract: the processor emits only CLOSED sessions;
+    after a single availableNow batch each user's final session is
+    still open in the state store, so the result is exactly "every
+    session except each user's last" — gaps-and-islands SQL with the
+    max-session_id row excluded. Values are pre-scaled to integer
+    micro-units BEFORE the stateful op (integer-valued doubles sum
+    exactly in any order, killing pandas-accumulation-order drift).
+
+    Scale story: per-user state is one (start, last, n, total) tuple —
+    O(active users), watermark/timeout-bounded in production
+    (idle_flush); the Arrow batches stream through the Python worker
+    without materializing a user's history."""
+    from .streaming.sessions import sessionize_stream
+
+    ev = _stream_events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 1000000).cast("double").alias("value"),
+    )
+    out = _drain(sessionize_stream(ev), "append")
+    return out.select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("long").alias("total_micro"),
+    )
