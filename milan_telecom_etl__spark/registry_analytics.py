@@ -958,6 +958,7 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pa") < F.col("pb"))
         .select(F.col("pa").alias("u"), F.col("pb").alias("v"))
         .distinct()
+        .persist()  # consumed by degrees, orientation, and n_edges
     )
     deg = (
         und.select(F.col("u").alias("n")).unionAll(und.select(F.col("v").alias("n")))
@@ -980,12 +981,25 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("e")
         )
         .select("e.s", "e.t")
+        .persist()  # three probes of the oriented edge list (e1/e2/e3)
     )
-    e1 = oriented.select(F.col("s").alias("x"), F.col("t").alias("y"))
-    e2 = oriented.select(F.col("s").alias("y"), F.col("t").alias("z"))
-    e3 = oriented.select(F.col("s").alias("x"), F.col("t").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    # edge-iterator: per-vertex out-neighbor arrays, one array_intersect
+    # per edge — no wedge relation ever materializes (the wedge join is
+    # sum(outdeg^2) rows; this is |E| rows with ~outdeg-sized arrays)
+    adj = oriented.groupBy("s").agg(F.collect_set("t").alias("nb"))
+    adj_u = adj.select(F.col("s"), F.col("nb").alias("nu"))
+    adj_v = adj.select(F.col("s").alias("t"), F.col("nb").alias("nv"))
+    tri = (
+        oriented.join(adj_u, "s")
+        .join(adj_v, "t", "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    "nu", F.coalesce("nv", F.array().cast("array<bigint>"))
+                )
+            ).alias("c")
+        )
+        .agg(F.sum("c").alias("n_triangles"))
     )
     n_nodes = li.select(F.countDistinct("l_partkey").alias("n_nodes"))
     n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))

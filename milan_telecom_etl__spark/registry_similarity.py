@@ -405,7 +405,7 @@ def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns. Distances/cosines are index-ordered folds, bit-identical to
     the oracle's list_sum."""
     from .operators.clustering import sq_dist
-    from .operators.similarity import _as_double, cosine
+    from .operators.similarity import _as_double
 
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
@@ -418,18 +418,44 @@ def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.min_by("cid", F.col("d")).alias("cluster"))
     )
-    b = emb.join(best, "vec_id").select("vec_id", "embedding", "cluster")
+    # precompute each vector's norm once: the pair predicate then costs
+    # ONE fold (the dot), not three — identical IEEE value, the norms
+    # are the same sqrt either way
+    b = (
+        emb.join(best, "vec_id")
+        .select(
+            "vec_id",
+            _as_double(F.col("embedding")).alias("ed"),
+            "cluster",
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(
+                F.aggregate(
+                    F.col("ed"), F.lit(0.0), lambda acc, x: acc + x * x
+                )
+            ),
+        )
+        .persist()  # three consumers: both pair-join sides + the anti-join
+    )
     x = b.select(
         F.col("cluster"),
         F.col("vec_id").alias("vid_a"),
-        F.col("embedding").alias("ea"),
+        F.col("ed").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     y = b.select(
         F.col("cluster"),
         F.col("vec_id").alias("vid_b"),
-        F.col("embedding").alias("eb"),
+        F.col("ed").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
-    cos = F.round(cosine(_as_double(F.col("ea")), _as_double(F.col("eb"))), 6)
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
     dropped = (
         x.join(y, "cluster")
         .filter(F.col("vid_a") < F.col("vid_b"))
