@@ -1226,6 +1226,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + F.lit(1)
         )
         .select("doc_id", "w")
+        .persist()  # both sides of the candidate self-join
     )
     cand = (
         prefix.alias("a")
