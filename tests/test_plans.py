@@ -274,3 +274,48 @@ def test_pagerank_iterations_broadcast_rank_state(spark):
 
     plan = _plan(entrymod.queries()["pagerank_part_supplier"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_probe_is_broadcast_no_global_sort_on_sketch(spark):
+    """The sketch (d x w rows) must join its probes via broadcast hash
+    join; sketch build aggregates with map-side partial agg (two
+    HashAggregates around one Exchange)."""
+    from milan_telecom_etl__spark.registry_quality import q_countmin_heavy_hitters
+
+    plan = _plan(q_countmin_heavy_hitters(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_auc_has_no_single_partition_global_window(spark):
+    """The rank prefix must run per range-bucket windows plus a 16-row
+    offset window — never one window over all distinct scores. The
+    only empty-partitionBy window allowed is over the per-bucket
+    totals (16 rows)."""
+    from milan_telecom_etl__spark.registry_ml import q_auc_returnflag
+
+    plan = _plan(q_auc_returnflag(spark, SF))
+    # the in-bucket window is keyed on the value-derived range bucket
+    assert "windowspecdefinition(pid" in plan
+    assert plan.count("Window") >= 2
+
+
+def test_bloom_decontamination_broadcasts_bit_table(spark):
+    """The corpus probe joins the <=1024-row (word, bits) table via
+    broadcast — the fixed-size build side is the point."""
+    from milan_telecom_etl__spark.registry_text import q_bloom_decontamination
+
+    plan = _plan(q_bloom_decontamination(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pq_codebook_and_adc_ride_broadcasts(spark):
+    from milan_telecom_etl__spark.registry_similarity import q_knn_pq_adc
+
+    plan = _plan(q_knn_pq_adc(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # codebook/subspace fan-out
