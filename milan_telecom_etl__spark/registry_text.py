@@ -1346,3 +1346,73 @@ def q_bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_hit_shingles")
     )
+
+
+_CHUNK_W = 50  # words per passage
+_CHUNK_S = 25  # stride (50% overlap)
+
+
+@register(
+    "passage_chunking",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    chunks AS (
+      SELECT doc_id, len(ws) AS n_words, p,
+             array_to_string(
+               list_slice(ws, p, least(p + {_CHUNK_W} - 1, len(ws))), ' ')
+               AS chunk
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1, {_CHUNK_S})) AS p
+            FROM words)
+    )
+    SELECT doc_id,
+           CAST((p - 1) / {_CHUNK_S} AS BIGINT) AS chunk_idx,
+           CAST(least({_CHUNK_W}, n_words - p + 1) AS BIGINT) AS n_words_chunk,
+           md5(chunk) AS chunk_fp
+    FROM chunks
+    """,
+)
+def q_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style passage chunking: split every document into
+    50-word windows with 25-word stride (50% overlap), emitting a
+    deterministic (doc_id, chunk_idx) key and a content fingerprint —
+    the retrieval-index build step of an LLM data platform (chunk →
+    embed → ANN-index; the embed step is the knn family's input
+    contract).
+
+    Scale story: pure narrow transforms — normalize, split, one
+    sequence-explode per doc (fan-out = n_words/stride, bounded by doc
+    length), no shuffle at all until a downstream consumer groups or
+    joins. Chunking 100 TB is scan-bound, embarrassingly parallel, and
+    the deterministic chunk key means re-chunking is idempotent across
+    runs (stable ids for incremental embedding refresh)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = D._words_df(docs)
+    ch = (
+        words.select(
+            "doc_id",
+            F.size("__words").alias("n_words"),
+            "__words",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.size("__words"), F.lit(_CHUNK_S)
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "p",
+            F.concat_ws(
+                " ", F.slice("__words", F.col("p"), F.lit(_CHUNK_W))
+            ).alias("chunk"),
+        )
+    )
+    return ch.select(
+        "doc_id",
+        ((F.col("p") - 1) / _CHUNK_S).cast("long").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK_W), F.col("n_words") - F.col("p") + 1)
+        .cast("long")
+        .alias("n_words_chunk"),
+        F.md5(F.col("chunk")).alias("chunk_fp"),
+    )

