@@ -674,3 +674,67 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "n_exact")
         .agg(F.min("c").alias("n_cms"))
     )
+
+
+@register(
+    "mutual_information_type_hour",
+    """
+    WITH obs AS (
+      SELECT event_type AS x, CAST(extract(hour FROM ts) AS BIGINT) AS y
+      FROM events
+    ),
+    n AS (SELECT count(*) AS n FROM obs),
+    jxy AS (SELECT x, y, count(*) AS c FROM obs GROUP BY 1, 2),
+    mx AS (SELECT x, count(*) AS cx FROM obs GROUP BY 1),
+    my AS (SELECT y, count(*) AS cy FROM obs GROUP BY 1)
+    SELECT CAST(round(sum(
+             (j.c * 1.0 / n.n)
+             * CAST(round(ln((j.c * 1.0 * n.n) / (mx.cx * 1.0 * my.cy)) * 1e9)
+                    AS BIGINT) / 1e9
+           ) * 1e6) AS BIGINT) AS mi_microNats,
+           count(*) AS n_cells
+    FROM jxy j
+    JOIN mx ON mx.x = j.x
+    JOIN my ON my.y = j.y
+    CROSS JOIN n
+    """,
+)
+def q_mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and hour-of-day — the
+    dependence probe behind feature selection and leakage audits
+    (MI = 0 iff independent; here it quantifies diurnal structure).
+
+    Per-cell log-ratios are 1e9-quantized integers; the final sum of
+    (probability x quantized-log) terms is quantized to integer
+    micro-nats, so the scalar is reproducible across engines despite
+    float summation order (each term is a ratio of exact counts times
+    an integer - drift lives far below the 1e-6 output grain).
+
+    Scale story: three map-side-combined hash-aggs (joint, two
+    marginals — each bounded by its domain, not the corpus) and a
+    broadcast-joined scalar; nothing touches the raw events twice."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.col("event_type").alias("x"), F.hour("ts").cast("long").alias("y")
+    )
+    n = obs.agg(F.count(F.lit(1)).alias("n"))
+    jxy = obs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    mx = obs.groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
+    my = obs.groupBy("y").agg(F.count(F.lit(1)).alias("cy"))
+    term = (
+        (F.col("c") / F.col("n"))
+        * F.round(
+            F.log((F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy")))
+            * F.lit(1e9)
+        ).cast("long")
+        / F.lit(1e9)
+    )
+    return (
+        jxy.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .agg(
+            F.round(F.sum(term) * F.lit(1e6)).cast("long").alias("mi_microNats"),
+            F.count(F.lit(1)).alias("n_cells"),
+        )
+    )

@@ -632,3 +632,14 @@ def test_passage_chunking_overlap_and_coverage(spark):
             assert 1 <= c["n_words_chunk"] <= _CHUNK_W or (
                 c["n_words_chunk"] == 1 and len(chunks) == 1
             )
+
+
+def test_mutual_information_nonnegative(spark):
+    from milan_telecom_etl__spark.registry_quality import (
+        q_mutual_information_type_hour,
+    )
+
+    r = q_mutual_information_type_hour(spark, "/root/testdata/sf0.001").first()
+    # Gibbs' inequality: MI >= 0 (quantization can dip a hair below)
+    assert r["mi_microNats"] >= -1
+    assert r["n_cells"] >= 1
