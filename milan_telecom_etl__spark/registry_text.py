@@ -1416,3 +1416,112 @@ def q_passage_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_words_chunk"),
         F.md5(F.col("chunk")).alias("chunk_fp"),
     )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH clusters AS (SELECT * FROM ({_near_dup_clusters_sql(0.5)})),
+    q AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
+        len(regexp_extract_all(text, '(?i)\\b(the|a|of|and|to|in|is|on|for|with)\\b')) AS n_stop,
+        CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) * 1.0 / length(text)
+             ELSE 0.0 END AS pr
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+        round(((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + least(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END * 5, 1.0)
+             + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3, 6) AS quality
+      FROM q),
+    r AS (
+      SELECT c.cluster_id, c.doc_id, s.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY s.quality DESC, c.doc_id) AS rn
+      FROM clusters c JOIN scored s ON s.doc_id = c.doc_id
+    )
+    SELECT cluster_id, doc_id AS keeper_doc_id, quality
+    FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup collapse: within each LSH-verified
+    connected component keep the HIGHEST-quality member (C4/Gopher
+    composite score; ties to the lowest doc_id) — the curation policy
+    real pretraining pipelines use instead of keep-first, because
+    near-dup groups typically mix a clean original with mangled
+    scrapes.
+
+    Scale story: composes three already-scale-shaped stages — LSH-
+    banded edge build (candidates only), min-label components (state
+    O(dup subgraph)), and a per-doc quality projection (narrow) —
+    plus one window over clusters, partitioned on the cluster key."""
+    from .operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = D.near_dup_clusters(docs, threshold=0.5)
+    quality = X.quality_score(docs).select("doc_id", "quality")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(quality, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id", F.col("doc_id").alias("keeper_doc_id"), "quality"
+        )
+    )
+
+
+@register(
+    "contamination_overlap_ratio",
+    f"""
+    WITH {_SHINGLE5_CTE},
+    bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, s FROM sh5 WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY 1),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_hits
+      FROM corpus c JOIN bench b USING (s)
+      GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_shingles, h.n_hits,
+           round(h.n_hits * 1.0 / s.n_shingles, 6) AS overlap_ratio,
+           h.n_hits * 1.0 / s.n_shingles >= 0.2 AS flagged
+    FROM sizes s JOIN hits h ON h.doc_id = s.doc_id
+    """,
+)
+def q_contamination_overlap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination (Dolma-style): per corpus doc, the
+    FRACTION of its distinct 5-gram shingles appearing in the benchmark
+    slice, with the >=20% flag — the policy knob between 'any overlap'
+    (decontamination_audit) and 'ignore' ; partial template overlap
+    stays, wholesale benchmark copies go.
+
+    Scale story: same broadcast semi-join shape as the binary audit,
+    plus one per-doc count — the ratio's denominator rides the
+    already-computed distinct-shingle table, no extra corpus pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs, n=5).distinct()
+    is_bench = (F.col("doc_id") % 97) == 0
+    bench = sh.filter(is_bench).select("shingle").distinct()
+    corpus = sh.filter(~is_bench)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        corpus.join(bench, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    ratio = F.col("n_hits") / F.col("n_shingles")
+    return sizes.join(hits, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.round(ratio, 6).alias("overlap_ratio"),
+        (ratio >= 0.2).alias("flagged"),
+    )

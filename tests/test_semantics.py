@@ -643,3 +643,36 @@ def test_mutual_information_nonnegative(spark):
     # Gibbs' inequality: MI >= 0 (quantization can dip a hair below)
     assert r["mi_microNats"] >= -1
     assert r["n_cells"] >= 1
+
+
+def test_dedup_keep_best_prefers_quality_over_id(spark):
+    """One keeper per cluster; the keeper's quality is the cluster max
+    (keep-first would sometimes keep a lower-quality lower id)."""
+    from milan_telecom_etl__spark.operators.dedup import near_dup_clusters
+    from milan_telecom_etl__spark.operators.text import quality_score
+    from milan_telecom_etl__spark.registry_text import q_dedup_keep_best
+
+    sf = "/root/testdata/sf0.001"
+    keep = q_dedup_keep_best(spark, sf).collect()
+    docs = load_table(spark, sf, "documents")
+    cl = {r["doc_id"]: r["cluster_id"] for r in near_dup_clusters(docs, threshold=0.5).collect()}
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs).collect()}
+    assert len({r["cluster_id"] for r in keep}) == len(keep) == len(set(cl.values()))
+    best = {}
+    for d, c in cl.items():
+        best[c] = max(best.get(c, 0.0), q[d])
+    for r in keep:
+        assert abs(r["quality"] - best[r["cluster_id"]]) < 1e-9
+
+
+def test_contamination_ratio_bounds(spark):
+    from milan_telecom_etl__spark.registry_text import (
+        q_contamination_overlap_ratio,
+    )
+
+    rows = q_contamination_overlap_ratio(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["n_hits"] <= r["n_shingles"]
+        assert 0 < r["overlap_ratio"] <= 1.0
+        assert r["flagged"] == (r["n_hits"] / r["n_shingles"] >= 0.2)
