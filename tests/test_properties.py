@@ -123,3 +123,90 @@ def test_exact_dedup_invariant_under_id_permutation(spark, texts, perm):
     )
     kept = sorted(r["doc_id"] for r in dedupe_exact(df).collect())
     assert kept == expected
+
+
+def _auc_reference(pairs):
+    """Tie-aware Mann-Whitney AUC over (score, label) pairs."""
+    from collections import Counter
+
+    by_score = sorted(Counter(s for s, _ in pairs).items())
+    ranks = {}
+    below = 0
+    for s, n in by_score:
+        ranks[s] = below + (n + 1) / 2.0
+        below += n
+    np_ = sum(1 for _, y in pairs if y)
+    nn = len(pairs) - np_
+    if np_ == 0 or nn == 0:
+        return None
+    rank_sum = sum(ranks[s] for s, y in pairs if y)
+    return (rank_sum - np_ * (np_ + 1) / 2.0) / (np_ * nn)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=20), st.booleans()),
+        min_size=2,
+        max_size=60,
+    ).filter(lambda xs: 0 < sum(y for _, y in xs) < len(xs))
+)
+def test_auc_rank_math_matches_reference(spark, pairs):
+    """The integer rank formula (2*avg_rank is integral) must equal the
+    float tie-aware reference on arbitrary tie layouts."""
+    df = spark.createDataFrame(
+        [(float(s), 1 if y else 0) for s, y in pairs], "score double, pos int"
+    )
+    g = df.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select(
+        "n",
+        "n_pos",
+        (2 * (F.sum("n").over(w) - F.col("n")) + F.col("n") + 1).alias("tar"),
+    )
+    u = r.agg(
+        F.sum("n_pos").alias("np"),
+        F.sum(F.col("n") - F.col("n_pos")).alias("nn"),
+        F.sum(F.col("n_pos") * F.col("tar")).alias("s2"),
+    ).first()
+    got = (u["s2"] - u["np"] * (u["np"] + 1.0)) / (2.0 * u["np"] * u["nn"])
+    want = _auc_reference([(float(s), y) for s, y in pairs])
+    assert abs(got - want) < 1e-12
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=80))
+def test_countmin_overestimates_every_key(spark, keys):
+    """CMS property on arbitrary key multisets: min-over-d estimates
+    are >= exact counts for EVERY key (not just the probed top-k)."""
+    from collections import Counter
+
+    from milan_telecom_etl__spark.registry_quality import _CM_D, _cm_bucket
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    js = F.array([F.lit(j) for j in range(_CM_D)])
+    fan = df.select("user_id", F.explode(js).alias("j"))
+    sketch = (
+        fan.withColumn("bucket", _cm_bucket(F.col("user_id"), F.col("j")))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        df.distinct()
+        .select("user_id", F.explode(js).alias("j"))
+        .withColumn("bucket", _cm_bucket(F.col("user_id"), F.col("j")))
+    )
+    est = {
+        r["user_id"]: r["est"]
+        for r in sketch.join(probes, ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est"))
+        .collect()
+    }
+    exact = Counter(keys)
+    for k, n in exact.items():
+        assert est[k] >= n
