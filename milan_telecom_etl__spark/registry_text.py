@@ -1116,7 +1116,8 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bg = words.select("doc_id", F.explode(grams).alias("bigram"))
+    bg = words.select("doc_id", F.explode(grams).alias("bigram")).persist()
+    # ^ two consumers (corpus counts + per-doc counts): one regex pass
     big_cnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
     uni = words.select(F.explode("__words").alias("w")).filter(F.col("w") != "")
     uni_cnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
