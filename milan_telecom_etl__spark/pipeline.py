@@ -467,3 +467,30 @@ def read_versioned(
         with open(os.path.join(table_dir, "CURRENT")) as f:
             version = int(f.read().strip())
     return spark.read.parquet(os.path.join(table_dir, f"v{version}"))
+
+
+def schema_diff(
+    spark: SparkSession, table_dir: str, from_version: int, to_version: int
+) -> list[dict]:
+    """Schema drift between two retained snapshot versions: added /
+    removed / retyped columns, as plain dicts (a writer-evolution audit
+    before mergeSchema reads or contract enforcement; the events.ts
+    nanos→micros drift in the driver testdata is exactly the class of
+    change this surfaces).
+
+    Reads only parquet FOOTERS via the scan schema — no data pass."""
+    a = {f.name: f.dataType.simpleString()
+         for f in read_versioned(spark, table_dir, from_version).schema.fields}
+    b = {f.name: f.dataType.simpleString()
+         for f in read_versioned(spark, table_dir, to_version).schema.fields}
+    out: list[dict] = []
+    for name in sorted(b.keys() - a.keys()):
+        out.append({"column": name, "change": "added", "from": None, "to": b[name]})
+    for name in sorted(a.keys() - b.keys()):
+        out.append({"column": name, "change": "removed", "from": a[name], "to": None})
+    for name in sorted(a.keys() & b.keys()):
+        if a[name] != b[name]:
+            out.append(
+                {"column": name, "change": "retyped", "from": a[name], "to": b[name]}
+            )
+    return out

@@ -1526,3 +1526,50 @@ def q_contamination_overlap_ratio(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(ratio, 6).alias("overlap_ratio"),
         (ratio >= 0.2).alias("flagged"),
     )
+
+
+@register(
+    "ngram_novelty",
+    f"""
+    WITH {_SHINGLE5_CTE},
+    df5 AS (SELECT s, count(*) AS df FROM sh5 GROUP BY 1),
+    per_doc AS (
+      SELECT a.doc_id, count(*) AS n_shingles,
+             sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS n_novel
+      FROM sh5 a JOIN df5 d USING (s)
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
+           round(n_novel * 1.0 / n_shingles, 6) AS novelty
+    FROM per_doc
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty score: the fraction of a doc's distinct 5-gram
+    shingles that appear NOWHERE else in the corpus (document frequency
+    = 1) — the third axis of corpus hygiene next to repetition_ratio
+    (intra-doc degeneracy) and contamination (vs a benchmark): low
+    novelty means the doc is assembled from corpus boilerplate, high
+    novelty means it contributes genuinely new text.
+
+    Scale story: one distinct-shingle table feeds both the document-
+    frequency agg and the per-doc join (persisted, one regex pass); the
+    join is keyed on the shingle — identical shape to the dedup/
+    decontamination family, map-side combine on both aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_table(docs, n=5).distinct().persist()
+    df5 = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        sh.join(df5, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+    )

@@ -290,3 +290,22 @@ def test_loaded_rows_counts_double_failure_once(spark, tmp_path):
     assert written == 1
     assert rep.loaded_rows == written  # 4 raw - 3 rejected, NOT 4 - (2+2)
     assert rep.invalid_dates == 2 and rep.rejected_cells == 2  # diagnostics overlap
+
+
+def test_schema_diff_between_versions(spark, tmp_path):
+    from milan_telecom_etl__spark.pipeline import schema_diff, write_versioned
+
+    d = str(tmp_path / "tbl")
+    v1 = write_versioned(
+        spark.createDataFrame([(1, "a", 1.0)], "k long, name string, v double"), d
+    )
+    v2 = write_versioned(
+        spark.createDataFrame([(1, "a", 1, True)], "k long, name string, v long, ok boolean"),
+        d,
+    )
+    diff = schema_diff(spark, d, v1, v2)
+    by_col = {e["column"]: e for e in diff}
+    assert by_col["ok"]["change"] == "added"
+    assert by_col["v"] == {"column": "v", "change": "retyped", "from": "double", "to": "bigint"}
+    assert len(diff) == 2
+    assert schema_diff(spark, d, v1, v1) == []

@@ -676,3 +676,19 @@ def test_contamination_ratio_bounds(spark):
         assert 0 < r["n_hits"] <= r["n_shingles"]
         assert 0 < r["overlap_ratio"] <= 1.0
         assert r["flagged"] == (r["n_hits"] / r["n_shingles"] >= 0.2)
+
+
+def test_ngram_novelty_detects_unique_vs_duplicated_content(spark):
+    """Exact duplicate docs have novelty 0 (every shingle has df >= 2);
+    ratios bounded in [0, 1]."""
+    from milan_telecom_etl__spark.registry_text import q_ngram_novelty
+    from milan_telecom_etl__spark.operators.dedup import exact_duplicates
+
+    sf = "/root/testdata/sf0.001"
+    nov = {r["doc_id"]: r for r in q_ngram_novelty(spark, sf).collect()}
+    assert nov and all(0.0 <= r["novelty"] <= 1.0 for r in nov.values())
+    docs = load_table(spark, sf, "documents")
+    for g in exact_duplicates(docs).collect():
+        k = g["keeper_doc_id"]
+        if k in nov:  # docs long enough to shingle
+            assert nov[k]["novelty"] == 0.0, "exact dups can't be novel"
