@@ -1004,3 +1004,74 @@ def q_triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = li.select(F.countDistinct("l_partkey").alias("n_nodes"))
     n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+@register(
+    "market_basket_rules",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+    item AS (SELECT pk, count(*) AS c FROM li GROUP BY 1),
+    pair AS (
+      SELECT a.pk AS pa, b.pk AS pb, count(*) AS cp
+      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2
+      HAVING count(*) >= 3
+    )
+    SELECT pa, pb, cp AS n_orders_pair,
+           round(cp * 1.0 / n.n_orders, 6) AS support,
+           round(cp * 1.0 / ia.c, 6) AS confidence,
+           round((cp * 1.0 / ia.c) / (ib.c * 1.0 / n.n_orders), 6) AS lift
+    FROM pair
+    JOIN item ia ON ia.pk = pa
+    JOIN item ib ON ib.pk = pb
+    CROSS JOIN n
+    ORDER BY lift DESC, pa, pb LIMIT 20
+    """,
+)
+def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Apriori level 2): for co-ordered
+    part pairs above a support floor, the support / confidence / lift
+    triple, top-20 by lift — the co-occurrence-mining staple sharing
+    its pair substrate with triangle_count_parts.
+
+    Scale story: the pair build is the order-keyed self-join (fan-out
+    bounded by basket size, not corpus), the support floor (HAVING)
+    prunes before any per-item join, item counts broadcast, and top-20
+    is TakeOrderedAndProject. Level-k Apriori iterates this plan with
+    the level-(k-1) survivors as the new 'items' — each level prunes
+    the next."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n = li.select(F.countDistinct("ok").alias("n_orders"))
+    item = li.groupBy("pk").agg(F.count(F.lit(1)).alias("c"))
+    a = li.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = li.select(F.col("ok"), F.col("pk").alias("pb"))
+    pair = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cp"))
+        .filter(F.col("cp") >= 3)
+    )
+    ia = item.select(F.col("pk").alias("pa"), F.col("c").alias("ca"))
+    ib = item.select(F.col("pk").alias("pb"), F.col("c").alias("cb"))
+    conf = F.col("cp") / F.col("ca")
+    return (
+        pair.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            F.col("cp").alias("n_orders_pair"),
+            F.round(F.col("cp") / F.col("n_orders"), 6).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("cb") / F.col("n_orders")), 6).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "pa", "pb")
+        .limit(20)
+    )

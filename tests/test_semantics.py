@@ -692,3 +692,24 @@ def test_ngram_novelty_detects_unique_vs_duplicated_content(spark):
         k = g["keeper_doc_id"]
         if k in nov:  # docs long enough to shingle
             assert nov[k]["novelty"] == 0.0, "exact dups can't be novel"
+
+
+def test_market_basket_rule_math(spark):
+    """lift = confidence / P(consequent); confidence <= 1; support
+    consistent with the pair count."""
+    from milan_telecom_etl__spark.registry_analytics import q_market_basket_rules
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_market_basket_rules(spark, sf).collect()
+    li = (
+        load_table(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    n_orders = li.select("ok").distinct().count()
+    item = {r["pk"]: r["c"] for r in li.groupBy("pk").count().withColumnRenamed("count", "c").collect()}
+    for r in rows:
+        assert 0 < r["confidence"] <= 1
+        assert abs(r["support"] - round(r["n_orders_pair"] / n_orders, 6)) < 1e-9
+        expect_lift = (r["n_orders_pair"] / item[r["pa"]]) / (item[r["pb"]] / n_orders)
+        assert abs(r["lift"] - round(expect_lift, 6)) < 1e-6
