@@ -687,11 +687,11 @@ def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jxy AS (SELECT x, y, count(*) AS c FROM obs GROUP BY 1, 2),
     mx AS (SELECT x, count(*) AS cx FROM obs GROUP BY 1),
     my AS (SELECT y, count(*) AS cy FROM obs GROUP BY 1)
-    SELECT CAST(round(sum(
-             (j.c * 1.0 / n.n)
-             * CAST(round(ln((j.c * 1.0 * n.n) / (mx.cx * 1.0 * my.cy)) * 1e9)
-                    AS BIGINT) / 1e9
-           ) * 1e6) AS BIGINT) AS mi_microNats,
+    SELECT CAST(round(
+             sum(j.c * CAST(round(ln((j.c * 1.0 * n.n) / (mx.cx * 1.0 * my.cy))
+                                  * 1e9) AS BIGINT))
+             * 1.0 / (min(n.n) * 1000)
+           ) AS BIGINT) AS mi_microNats,
            count(*) AS n_cells
     FROM jxy j
     JOIN mx ON mx.x = j.x
@@ -704,11 +704,12 @@ def q_mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFram
     dependence probe behind feature selection and leakage audits
     (MI = 0 iff independent; here it quantifies diurnal structure).
 
-    Per-cell log-ratios are 1e9-quantized integers; the final sum of
-    (probability x quantized-log) terms is quantized to integer
-    micro-nats, so the scalar is reproducible across engines despite
-    float summation order (each term is a ratio of exact counts times
-    an integer - drift lives far below the 1e-6 output grain).
+    Per-cell log-ratios are 1e9-quantized integers; the engine sums the
+    EXACT integer contributions c * qlog (BIGINT — no float summation
+    order anywhere) and divides by n once at the end, so the micro-nat
+    scalar is a single rounded division of the same exact integer in
+    both engines (ADVICE r5: a plain double sum could round a
+    0.5-micro-nat boundary differently across engines).
 
     Scale story: three map-side-combined hash-aggs (joint, two
     marginals — each bounded by its domain, not the corpus) and a
@@ -721,20 +722,21 @@ def q_mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFram
     jxy = obs.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
     mx = obs.groupBy("x").agg(F.count(F.lit(1)).alias("cx"))
     my = obs.groupBy("y").agg(F.count(F.lit(1)).alias("cy"))
-    term = (
-        (F.col("c") / F.col("n"))
-        * F.round(
-            F.log((F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy")))
-            * F.lit(1e9)
-        ).cast("long")
-        / F.lit(1e9)
-    )
+    qlog = F.round(
+        F.log((F.col("c") * F.col("n")) / (F.col("cx") * F.col("cy")))
+        * F.lit(1e9)
+    ).cast("long")
     return (
         jxy.join(F.broadcast(mx), "x")
         .join(F.broadcast(my), "y")
         .crossJoin(F.broadcast(n))
         .agg(
-            F.round(F.sum(term) * F.lit(1e6)).cast("long").alias("mi_microNats"),
+            F.round(
+                F.sum(F.col("c") * qlog).cast("double")
+                / (F.min("n") * F.lit(1000)).cast("double")
+            )
+            .cast("long")
+            .alias("mi_microNats"),
             F.count(F.lit(1)).alias("n_cells"),
         )
     )

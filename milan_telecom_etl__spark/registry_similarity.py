@@ -374,7 +374,10 @@ _SQDIST_ES = (
       SELECT e.vec_id, s.cid, {_SQDIST_ES} AS d
       FROM embeddings e, seeds s
     ), best AS (
-      SELECT vec_id, arg_min(cid, d) AS cluster FROM pairs GROUP BY vec_id
+      SELECT vec_id,
+             arg_min(cid, CAST(round(d * 1e9) AS BIGINT) * {_SEMDEDUP_K} + cid)
+               AS cluster
+      FROM pairs GROUP BY vec_id
     ), b AS (
       SELECT e.vec_id, e.embedding, t.cluster
       FROM embeddings e JOIN best t USING (vec_id)
@@ -412,11 +415,19 @@ def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     d = sq_dist(_as_double(F.col("embedding")), _as_double(F.col("ce")))
+    # tie-break deterministically (ADVICE r5): a vector equidistant to
+    # two seeds (duplicate embeddings among vec_id < k) must pick the
+    # same cluster in both engines — quantize d and encode d*K + cid,
+    # the knn_pq_adc pattern, mirrored literally in the oracle SQL
+    tiekey = (
+        F.round(F.col("d") * F.lit(1e9)).cast("bigint") * F.lit(_SEMDEDUP_K)
+        + F.col("cid")
+    )
     best = (
         emb.crossJoin(F.broadcast(seeds))
         .select("vec_id", "cid", d.alias("d"))
         .groupBy("vec_id")
-        .agg(F.min_by("cid", F.col("d")).alias("cluster"))
+        .agg(F.min_by("cid", tiekey).alias("cluster"))
     )
     # precompute each vector's norm once: the pair predicate then costs
     # ONE fold (the dot), not three — identical IEEE value, the norms

@@ -556,14 +556,37 @@ def test_semdedup_cluster_minima_survive(spark):
     kept = q_semdedup_keepers(spark, sf).collect()
     n_all = load_table(spark, sf, "embeddings").count()
     assert 0 < len(kept) <= n_all
-    by_cluster = {}
-    for r in kept:
-        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
-    # every seed's own cluster retains its seed (vec_id < 8 are each
-    # their own nearest centroid at distance 0 and have no lower id
-    # cluster-mate... except equal vectors; min-id is always kept)
-    for c, ids in by_cluster.items():
-        assert min(ids) >= 0
+    kept_ids = {r["vec_id"] for r in kept}
+    # recompute the full assignment (same quantized tie-break as the
+    # operator): keep-first greedy can never drop a cluster's lowest
+    # vec_id — it has no lower-id cluster-mate to collide with
+    from milan_telecom_etl__spark.operators.clustering import sq_dist
+    from milan_telecom_etl__spark.operators.similarity import _as_double
+    from milan_telecom_etl__spark.registry_similarity import _SEMDEDUP_K
+
+    emb = load_table(spark, sf, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    d = sq_dist(_as_double(F.col("embedding")), _as_double(F.col("ce")))
+    tiekey = (
+        F.round(F.col("d") * F.lit(1e9)).cast("bigint") * F.lit(_SEMDEDUP_K)
+        + F.col("cid")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cid", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", tiekey).alias("cluster"))
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("min_id"))
+        .collect()
+    )
+    assert assign
+    for r in assign:
+        assert r["min_id"] in kept_ids, (
+            f"cluster {r['cluster']} minimum vec_id {r['min_id']} was dropped"
+        )
 
 
 def test_triangle_orientation_equals_id_order_count(spark):
