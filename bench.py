@@ -2,19 +2,42 @@
 (default sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect-to-count); a
+Each query is timed end-to-end (plan + execute + collect-to-count),
+median of 3 repetitions (VERDICT r5 #3: min-of-2 was noise-prone); a
 warmup pass on the flagship amortizes JVM/session startup out of the
-numbers.
+numbers. Between queries the Spark block cache is cleared so one
+entry's persisted intermediates (shingle/bigram tables) can't steal
+executor memory from — and so flatter the reps of — unrelated queries
+(VERDICT r5 #3 drift hypothesis). Sidecars are stamped with the git
+sha + wall-clock so commit messages can't diverge from artifacts
+(VERDICT r5 #8).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
 from milan_telecom_etl__spark.session import get_spark
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _git_sha(repo: str) -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "HEAD"],
+            cwd=repo,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
 
 
 def main() -> None:
@@ -35,17 +58,23 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        best = None
+        reps: list[float] = []
         try:
-            for _ in range(2):  # min-of-2: strips GC/JIT noise from one-shot runs
+            # clear ONCE per query: leaked persists from earlier queries
+            # can't steal memory (the r4->r5 drift), while a query's own
+            # persisted intermediates stay warm across its reps — the
+            # same within-query protocol r1-r5 measured, so means stay
+            # comparable round-over-round
+            spark.catalog.clearCache()
+            for _ in range(REPS):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 4)
+                reps.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(reps), 4)
         except Exception as e:  # never let one query sink the whole bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
+    spark.catalog.clearCache()
 
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 4)
@@ -53,7 +82,14 @@ def main() -> None:
     # and failed to parse the 140-entry map in r1/r2 ("parsed": null).
     # Full per-query timings go to a sidecar instead (VERDICT r2 #4).
     repo = os.path.dirname(os.path.abspath(__file__))
-    detail = {"sf": sf, "queries": timings}
+    detail = {
+        "sf": sf,
+        "queries": timings,
+        "git_sha": _git_sha(repo),
+        "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "reps": REPS,
+        "stat": "median",
+    }
     with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, sort_keys=True)
     # round-stamped sidecar too (VERDICT r3 #8): the current round is one
@@ -83,6 +119,7 @@ def main() -> None:
                 "n_failed": len(timings) - len(ok),
                 "mean_sec": round(total / max(len(ok), 1), 4),
                 "detail": "BENCH_DETAIL.json",
+                "git_sha": _git_sha(repo)[:12],
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
