@@ -128,3 +128,125 @@ def kmeans(
     out = out.localCheckpoint(eager=True)
     vectors.unpersist()
     return out
+
+
+def kmeans_parallel_seeds(
+    vectors: DataFrame,
+    k: int = 4,
+    l: int | None = None,
+    rounds: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """k-means|| initialization (Bahmani et al., VLDB 2012) — the scale
+    upgrade over `seed_rows` promised at `kmeans():90`: instead of k
+    arbitrary rows, oversample ~l points per round with probability
+    proportional to their distance-squared from the current centers,
+    then reduce the O(rounds*l) weighted candidate set to k centers on
+    the driver.
+
+    Everything data-sized stays distributed: per-round work is one
+    map-side fold against the broadcast center list (same no-shuffle
+    E-step shape as assign_clusters) plus one scalar agg for phi; the
+    ONLY collects are the sampled candidates (hard-capped at 4*l rows
+    by a TakeOrdered, never unbounded) and the k*d seed numbers.
+    Sampling is deterministic — u = xxhash64(id, round)-derived uniform
+    — so the whole init is reproducible across runs and cluster sizes.
+    """
+    import math
+
+    l = l if l is not None else 2 * k
+    first = vectors.orderBy(F.col(id_col).asc()).select(id_col, vec_col).first()
+    centers: list[list[float]] = [[float(x) for x in first[vec_col]]]
+
+    v = _as_double(F.col(vec_col))
+    for r in range(rounds):
+        lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+        )
+        d2 = F.array_min(
+            F.transform(lits, lambda c: sq_dist(v, c))
+        )
+        scored = vectors.select(id_col, vec_col, d2.alias("d2"))
+        phi = scored.agg(F.sum("d2")).first()[0]
+        if not phi or phi <= 0.0:  # all points already coincide with centers
+            break
+        u = (
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(r)), F.lit(1_000_000))
+            / F.lit(1_000_000.0)
+        )
+        picked = (
+            scored.withColumn("u", u)
+            .filter(F.col("u") < F.lit(float(l)) * F.col("d2") / F.lit(float(phi)))
+            .orderBy(F.col("u").asc(), F.col(id_col).asc())
+            .limit(4 * l)  # hard cap: expectation is l, tail is bounded
+            .select(id_col, vec_col)
+            .collect()
+        )
+        for row in picked:
+            centers.append([float(x) for x in row[vec_col]])
+
+    # weight candidates by how many points they're nearest to (one more
+    # broadcast fold + a k'-key agg), then reduce to k on the driver
+    cand = list(dict.fromkeys(tuple(c) for c in centers))  # dedupe, keep order
+    cent_rows = [(i, list(c)) for i, c in enumerate(cand)]
+    assigned = assign_clusters(vectors, cent_rows, vec_col)
+    wmap = {
+        r["cluster"]: r["w"]
+        for r in assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("w")).collect()
+    }
+    w = [float(wmap.get(i, 0.0)) for i in range(len(cand))]
+
+    # driver-side weighted reduction (candidate count is O(rounds*l),
+    # never data-sized): greedy weighted farthest-first init, then
+    # weighted Lloyd to convergence — deterministic throughout
+    def _sq(a: tuple, b: tuple) -> float:
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    chosen = [max(range(len(cand)), key=lambda i: (w[i], -i))]
+    while len(chosen) < min(k, len(cand)):
+        best, best_score = None, -1.0
+        for i in range(len(cand)):
+            if i in chosen:
+                continue
+            score = w[i] * min(_sq(cand[i], cand[j]) for j in chosen)
+            if score > best_score:
+                best, best_score = i, score
+        chosen.append(best)
+    seeds = [list(cand[i]) for i in chosen]
+
+    for _ in range(25):
+        sums = [[0.0] * len(seeds[0]) for _ in seeds]
+        wsum = [0.0] * len(seeds)
+        for i, c in enumerate(cand):
+            j = min(
+                range(len(seeds)),
+                key=lambda s: (_sq(c, tuple(seeds[s])), s),
+            )
+            wsum[j] += w[i]
+            for dth, x in enumerate(c):
+                sums[j][dth] += w[i] * x
+        new = [
+            [s / wsum[j] for s in sums[j]] if wsum[j] > 0 else seeds[j]
+            for j, _ in enumerate(seeds)
+        ]
+        if all(
+            math.isclose(a, b, rel_tol=0.0, abs_tol=1e-12)
+            for ns, os_ in zip(new, seeds)
+            for a, b in zip(ns, os_)
+        ):
+            break
+        seeds = new
+
+    # stable output order: by first differing component, then index —
+    # callers treat seeds as cluster ids 0..k-1
+    seeds.sort()
+    return [(i, [round(x, 6) for x in c]) for i, c in enumerate(seeds)]
+
+
+def inertia(assigned: DataFrame) -> float:
+    """Sum of squared point-to-centroid distances (the k-means
+    objective) from an assign_clusters output."""
+    return float(
+        assigned.agg(F.sum(F.col("dist") * F.col("dist"))).first()[0] or 0.0
+    )

@@ -47,6 +47,10 @@ FEATURES_SCHEMA = "media_id long, features array<double>, feature_dim int"
 
 FRAMES_SCHEMA = "media_id long, frame_index int, frame_ms long, frame_sha256 string"
 
+RESIZED_SCHEMA = (
+    "media_id long, out_width int, out_height int, resized_sha256 string"
+)
+
 
 def synthetic_decode(payload: bytes | None) -> tuple[int, int]:
     """Deterministic synthetic codec with an exact output contract:
@@ -125,8 +129,10 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling stage for video rows: one output row per sampled
-    timestamp (STUB frame id: hash(payload, ts); a real deployment seeks
-    the container with pyav/ffmpeg)."""
+    timestamp (STUB frame id: sha256(payload + b":frame:" + ascii(ms)) —
+    an ASCII suffix so a SQL engine can recompute the exact digest over
+    the same byte sequence; a real deployment seeks the container with
+    pyav/ffmpeg and hashes the decoded frame)."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -136,7 +142,9 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 duration = int(row.duration_ms or 0)
                 for i, ms in enumerate(range(0, duration, every_ms)):
-                    fid = hashlib.sha256((row.payload or b"") + ms.to_bytes(8, "big")).hexdigest()
+                    fid = hashlib.sha256(
+                        (row.payload or b"") + f":frame:{ms}".encode()
+                    ).hexdigest()
                     rows.append((row.media_id, i, ms, fid))
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_index", "frame_ms", "frame_sha256"]
@@ -145,4 +153,48 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     video = media.filter(F.col("modality") == "video")
     return video.select("media_id", "payload", "duration_ms").mapInPandas(
         batches, schema=FRAMES_SCHEMA
+    )
+
+
+def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stage: aspect-preserving fit of the synthetic-decoded
+    (width, height) into (target_w, target_h), ALL-INTEGER math so both
+    engines agree bit-for-bit:
+
+        width-limited  (w*th >= h*tw): out = (tw, max(1, h*tw // w))
+        height-limited (otherwise)   : out = (max(1, w*th // h), th)
+
+    The resized payload is STUBBED as its integrity hash —
+    sha256(payload + b":resize:{tw}x{th}" in ASCII, so a SQL engine can
+    recompute the exact digest) — a real deployment runs
+    PIL.Image.resize inside the same iterator and hashes the real
+    output. Undecodable (empty) payloads pass through as ok=false-style
+    NULL dims with a NULL hash."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for row in pdf.itertuples(index=False):
+                payload = row.payload or b""
+                if len(payload) == 0:
+                    rows.append((row.media_id, None, None, None))
+                    continue
+                w, h = synthetic_decode(payload)
+                if w * target_h >= h * target_w:
+                    ow, oh = target_w, max(1, h * target_w // w)
+                else:
+                    ow, oh = max(1, w * target_h // h), target_h
+                digest = hashlib.sha256(
+                    payload + f":resize:{target_w}x{target_h}".encode()
+                ).hexdigest()
+                rows.append((row.media_id, ow, oh, digest))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "out_width", "out_height", "resized_sha256"],
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        batches, schema=RESIZED_SCHEMA
     )

@@ -57,3 +57,34 @@ def test_centroid_count_matches_k(spark):
     df = _toy(spark)
     out = kmeans(df, k=3, iters=2)
     assert out.select("cluster").distinct().count() <= 3
+
+
+def test_kmeans_parallel_seeds_deterministic_and_separating(spark):
+    """k-means|| init on the planted blobs: deterministic across calls,
+    returns exactly k centers, and its assignment inertia beats the
+    arbitrary id<k seeding (both seeds land in blob A, so || MUST find
+    blob B to win)."""
+    from milan_telecom_etl__spark.operators.clustering import (
+        inertia,
+        kmeans_parallel_seeds,
+    )
+
+    v = _toy(spark)
+    s1 = kmeans_parallel_seeds(v, k=2)
+    s2 = kmeans_parallel_seeds(v, k=2)
+    assert s1 == s2, "k-means|| init must be deterministic"
+    assert len(s1) == 2
+    i_par = inertia(assign_clusters(v, s1))
+    i_id = inertia(assign_clusters(v, seed_rows(v, 2)))
+    assert i_par < i_id
+    # with one seed per blob, assignment recovers the planted partition
+    parts = {
+        frozenset(
+            r["vec_id"]
+            for r in assign_clusters(v, s1).collect()
+            if r["cluster"] == c
+        )
+        for c, _ in s1
+    }
+    assert frozenset(range(6)) in parts
+    assert frozenset(range(100, 106)) in parts

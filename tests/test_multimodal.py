@@ -65,3 +65,39 @@ def test_metadata_scan_prunes_payload(media_df, tmp_path):
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan  # column pruned at the parquet scan
     assert scan.count() == 4
+
+
+def test_resize_contract(media_df):
+    import hashlib
+
+    from milan_telecom_etl__spark.operators.multimodal import (
+        resize_media,
+        synthetic_decode,
+    )
+
+    out = {r["media_id"]: r for r in resize_media(media_df, 224, 128).collect()}
+    assert len(out) == 4
+    # corrupt payload -> NULL dims + NULL hash (error-as-data)
+    assert out[3]["out_width"] is None and out[3]["resized_sha256"] is None
+    for mid, payload in [(1, b"\x89PNG-fake-bytes-1"), (4, b"fake-mp4")]:
+        w, h = synthetic_decode(payload)
+        if w * 128 >= h * 224:
+            ew, eh = 224, max(1, h * 224 // w)
+        else:
+            ew, eh = max(1, w * 128 // h), 128
+        assert (out[mid]["out_width"], out[mid]["out_height"]) == (ew, eh)
+        assert 1 <= out[mid]["out_width"] <= 224
+        assert 1 <= out[mid]["out_height"] <= 128
+        assert out[mid]["resized_sha256"] == hashlib.sha256(
+            payload + b":resize:224x128"
+        ).hexdigest()
+
+
+def test_frame_hash_contract(media_df):
+    import hashlib
+
+    frames = sample_frames(media_df, every_ms=1000).collect()
+    by_ix = {r["frame_index"]: r for r in frames}
+    assert by_ix[2]["frame_sha256"] == hashlib.sha256(
+        b"fake-mp4:frame:2000"
+    ).hexdigest()
