@@ -55,3 +55,83 @@ def test_sessions_close_across_batches(spark, feed_dir):
     assert s["session_start"].isoformat() == "2024-01-01T00:00:00"
     assert s["session_end"].isoformat() == "2024-01-01T00:10:00"
     assert s["n_events"] == 2 and s["total_value"] == pytest.approx(3.0)
+
+
+def test_rocksdb_state_survives_query_restart(spark, tmp_path):
+    """VERDICT r5 #7: drive the stateful processor through >= 2 real
+    micro-batches under the RocksDB state store provider with an
+    availableNow trigger, then RESTART a second query from the same
+    checkpoint — the open session written to RocksDB by run 1 must close
+    correctly in run 2, proving state durability across query restarts
+    (the property a 100 TB deployment leans on for failure recovery)."""
+    import os
+
+    d = tmp_path / "feed"
+    d.mkdir()
+    (d / "b1.csv").write_text(
+        "ts,user_id,value\n"
+        "2024-01-01 00:00:00,7,1.0\n"
+        "2024-01-01 00:05:00,7,2.0\n"
+    )
+    # 2h gap: closes the b1 session; opens one that stays in state
+    (d / "b2.csv").write_text("ts,user_id,value\n2024-01-01 02:00:00,7,4.0\n")
+    os.utime(d / "b1.csv", (1000000000, 1000000000))
+    os.utime(d / "b2.csv", (1000000100, 1000000100))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def drain():
+        # file sink, not memory: memory-sink queries refuse checkpoint
+        # recovery, and restart-resume is exactly what's under test
+        stream = (
+            spark.readStream.schema("ts timestamp, user_id long, value double")
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .csv(str(d))
+        )
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        return n_batches
+
+    try:
+        n1 = drain()
+        assert n1 >= 2, f"expected >=2 data micro-batches in run 1, got {n1}"
+        run1 = spark.read.parquet(sink).collect()
+        assert len(run1) == 1  # b1's session, closed by b2's 2h-later event
+        assert run1[0]["session_end"].isoformat() == "2024-01-01T00:05:00"
+        assert run1[0]["n_events"] == 2
+
+        # restart: a third file closes the session b2 left OPEN in
+        # RocksDB state — only works if run 2 recovered run 1's state
+        (d / "b3.csv").write_text("ts,user_id,value\n2024-01-01 05:00:00,7,8.0\n")
+        os.utime(d / "b3.csv", (1000000200, 1000000200))
+        drain()
+        run2 = sorted(
+            spark.read.parquet(sink).collect(),
+            key=lambda r: r["session_start"],
+        )
+        assert len(run2) == 2  # run 1's session + the one run 2 closed
+        s = run2[1]
+        assert s["session_start"].isoformat() == "2024-01-01T02:00:00"
+        assert s["session_end"].isoformat() == "2024-01-01T02:00:00"
+        assert s["n_events"] == 1 and s["total_value"] == pytest.approx(4.0)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
