@@ -1,0 +1,92 @@
+"""Scale-proof the registry (VERDICT r5 #1): time every queries() entry
+at two scale factors and record per-query growth ratios in
+BENCH_SCALE.json. With 10x the data, a scale-safe plan should grow
+wall-clock by <= ~10x (linear in SF; fixed overheads usually keep it
+well under); anything super-linear is either a quadratic family or a
+plan that stopped fitting, and gets flagged for a fix or a named
+excuse.
+
+Usage: python scripts/scale_bench.py [small_dir] [big_dir] [out]
+  defaults: /root/testdata/sf0.1  .scaledata/sf1.0  BENCH_SCALE.json
+(generate the big dir first: python scripts/make_scale_data.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PER_QUERY_TIMEOUT = float(os.environ.get("SPARK_GRAFT_SCALE_TIMEOUT", "600"))
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf1.0"
+    out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SCALE.json"
+
+    from milan_telecom_etl__spark.session import get_spark
+
+    spark = get_spark(app_name="scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    qs["top_cells"](spark, small).count()  # JVM warmup
+
+    results: dict[str, dict] = {}
+    for name, fn in qs.items():
+        rec: dict = {}
+        for label, sf_dir in [("small", small), ("big", big)]:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                n = fn(spark, sf_dir).count()
+                rec[label] = round(time.perf_counter() - t0, 3)
+                rec[f"{label}_rows"] = n
+            except Exception as e:
+                rec[label] = -1.0
+                rec[f"{label}_err"] = str(e)[:200]
+            if time.perf_counter() - t0 > PER_QUERY_TIMEOUT:
+                rec[f"{label}_timeout"] = True
+        if rec.get("small", -1) > 0 and rec.get("big", -1) > 0:
+            rec["ratio"] = round(rec["big"] / max(rec["small"], 0.05), 2)
+        results[name] = rec
+        print(
+            f"{name}: small={rec.get('small')} big={rec.get('big')} "
+            f"ratio={rec.get('ratio')}",
+            file=sys.stderr,
+            flush=True,
+        )
+
+    ok = {k: v for k, v in results.items() if "ratio" in v}
+    ratios = sorted(ok.items(), key=lambda kv: -kv[1]["ratio"])
+    sha = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True
+    ).stdout.strip()
+    payload = {
+        "small_dir": small,
+        "big_dir": big,
+        "data_growth_x": 10,
+        "git_sha": sha,
+        "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "n_queries": len(results),
+        "n_failed_big": len([r for r in results.values() if r.get("big", -1) < 0]),
+        "median_ratio": sorted(v["ratio"] for v in ok.values())[len(ok) // 2],
+        "worst10": {k: v["ratio"] for k, v in ratios[:10]},
+        "queries": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, sort_keys=True, indent=1)
+    print(json.dumps({k: payload[k] for k in
+                      ("median_ratio", "n_failed_big", "worst10")}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
