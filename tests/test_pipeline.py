@@ -309,3 +309,30 @@ def test_schema_diff_between_versions(spark, tmp_path):
     assert by_col["v"] == {"column": "v", "change": "retyped", "from": "double", "to": "bigint"}
     assert len(diff) == 2
     assert schema_diff(spark, d, v1, v1) == []
+
+
+def test_drop_existing_rebuilds_schema(spark, data_dir, tmp_path):
+    """run_all(drop_existing=True) is the reference's destructive
+    create_schema(drop_existing=True) rebuild: loaders re-run instead
+    of S8-skipping, and stale tables vanish."""
+    import os
+
+    wh_dir = str(tmp_path / "wh")
+    kw = dict(
+        grid_file=str(data_dir / "grid.geojson"),
+        provinces_file=str(data_dir / "provinces.geojson"),
+    )
+    r1 = run_all(spark, wh_dir, str(data_dir), **kw)
+    assert not r1["traffic"].skipped
+    # plain rerun idempotence-skips; a stale extra table survives it
+    os.makedirs(os.path.join(wh_dir, "stale_table"))
+    r2 = run_all(spark, wh_dir, str(data_dir), **kw)
+    assert r2["traffic"].skipped
+    assert os.path.isdir(os.path.join(wh_dir, "stale_table"))
+    # destructive rebuild: loaders run again, stale table is gone
+    r3 = run_all(spark, wh_dir, str(data_dir), drop_existing=True, **kw)
+    assert not r3["traffic"].skipped
+    assert not os.path.isdir(os.path.join(wh_dir, "stale_table"))
+    assert spark.read.parquet(
+        os.path.join(wh_dir, "fact_traffic_milan")
+    ).count() > 0
