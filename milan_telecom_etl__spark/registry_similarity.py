@@ -120,6 +120,29 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_near_dups_auto")  # no SQL oracle: plane count is
+# runtime-derived from corpus size, so bucket constants aren't static
+# SQL; the driver records the rows-only gate. Exactness is pinned
+# instead by tests/test_semantics.py (precision == 1 against brute
+# force; recall floor via OR-amplification) and the scale behavior by
+# BENCH_SCALE.json (this is the variant whose wall grows ~linearly at
+# 10x data, vs the fixed-4-plane twin's quadratic bucket blowup).
+def q_embedding_near_dups_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of embedding_near_dups: auto_n_planes keeps
+    E[bucket size] <= 128 as the corpus grows (planes = ceil(log2(n /
+    128))), so the within-bucket verify join stays ~linear in n instead
+    of quadratic at any fixed plane count — the VERDICT r5 scale-proof
+    fix for the 20x wall-growth the pinned twin shows at sf1.0.
+    6-table OR-amplification buys back the recall the extra planes
+    cost (1-(1-p^k)^6)."""
+    return S.embedding_near_dups(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=None,
+        n_tables=6,
+    )
+
+
 @register(
     "lsh_bucket_histogram",
     f"""

@@ -736,3 +736,41 @@ def test_market_basket_rule_math(spark):
         assert abs(r["support"] - round(r["n_orders_pair"] / n_orders, 6)) < 1e-9
         expect_lift = (r["n_orders_pair"] / item[r["pa"]]) / (item[r["pb"]] / n_orders)
         assert abs(r["lift"] - round(expect_lift, 6)) < 1e-6
+
+
+def test_embedding_near_dups_auto_exact_and_recalling(spark):
+    """Auto-plane OR-amplified variant: every returned pair is a TRUE
+    cos>=tau pair (precision 1 — candidates are exact-verified), and
+    multi-table amplification recalls >=80% of the brute-force pairs
+    at tau=0.4; dedup across tables leaves no duplicate pairs."""
+    from milan_telecom_etl__spark.registry_similarity import (
+        q_embedding_near_dups_auto,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in q_embedding_near_dups_auto(spark, sf).collect()
+    }
+    emb = load_table(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", dot / (nrm(F.col("ea")) * nrm(F.col("eb"))))
+        .filter(F.col("cos") >= 0.4)
+        .collect()
+    }
+    assert set(got) <= truth, "LSH must never emit a false pair"
+    assert len(set(got)) == len(got), "pairs deduped across tables"
+    assert truth and len(set(got)) / len(truth) >= 0.8, (
+        f"recall {len(set(got))}/{len(truth)} below amplification floor"
+    )
