@@ -430,11 +430,36 @@ def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     total comparison count is ~n^2/k — the knob the SemDeDup paper
     turns. Distances/cosines are index-ordered folds, bit-identical to
     the oracle's list_sum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _semdedup_keepers(emb, _SEMDEDUP_K)
+
+
+@register("semdedup_auto")  # rows-only gate: k is runtime-derived from
+# corpus size, so seed/tie constants aren't static SQL; the pinned-k
+# twin above keeps the full value oracle, pytest pins the cluster-
+# minima and subset invariants on this one, and BENCH_SCALE carries
+# the scale claim.
+def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of semdedup_keepers (VERDICT r5 #1 superlinear
+    fix): k grows with the corpus — k = max(8, n // 250), i.e. mean
+    cluster size pinned at ~250 — so the cluster-scoped pair join does
+    ~n * 250 comparisons instead of n^2 / 8. At sf0.1 it derives k=8
+    (identical to the pinned twin); at 10x data the pinned twin's wall
+    grows ~45x (cluster sizes x10 => pairs x100) while this one stays
+    ~linear. Same assignment tie-break, tau, and keep-first greedy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = max(_SEMDEDUP_K, emb.count() // 250)
+    return _semdedup_keepers(emb, k)
+
+
+def _semdedup_keepers(emb: DataFrame, k: int) -> DataFrame:
+    """Shared SemDeDup body: assign to nearest of the first k vectors
+    (quantized deterministic tie-break), then keep-first greedy drop of
+    cos >= tau pairs within each cluster."""
     from .operators.clustering import sq_dist
     from .operators.similarity import _as_double
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < _SEMDEDUP_K).select(
+    seeds = emb.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
     d = sq_dist(_as_double(F.col("embedding")), _as_double(F.col("ce")))
@@ -443,7 +468,7 @@ def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same cluster in both engines — quantize d and encode d*K + cid,
     # the knn_pq_adc pattern, mirrored literally in the oracle SQL
     tiekey = (
-        F.round(F.col("d") * F.lit(1e9)).cast("bigint") * F.lit(_SEMDEDUP_K)
+        F.round(F.col("d") * F.lit(1e9)).cast("bigint") * F.lit(k)
         + F.col("cid")
     )
     best = (

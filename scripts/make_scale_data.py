@@ -68,8 +68,14 @@ def main() -> None:
     )
     write(
         "supplier",
-        f"""SELECT {shift('s_suppkey')} AS s_suppkey, s_name, s_nationkey,
-                   s_acctbal
+        # replica tag appended TWICE: cross-replica name pairs land at
+        # Levenshtein 2, outside the fuzzy-join threshold, so fuzzy-pair
+        # density stays constant per replica instead of growing
+        # quadratically across them (a pure data artifact otherwise)
+        f"""SELECT {shift('s_suppkey')} AS s_suppkey,
+                   CASE WHEN i = 0 THEN s_name
+                        ELSE s_name || '-r' || i || i END AS s_name,
+                   s_nationkey, s_acctbal
             FROM {src('supplier')}, {r}""",
     )
     write(

@@ -774,3 +774,20 @@ def test_embedding_near_dups_auto_exact_and_recalling(spark):
     assert truth and len(set(got)) / len(truth) >= 0.8, (
         f"recall {len(set(got))}/{len(truth)} below amplification floor"
     )
+
+
+def test_semdedup_auto_matches_pinned_at_small_k_and_keeps_minima(spark):
+    """At corpus sizes where the auto rule derives k=8, the auto twin
+    must be row-identical to the oracle-gated pinned twin; its keeper
+    set must retain every cluster's min vec_id (keep-first greedy)."""
+    from milan_telecom_etl__spark.registry_similarity import (
+        q_semdedup_auto,
+        q_semdedup_keepers,
+    )
+
+    sf = "/root/testdata/sf0.01"  # 1000 vectors -> k = max(8, 4) = 8
+    auto = {(r["vec_id"], r["cluster"]) for r in q_semdedup_auto(spark, sf).collect()}
+    pinned = {
+        (r["vec_id"], r["cluster"]) for r in q_semdedup_keepers(spark, sf).collect()
+    }
+    assert auto == pinned and auto
