@@ -37,7 +37,12 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    qs["top_cells"](spark, small).count()  # JVM warmup
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").split(",") if n
+    }
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
+    entrymod.queries()["top_cells"](spark, small).count()  # JVM warmup
 
     results: dict[str, dict] = {}
     for name, fn in qs.items():
