@@ -319,3 +319,32 @@ def test_pq_codebook_and_adc_ride_broadcasts(spark):
     plan = _plan(q_knn_pq_adc(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # codebook/subspace fan-out
+
+
+def test_setsim_verify_is_array_intersect_not_join(spark):
+    """Round-6 restructure pin: the exact-verify stage must be the
+    per-pair array_intersect on the two docs' shingle arrays (plus the
+    candidate self-join), NOT a per-shingle tok join + groupBy + size
+    joins. (No Exchange-count pin: the pre-AQE textual plan repeats
+    shared persisted subtrees nondeterministically; the structural
+    markers below are what the restructure actually guarantees.)"""
+    from milan_telecom_etl__spark.registry_text import q_setsim_prefix_join
+
+    plan = _plan(q_setsim_prefix_join(spark, SF))
+    assert "array_intersect" in plan
+    # the old shape's per-shingle verify aggregated an `i` intersection
+    # count column; the array path has no such aggregate
+    assert "count(1) AS i" not in plan and " AS i#" not in plan
+    # no corpus-wide distinct on the exploded shingle table: dedupe
+    # happens map-side inside array_distinct before the explode
+    assert "array_distinct" in plan
+
+
+def test_semdedup_auto_assignment_broadcasts_seeds(spark):
+    """Auto-k twin keeps the pinned twin's plan shape: seed assignment
+    is a broadcast fan-out (map-side fold), never a shuffled join of
+    the corpus against the seed set."""
+    from milan_telecom_etl__spark.registry_similarity import q_semdedup_auto
+
+    plan = _plan(q_semdedup_auto(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
