@@ -459,10 +459,22 @@ def _semdedup_keepers(emb: DataFrame, k: int) -> DataFrame:
     from .operators.clustering import sq_dist
     from .operators.similarity import _as_double
 
-    seeds = emb.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    # Hoist the float->double cast to ONCE PER VECTOR and spread the
+    # corpus across all cores BEFORE the n x k assignment fold: without
+    # this the crossJoin re-casts both 64-dim arrays per (vector, seed)
+    # pair — k casts per vector — on however few partitions the parquet
+    # scan produced (sf3 profile: 4 partitions, 194 s; after: ~8 s).
+    # Cast hoisting is value-identical (same doubles, same fold order).
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    embd = (
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("ed"))
+        .repartition(n_parts)
+        .persist()  # two consumers: assignment fold + pair-join build
     )
-    d = sq_dist(_as_double(F.col("embedding")), _as_double(F.col("ce")))
+    seeds = embd.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("ed").alias("ce")
+    )
+    d = sq_dist(F.col("ed"), F.col("ce"))
     # tie-break deterministically (ADVICE r5): a vector equidistant to
     # two seeds (duplicate embeddings among vec_id < k) must pick the
     # same cluster in both engines — quantize d and encode d*K + cid,
@@ -472,7 +484,7 @@ def _semdedup_keepers(emb: DataFrame, k: int) -> DataFrame:
         + F.col("cid")
     )
     best = (
-        emb.crossJoin(F.broadcast(seeds))
+        embd.crossJoin(F.broadcast(seeds))
         .select("vec_id", "cid", d.alias("d"))
         .groupBy("vec_id")
         .agg(F.min_by("cid", tiekey).alias("cluster"))
@@ -481,12 +493,8 @@ def _semdedup_keepers(emb: DataFrame, k: int) -> DataFrame:
     # ONE fold (the dot), not three — identical IEEE value, the norms
     # are the same sqrt either way
     b = (
-        emb.join(best, "vec_id")
-        .select(
-            "vec_id",
-            _as_double(F.col("embedding")).alias("ed"),
-            "cluster",
-        )
+        embd.join(best, "vec_id")
+        .select("vec_id", "ed", "cluster")
         .withColumn(
             "nrm",
             F.sqrt(
