@@ -607,8 +607,13 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free broadcast join + one (query, neighbor) aggregation."""
     from .operators.similarity import _as_double
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        # spread the n x K x M encoding fold across all cores: the raw
+        # parquet scan arrives in a handful of splits (same bottleneck
+        # as the SemDeDup assignment fold — 4 partitions at sf1+)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     cb = emb.filter(F.col("vec_id") < _PQ_K).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
