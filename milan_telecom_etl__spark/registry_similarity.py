@@ -446,17 +446,130 @@ def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~n * 250 comparisons instead of n^2 / 8. At sf0.1 it derives k=8
     (identical to the pinned twin); at 10x data the pinned twin's wall
     grows ~45x (cluster sizes x10 => pairs x100) while this one stays
-    ~linear. Same assignment tie-break, tau, and keep-first greedy."""
+    ~linear. Same assignment tie-break, tau, and keep-first greedy.
+
+    With k tied to n, a flat n x k assignment fold is itself quadratic
+    (the r6 scale profile caught it at 11x wall for 10x data), so above
+    _SEMDEDUP_IVF_MIN_K the assignment goes through an IVF-style
+    two-level quantizer: sqrt(k) coarse anchors, then only the fine
+    seeds routed to the vector's coarse cell — n * 2*sqrt(k) distance
+    folds instead of n * k. Below the threshold (which includes every
+    corpus where k collapses to 8) the exact single-level fold runs and
+    the twin stays row-identical to the pinned oracle twin."""
     emb = load_table(spark, sf_dir, "embeddings")
     k = max(_SEMDEDUP_K, emb.count() // 250)
     return _semdedup_keepers(emb, k)
+
+
+_SEMDEDUP_IVF_MIN_K = 64
+
+
+def _assign_nearest(embd: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """Exact nearest-seed assignment: broadcast the k seeds, fold the
+    squared distance per (vector, seed), min_by with the quantized
+    deterministic tie-break (ADVICE r5): a vector equidistant to two
+    seeds (duplicate embeddings among vec_id < k) must pick the same
+    cluster in both engines — quantize d and encode d*K + cid, the
+    knn_pq_adc pattern, mirrored literally in the oracle SQL."""
+    from .operators.clustering import sq_dist
+
+    d = sq_dist(F.col("ed"), F.col("ce"))
+    tiekey = (
+        F.round(F.col("d") * F.lit(1e9)).cast("bigint") * F.lit(k)
+        + F.col("cid")
+    )
+    return (
+        embd.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cid", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", tiekey).alias("cluster"))
+    )
+
+
+_SEMDEDUP_NPROBE = 4
+
+
+def _assign_two_level(embd: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
+    """IVF-style two-level nearest-seed assignment for large k: route
+    every vector through ~sqrt(k) coarse anchors (the lowest-cid seeds)
+    to its nprobe=4 closest cells, then fold distances only against the
+    fine seeds living in those cells. Per-vector work drops from k to
+    ~sqrt(k)*(1 + nprobe) distance folds — the flat n x k fold is
+    quadratic once k ~ n/250, which the r6 sf0.1->sf1.0 profile
+    measured at 11x wall for 10x data.
+
+    Approximation: a vector whose true nearest fine seed sits outside
+    its nprobe closest coarse cells gets its probed-cell nearest
+    instead — the standard IVF trade, fine for SemDeDup where the
+    clustering is a tractability device, not an output; on clusterable
+    corpora (SemDeDup's premise) probed-cell routing recovers the exact
+    assignment almost always (pinned by tests on a clustered corpus).
+    Determinism is preserved: both levels use the same quantized
+    d*K+cid tie-break, and anchors are derived from data (lowest-cid
+    seeds), not RNG. Every probed cell is non-empty by construction
+    (the probe list is drawn from the cells of the routing table built
+    over the fine seeds themselves)."""
+    from .operators.clustering import sq_dist
+
+    kc = max(1, int(k**0.5))
+    p = min(_SEMDEDUP_NPROBE, kc)
+    d_sc = sq_dist(F.col("ce"), F.col("ae"))
+    tie_c = (
+        F.round(F.col("d") * F.lit(1e9)).cast("bigint") * F.lit(k)
+        + F.col("gid")
+    )
+    anchors = seeds.filter(F.col("cid") < kc).select(
+        F.col("cid").alias("gid"), F.col("ce").alias("ae")
+    )
+    # route fine seeds to coarse cells (k x kc rows — all broadcast-tiny)
+    seed_cells = (
+        seeds.crossJoin(F.broadcast(anchors))
+        .select("cid", "ce", "gid", d_sc.alias("d"))
+        .groupBy("cid")
+        .agg(
+            F.min_by("gid", tie_c).alias("gid"), F.first("ce").alias("ce")
+        )
+    )
+    # only cells that actually received a fine seed are probe-able:
+    # rebuild the anchor list from the routing table so no vector probes
+    # an empty cell (duplicate anchors can steal a cell's own anchor)
+    live_anchors = (
+        seed_cells.groupBy("gid")
+        .agg(F.min("cid").alias("cid"))
+        .join(seeds, "cid")
+        .select("gid", F.col("ce").alias("ae"))
+    )
+    d_va = sq_dist(F.col("ed"), F.col("ae"))
+    # top-p cells per vector: one shuffle on vec_id, array-sort the
+    # (tie, gid) structs map-side, slice p, explode — no window
+    probes = (
+        embd.crossJoin(F.broadcast(live_anchors))
+        .select("vec_id", "ed", "gid", d_va.alias("d"))
+        .select("vec_id", "ed", F.struct(tie_c.alias("t"), F.col("gid").alias("gid")).alias("tg"))
+        .groupBy("vec_id")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("tg")), 1, p).alias("cells"),
+            F.first("ed").alias("ed"),
+        )
+        .select("vec_id", "ed", F.explode(F.col("cells.gid")).alias("gid"))
+    )
+    d_vs = sq_dist(F.col("ed"), F.col("ce"))
+    tie_f = (
+        F.round(F.col("d") * F.lit(1e9)).cast("bigint") * F.lit(k)
+        + F.col("cid")
+    )
+    return (
+        probes.join(F.broadcast(seed_cells), "gid")
+        .select("vec_id", "cid", d_vs.alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min_by("cid", tie_f).alias("cluster"))
+    )
 
 
 def _semdedup_keepers(emb: DataFrame, k: int) -> DataFrame:
     """Shared SemDeDup body: assign to nearest of the first k vectors
     (quantized deterministic tie-break), then keep-first greedy drop of
     cos >= tau pairs within each cluster."""
-    from .operators.clustering import sq_dist
     from .operators.similarity import _as_double
 
     # Hoist the float->double cast to ONCE PER VECTOR and spread the
@@ -474,21 +587,10 @@ def _semdedup_keepers(emb: DataFrame, k: int) -> DataFrame:
     seeds = embd.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("ed").alias("ce")
     )
-    d = sq_dist(F.col("ed"), F.col("ce"))
-    # tie-break deterministically (ADVICE r5): a vector equidistant to
-    # two seeds (duplicate embeddings among vec_id < k) must pick the
-    # same cluster in both engines — quantize d and encode d*K + cid,
-    # the knn_pq_adc pattern, mirrored literally in the oracle SQL
-    tiekey = (
-        F.round(F.col("d") * F.lit(1e9)).cast("bigint") * F.lit(k)
-        + F.col("cid")
-    )
-    best = (
-        embd.crossJoin(F.broadcast(seeds))
-        .select("vec_id", "cid", d.alias("d"))
-        .groupBy("vec_id")
-        .agg(F.min_by("cid", tiekey).alias("cluster"))
-    )
+    if k >= _SEMDEDUP_IVF_MIN_K:
+        best = _assign_two_level(embd, seeds, k)
+    else:
+        best = _assign_nearest(embd, seeds, k)
     # precompute each vector's norm once: the pair predicate then costs
     # ONE fold (the dot), not three — identical IEEE value, the norms
     # are the same sqrt either way

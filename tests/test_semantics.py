@@ -791,3 +791,79 @@ def test_semdedup_auto_matches_pinned_at_small_k_and_keeps_minima(spark):
         (r["vec_id"], r["cluster"]) for r in q_semdedup_keepers(spark, sf).collect()
     }
     assert auto == pinned and auto
+
+
+def test_semdedup_two_level_assignment_tracks_exact(spark):
+    """The IVF-style two-level quantizer (the auto twin's large-k
+    assignment path) must (a) assign EVERY vector exactly once, (b) only
+    to valid seed ids, (c) agree with the exact n x k fold almost
+    always on a CLUSTERED corpus — SemDeDup's operating premise; built
+    here by pulling every vector toward its (vec_id % k) seed — and
+    (d) still agree on a sane fraction of the worst case (sf0.01's
+    uniform corpus, where coarse routing carries no signal). Also pins
+    the empty-cell guard: every probed cell holds a fine seed."""
+    from milan_telecom_etl__spark.operators.similarity import _as_double
+    from milan_telecom_etl__spark.registry_similarity import (
+        _assign_nearest,
+        _assign_two_level,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    k = 64
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    embd = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("ed")
+    ).persist()
+
+    def seeds_of(df):
+        return df.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cid"), F.col("ed").alias("ce")
+        )
+
+    # --- clustered corpus: vector i := center_{i % k} + 0.05 * orig_i
+    centers = embd.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("mid"), F.col("ed").alias("ctr")
+    )
+    clustered = (
+        embd.withColumn("mid", F.col("vec_id") % k)
+        .join(F.broadcast(centers), "mid")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("ctr"), F.col("ed"), lambda c, x: c + 0.05 * x
+            ).alias("ed"),
+        )
+        .persist()
+    )
+    two_c = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_two_level(clustered, seeds_of(clustered), k).collect()
+    }
+    exact_c = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_nearest(clustered, seeds_of(clustered), k).collect()
+    }
+    assert len(two_c) == n == len(exact_c), "every vector assigned exactly once"
+    assert set(two_c.values()) <= set(range(k)), "clusters are seed ids"
+    agree_c = sum(1 for v, c in two_c.items() if exact_c[v] == c)
+    assert agree_c / n >= 0.95, (
+        f"clustered-corpus agreement {agree_c}/{n} below floor"
+    )
+
+    # --- uniform worst case: multiprobe still beats chance by a lot
+    two_u = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_two_level(embd, seeds_of(embd), k).collect()
+    }
+    exact_u = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_nearest(embd, seeds_of(embd), k).collect()
+    }
+    assert len(two_u) == n == len(exact_u)
+    agree_u = sum(1 for v, c in two_u.items() if exact_u[v] == c)
+    assert agree_u / n >= 0.5, (
+        f"uniform-corpus agreement {agree_u}/{n} below floor"
+    )
+    embd.unpersist()
+    clustered.unpersist()
