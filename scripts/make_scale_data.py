@@ -42,7 +42,10 @@ def main() -> None:
     out = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf1.0"
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    threads = int(
+        os.environ.get("SPARK_GRAFT_DUCK_THREADS", os.cpu_count() or 8)
+    )
+    con.execute(f"SET threads TO {threads}")
 
     def src(t: str) -> str:
         return f"read_parquet('{SRC}/{t}.parquet')"

@@ -44,21 +44,32 @@ def main() -> None:
         qs = {k: v for k, v in qs.items() if k in only}
     entrymod.queries()["top_cells"](spark, small).count()  # JVM warmup
 
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         rec: dict = {}
         for label, sf_dir in [("small", small), ("big", big)]:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            try:
-                n = fn(spark, sf_dir).count()
-                rec[label] = round(time.perf_counter() - t0, 3)
-                rec[f"{label}_rows"] = n
-            except Exception as e:
-                rec[label] = -1.0
-                rec[f"{label}_err"] = str(e)[:200]
-            if time.perf_counter() - t0 > PER_QUERY_TIMEOUT:
-                rec[f"{label}_timeout"] = True
+            # min over reps: a single cold run conflates first-touch IO
+            # (parquet footers, JIT of fresh codegen) with plan cost and
+            # manufactured phantom superlinearity in the r6 profile
+            # (spatial_join_zones: 11.7x cold, 2.1x warm)
+            walls: list[float] = []
+            for _ in range(max(1, reps)):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                try:
+                    n = fn(spark, sf_dir).count()
+                    walls.append(round(time.perf_counter() - t0, 3))
+                    rec[f"{label}_rows"] = n
+                except Exception as e:
+                    rec[label] = -1.0
+                    rec[f"{label}_err"] = str(e)[:200]
+                    break
+                if time.perf_counter() - t0 > PER_QUERY_TIMEOUT:
+                    rec[f"{label}_timeout"] = True
+                    break
+            if walls and rec.get(label) != -1.0:
+                rec[label] = min(walls)
         if rec.get("small", -1) > 0 and rec.get("big", -1) > 0:
             rec["ratio"] = round(rec["big"] / max(rec["small"], 0.05), 2)
         results[name] = rec
