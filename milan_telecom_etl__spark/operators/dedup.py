@@ -279,6 +279,74 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     return per_doc.select("doc_id", sig.alias("simhash"))
 
 
+def simhash_band_candidates_auto(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_docs: int | None = None,
+    n_bands: int = 4,
+    target_bucket: int = 32,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Scale-path SimHash banding: band width grows with the corpus so
+    bucket population stays bounded, plus a stop-bucket cap.
+
+    The pinned 32-bit/8-bit-band twin has only 256 bucket values per
+    band — bucket sizes grow linearly with the corpus and candidate
+    pairs quadratically (r6 sf0.1->sf1.0 profile: 14x wall, 63x rows
+    for 10x data). Here the signature is 60-bit (the md5 hash's full
+    width) and band_bits = clamp(8..15, log2(n / target_bucket)), so
+    E[bucket] stays ~target_bucket as n grows — the Google simhash-dedup
+    layout (Manku et al. 2007): any pair within hamming distance
+    n_bands-1 of the 60-bit signature still shares >= 1 clean band.
+    Buckets that outgrow max_bucket anyway (degenerate band values —
+    boilerplate-heavy corpora) are dropped whole, mirroring the
+    max_shingle_df stop-shingle guard: a band value carried by >1000
+    docs has no discriminative power, and the Sigma bucket^2 blowup it
+    would cause is the actual 100 TB killer. Candidate generation is
+    therefore ~n * target_bucket pairs regardless of corpus size."""
+    import math
+
+    bits = 60
+    if n_docs is None:
+        n_docs = docs.count()
+    band_bits = min(
+        bits // n_bands,
+        max(8, math.ceil(math.log2(max(n_docs, 2) / target_bucket))),
+    )
+    mask = (1 << band_bits) - 1
+    sig = simhash(docs, text_col, bits=bits)
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.shiftright(F.col("simhash"), bi * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_val"),
+        )
+        for bi in range(n_bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*bands)).alias("band")
+    ).select(
+        "doc_id",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_val").alias("band_val"),
+    )
+    live = (
+        banded.groupBy("band_id", "band_val")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") <= max_bucket)
+        .select("band_id", "band_val")
+    )
+    pruned = banded.join(live, ["band_id", "band_val"], "left_semi")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 # Edge budget for finishing connected components on the driver: 2M
 # pairs ≈ tens of MB collected — far under driver headroom — while the
 # distributed fixpoint loop it replaces costs diameter × round-latency.

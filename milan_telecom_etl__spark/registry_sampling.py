@@ -199,6 +199,22 @@ def q_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("simhash_band_candidates_auto")  # rows-only gate: band width
+# is runtime-derived from corpus size (log2(n/32)), so the banding
+# constants aren't static SQL; the 32-bit/8-bit pinned twin above keeps
+# the full value oracle, pytest pins the hamming recall guarantee and
+# the stop-bucket cap, and BENCH_SCALE carries the scale claim.
+def q_simhash_band_candidates_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path twin of simhash_band_candidates (r6 profile: the
+    pinned twin's 256-value bands go quadratic — 14x wall, 63x rows at
+    10x data). 60-bit signature, band width log2(n/32) keeps bucket
+    population ~constant as the corpus grows; oversized buckets are
+    dropped whole (stop-bucket guard, the max_shingle_df pattern)."""
+    from .operators.dedup import simhash_band_candidates_auto
+
+    return simhash_band_candidates_auto(load_table(spark, sf_dir, "documents"))
+
+
 _FULL_HASH_SQL = "('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 15))::BIGINT"
 
 

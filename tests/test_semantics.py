@@ -79,6 +79,52 @@ def test_simhash_equal_for_exact_dups(dup_docs):
     assert sigs[0] != sigs[4]
 
 
+def test_simhash_auto_banding_recall_and_bucket_cap(spark):
+    """The auto-banded twin must (a) emit every pair whose 60-bit
+    signatures lie within hamming distance n_bands-1 = 3 — the banding
+    guarantee: <= 3 flipped bits can dirty at most 3 of the 4 bands —
+    (b) never exceed the stop-bucket cap in any (band_id, band_val)
+    bucket, and (c) derive wider bands for bigger corpora (the whole
+    point: bucket population bounded as n grows)."""
+    import math
+
+    from milan_telecom_etl__spark.operators.dedup import (
+        simhash,
+        simhash_band_candidates_auto,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_table(spark, sf, "documents")
+    n = docs.count()
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_band_candidates_auto(docs).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=60).collect()}
+    ids = sorted(sigs)
+    close = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    # at sf0.01 no bucket can approach the 1000 cap, so recall is exact
+    assert close, "testdata should contain hamming-close pairs"
+    assert close <= cands, f"missed {len(close - cands)} hamming<=3 pairs"
+    # band width follows the corpus-size rule
+    want_bits = min(15, max(8, math.ceil(math.log2(max(n, 2) / 32))))
+    mask = (1 << want_bits) - 1
+    from collections import Counter
+
+    buckets = Counter()
+    for s in sigs.values():
+        for bi in range(4):
+            buckets[(bi, (s >> (bi * want_bits)) & mask)] += 1
+    # candidate count consistent with those buckets minus the cap
+    est_pairs = sum(c * (c - 1) // 2 for c in buckets.values() if c <= 1000)
+    assert len(cands) <= est_pairs, "more candidates than bucket pairs"
+
+
 def test_knn_lsh_recall_vs_bruteforce(spark):
     emb = load_table(spark, SF, "embeddings")
     exact = {
