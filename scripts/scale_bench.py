@@ -28,6 +28,7 @@ def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf1.0"
     out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SCALE.json"
+    growth = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
 
     from milan_telecom_etl__spark.session import get_spark
 
@@ -88,7 +89,7 @@ def main() -> None:
     payload = {
         "small_dir": small,
         "big_dir": big,
-        "data_growth_x": 10,
+        "data_growth_x": growth,
         "git_sha": sha,
         "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "n_queries": len(results),
