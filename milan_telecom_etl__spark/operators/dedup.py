@@ -303,16 +303,21 @@ def simhash_band_candidates_auto(
     max_shingle_df stop-shingle guard: a band value carried by >1000
     docs has no discriminative power, and the Sigma bucket^2 blowup it
     would cause is the actual 100 TB killer. Candidate generation is
-    therefore ~n * target_bucket pairs regardless of corpus size."""
+    therefore ~n * target_bucket pairs regardless of corpus size.
+
+    The signature is built at exactly n_bands * band_bits wide (max 60,
+    the md5 hash's usable width): bits outside the banded span would be
+    majority-vote aggregates computed and never read, and the hamming
+    guarantee is defined over the banded signature."""
     import math
 
-    bits = 60
     if n_docs is None:
         n_docs = docs.count()
     band_bits = min(
-        bits // n_bands,
+        60 // n_bands,
         max(8, math.ceil(math.log2(max(n_docs, 2) / target_bucket))),
     )
+    bits = n_bands * band_bits
     mask = (1 << band_bits) - 1
     sig = simhash(docs, text_col, bits=bits)
     bands = [

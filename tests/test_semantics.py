@@ -100,7 +100,13 @@ def test_simhash_auto_banding_recall_and_bucket_cap(spark):
         (r["doc_a"], r["doc_b"])
         for r in simhash_band_candidates_auto(docs).collect()
     }
-    sigs = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=60).collect()}
+    # band width follows the corpus-size rule; the signature is built at
+    # exactly the banded width (4 * band_bits)
+    want_bits = min(15, max(8, math.ceil(math.log2(max(n, 2) / 32))))
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(docs, bits=4 * want_bits).collect()
+    }
     ids = sorted(sigs)
     close = {
         (a, b)
@@ -111,8 +117,6 @@ def test_simhash_auto_banding_recall_and_bucket_cap(spark):
     # at sf0.01 no bucket can approach the 1000 cap, so recall is exact
     assert close, "testdata should contain hamming-close pairs"
     assert close <= cands, f"missed {len(close - cands)} hamming<=3 pairs"
-    # band width follows the corpus-size rule
-    want_bits = min(15, max(8, math.ceil(math.log2(max(n, 2) / 32))))
     mask = (1 << want_bits) - 1
     from collections import Counter
 
