@@ -348,3 +348,46 @@ def test_semdedup_auto_assignment_broadcasts_seeds(spark):
 
     plan = _plan(q_semdedup_auto(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_semdedup_two_level_plan_stays_broadcast(spark):
+    """The IVF two-level assignment (large-k path) must keep every
+    seed-derived frame on the broadcast side: coarse routing is a
+    broadcast fan-out, the fine step a BroadcastHashJoin on gid, the
+    only corpus shuffle the vec_id hash exchange for the top-p cell
+    pick — never a sort-merge join of the corpus against seeds."""
+    from pyspark.sql import functions as F
+    from milan_telecom_etl__spark.operators.similarity import _as_double
+    from milan_telecom_etl__spark.registry_similarity import _assign_two_level
+
+    emb = load_table(spark, SF, "embeddings")
+    embd = emb.select("vec_id", _as_double(F.col("embedding")).alias("ed"))
+    seeds = embd.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").alias("cid"), F.col("ed").alias("ce")
+    )
+    plan = _plan(_assign_two_level(embd, seeds, 64))
+    assert "BroadcastNestedLoopJoin" in plan  # coarse anchor fan-out
+    assert "BroadcastHashJoin" in plan  # fine step on gid
+    assert "SortMergeJoin" not in plan
+    # seed filters reach the scan
+    assert "LessThan(vec_id,64)" in plan and "LessThan(vec_id,8)" in plan
+
+
+def test_simhash_auto_bucket_cap_drops_degenerate_corpus(spark):
+    """Stop-bucket guard: a corpus of identical docs puts every doc in
+    the same bucket per band; above max_bucket the bucket is dropped
+    whole and NO candidate pairs escape (the Sigma bucket^2 blowup is
+    refused, not attempted)."""
+    from milan_telecom_etl__spark.operators.dedup import (
+        simhash_band_candidates_auto,
+    )
+
+    docs = spark.range(0, 40).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated everywhere").alias("text"),
+    )
+    out = simhash_band_candidates_auto(docs, max_bucket=10)
+    assert out.count() == 0
+    # with the cap above the corpus size the same docs all pair up
+    loose = simhash_band_candidates_auto(docs, max_bucket=1000)
+    assert loose.count() == 40 * 39 // 2
