@@ -224,7 +224,7 @@ def _lsh_sql(num_hashes: int = 16, band_size: int = 2) -> str:
     banded = " UNION ALL ".join(bands)
     return f"""
     WITH {_SHINGLE_CTE},
-    sig AS ({_minhash_sql_body()}),
+    sig AS ({_minhash_sql_body(num_hashes)}),
     banded AS ({banded})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a JOIN banded b
@@ -273,6 +273,28 @@ def _lsh_verified_sql(
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs (8 bands × 2 rows) — equality joins only."""
     return D.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
+
+
+@register("minhash_lsh_sharp", _lsh_sql(num_hashes=64, band_size=4))
+def q_minhash_lsh_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp-banding MinHash LSH: 64 hashes in 16 bands of 4 rows —
+    the at-scale parameterization of minhash_lsh_candidates.
+
+    Both schemes center the S-curve near J ≈ 0.5 ((1/b)^(1/r): 0.35 for
+    r=2/b=8, 0.50 for r=4/b=16), but the per-band collision rate is J^r:
+    on a templated corpus where unrelated doc pairs sit at J ≈ 0.25,
+    r=2 collides at ~6% per band (any-band ~40%) while r=4 collides at
+    ~0.4% (any-band ~6%). The r6 sf3→sf10 profile measured the
+    difference: the r=2 twin's candidate rows grew 11× for 3.33× data
+    (the fat false-positive tail compounding across replicas of a
+    template family) — quadratic-in-family-size survivors the verify
+    stage then has to pay for. Sharper bands cost 4× the signature
+    hashes (embarrassingly parallel, one shuffle either way) to make
+    candidate volume track true near-dup density. Full value oracle:
+    the hash/band constants are static SQL literals."""
+    return D.minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), num_hashes=64, band_size=4
+    )
 
 
 def _simhash_sql(bits: int = 32) -> str:
