@@ -290,7 +290,13 @@ def q_minhash_lsh_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
     template family) — quadratic-in-family-size survivors the verify
     stage then has to pay for. Sharper bands cost 4× the signature
     hashes (embarrassingly parallel, one shuffle either way) to make
-    candidate volume track true near-dup density. Full value oracle:
+    candidate volume track true near-dup density. The no-free-lunch
+    term is recall exactly AT the midpoint: 1-(1-J^4)^16 = 0.64 at
+    J = 0.5 vs the r=2 scheme's 0.90 (measured 1.00 on the corpus's
+    planted pairs, which sit well above the midpoint — pinned in
+    pytest); where borderline-J recall matters, the datasketch-style
+    128-hash/32-band config restores it to 0.87 at the same J^4 tail
+    (measured: +30% candidates, +0.7 s at sf0.1). Full value oracle:
     the hash/band constants are static SQL literals."""
     return D.minhash_lsh_candidates(
         load_table(spark, sf_dir, "documents"), num_hashes=64, band_size=4

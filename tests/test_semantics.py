@@ -73,6 +73,34 @@ def test_minhash_lsh_recalls_planted_near_dups(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_minhash_sharp_banding_recalls_planted_near_dups(spark):
+    """The 64-hash/16x4-band sharp twin must still recover the planted
+    high-Jaccard pairs (they sit well above the J=0.5 S-curve midpoint,
+    where 1-(1-J^4)^16 recall is ~1) while emitting strictly fewer
+    candidates than the r=2 scheme (the J^4 vs J^2 collision tail)."""
+    from milan_telecom_etl__spark.operators.dedup import (
+        minhash_lsh_candidates as mlc,
+    )
+    from milan_telecom_etl__spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact, "testdata should contain planted near-dups"
+    sharp = {
+        (r["doc_a"], r["doc_b"])
+        for r in mlc(docs, num_hashes=64, band_size=4).collect()
+    }
+    wide = {
+        (r["doc_a"], r["doc_b"]) for r in mlc(docs).collect()
+    }
+    recall = len(exact & sharp) / len(exact)
+    assert recall >= 0.9, f"sharp recall {recall:.2f} over {len(exact)} pairs"
+    assert len(sharp) <= len(wide), "sharp banding must not widen candidates"
+
+
 def test_simhash_equal_for_exact_dups(dup_docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash(dup_docs).collect()}
     assert sigs[0] == sigs[1] == sigs[2]  # same normalized token bag
