@@ -101,6 +101,109 @@ def dedupe_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return ranked.join(keepers, ["__fp", "doc_id"], "left_semi").drop("__fp")
 
 
+def position_grams(words: Column, k: int = 8) -> Column:
+    """ALL positional word k-grams, hashed (md5) — NOT distinct, unlike
+    `shingles_of`: exact-substring dedup counts *positions*, so a gram
+    repeated within one doc must appear once per occurrence."""
+    n = F.greatest(F.size(words) - F.lit(k - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), n - F.lit(1))
+    gram_at = lambda i: F.md5(F.array_join(F.slice(words, i + F.lit(1), k), " "))  # noqa: E731
+    return F.when(n > 0, F.transform(idx, gram_at)).otherwise(F.array())
+
+
+def duplicate_span_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-substring duplication audit (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): a token position is
+    duplicated iff its k-token window occurs anywhere else in the corpus
+    (other docs OR elsewhere in the same doc — the suffix-array notion of
+    a repeated substring). Emits, per doc with >= 1 full window:
+    n_grams, n_dup_positions, dup_fraction.
+
+    The paper builds a corpus-wide suffix array — inherently sequential.
+    The Spark-first restatement: every positional k-gram hashed (pure
+    projection), one hash-agg per (doc, gram), one per gram, one join
+    keyed on the gram hash. All shuffle keys are md5-uniform (no skew by
+    construction), every agg map-side-combines, and nothing is quadratic:
+    cost is O(total tokens) however large the corpus. A span-MERGING
+    pass (stitching overlapping dup windows into maximal spans) would
+    ride a per-doc window over n_dup_positions rows — omitted here
+    because the audit fraction is what drives the keep/drop decision."""
+    w = words if words is not None else _words_df(docs, text_col)
+    grams = w.select(
+        "doc_id", F.explode(position_grams(F.col("__words"), k)).alias("g")
+    )
+    per_doc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("np"))
+    global_cnt = per_doc.groupBy("g").agg(F.sum("np").alias("cnt"))
+    return (
+        per_doc.join(global_cnt, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("np").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("cnt") >= 2, F.col("np")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_dup_positions"),
+        )
+        .withColumn(
+            "dup_fraction", F.round(F.col("n_dup_positions") / F.col("n_grams"), 6)
+        )
+    )
+
+
+def duplicate_span_islands(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """Maximal duplicated spans (the REMOVAL unit of Lee et al. 2022):
+    stitch overlapping/adjacent duplicated k-token windows into islands
+    via gaps-and-islands — a window starting at token i covers
+    [i, i+k-1], so two dup windows merge iff their starts differ by
+    <= k. Emits (doc_id, span_start, span_end, span_tokens) per maximal
+    span, 1-based token positions — exactly what a span-excision rewrite
+    pass consumes.
+
+    Scale story: dup-position detection is `duplicate_span_stats`'s
+    linear hash-agg/join pipeline; the merge adds one lag + running-sum
+    window PARTITIONED BY doc_id — state bounded by a single document's
+    dup positions, never corpus-wide, and the shuffle key (doc_id) is
+    unskewed. No stage sees more than O(tokens) rows."""
+    w = words if words is not None else _words_df(docs, text_col)
+    grams = w.select(
+        "doc_id", F.posexplode(position_grams(F.col("__words"), k)).alias("j", "g")
+    ).select("doc_id", (F.col("j") + 1).alias("i"), "g")
+    cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = (
+        grams.join(cnt.filter(F.col("cnt") >= 2), "g")
+        .select("doc_id", "i")
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    ordw = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.col("i") - F.lag("i").over(ordw) > k, F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = dup.withColumn(
+        "island", F.sum(brk).over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(F.min("i").alias("span_start"), (F.max("i") + F.lit(k - 1)).alias("span_end"))
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1).cast("long").alias("span_tokens"),
+        )
+    )
+
+
 def shingle_table(
     docs: DataFrame,
     text_col: str = "text",

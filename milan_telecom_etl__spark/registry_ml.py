@@ -483,3 +483,70 @@ def q_auc_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+@register(
+    "cluster_silhouette",
+    f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 4
+    ), pairs AS (
+      SELECT e.vec_id, s.cid, {_SQDIST} AS d
+      FROM embeddings e, seeds s
+    ), per_vec AS (
+      SELECT vec_id,
+             arg_min(cid, CAST(round(d * 1e9) AS BIGINT) * 4 + cid) AS cluster,
+             sqrt(min(d)) AS a,
+             sqrt(list_sort(list(d))[2]) AS b
+      FROM pairs GROUP BY vec_id
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+           round(avg(CASE WHEN greatest(a, b) > 0
+                          THEN (b - a) / greatest(a, b) ELSE 0 END), 6)
+             AS silhouette
+    FROM per_vec GROUP BY cluster
+    """,
+)
+def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (prototype-based) silhouette per cluster — the
+    clustering-quality score that decides whether a SemDeDup/curation
+    clustering is tight enough to trust: a = distance to the assigned
+    prototype, b = distance to the nearest OTHER prototype,
+    s = (b-a)/max(a,b), averaged per cluster. Uses the deterministic
+    seed prototypes (vec_id < 4, the kmeans_estep convention) and the
+    quantized arg_min tie-break (ADVICE r5 convention) so assignment is
+    engine-stable.
+
+    The classic silhouette is O(n²) (all-pairs within/between
+    clusters); the prototype form is the scale restatement: one
+    broadcast of k prototype rows, one map-side fold per (vector,
+    prototype), one groupBy(vec_id) whose k rows collapse map-side —
+    O(n·k·d), no shuffle wider than n rows, no quadratic stage.
+    b is the 2nd-smallest of k exact fold distances (sort_array over a
+    k-element list — bounded by k, not the corpus)."""
+    from .operators.clustering import sq_dist
+    from .operators.similarity import _as_double
+
+    k = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    d = sq_dist(_as_double(F.col("embedding")), _as_double(F.col("ce")))
+    pairs = emb.crossJoin(F.broadcast(seeds)).select("vec_id", "cid", d.alias("d"))
+    tiekey = (
+        F.round(F.col("d") * F.lit(1e9)).cast("long") * F.lit(k) + F.col("cid")
+    )
+    per_vec = pairs.groupBy("vec_id").agg(
+        F.min_by("cid", tiekey).alias("cluster"),
+        F.sqrt(F.min("d")).alias("a"),
+        F.sqrt(F.sort_array(F.collect_list("d")).getItem(1)).alias("b"),
+    )
+    s = F.when(
+        F.greatest(F.col("a"), F.col("b")) > 0,
+        (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b")),
+    ).otherwise(F.lit(0.0))
+    return per_vec.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(s), 6).alias("silhouette"),
+    )

@@ -319,3 +319,113 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").cast("long").alias("id_sum"),
         )
     )
+
+
+@register(
+    "training_shards",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(h % 8 AS BIGINT) AS shard_id,
+           CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export assignment: shard =
+    md5(doc_id) mod n_shards, position = rank of the hash within the
+    shard — i.e. a reproducible global shuffle + sharding of the corpus
+    for a data loader, independent of input order, partitioning, or
+    engine (the property seed-based RNG shuffles lack; module
+    docstring). The hash doubles as the intra-shard shuffle order, so
+    consecutive positions are content-uncorrelated — what curriculum-
+    free pretraining wants from "shuffled" shards.
+
+    Scale story: the hash is a pure projection; md5 uniformity balances
+    shards to within sampling noise regardless of key skew; the
+    row_number window sorts WITHIN each shard only (shuffle keyed on
+    shard_id, n_shards-way; at 100 TB you'd raise n_shards to
+    O(total/shard_target) so each sort fits an executor — the constant
+    is a knob, the plan shape is unchanged). A writer would
+    partitionBy(shard_id) with pos as the in-file order."""
+    from pyspark.sql.window import Window
+
+    n_shards = 8
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy("shard_id").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard_id", (F.col("h") % n_shards).cast("long"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard_id", "pos")
+    )
+
+
+@register(
+    "padding_waste_buckets",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             greatest(1, CAST(ceil(ln(greatest(n_chars, 1) / 5.0) / ln(2))
+                              AS BIGINT)) AS lb
+      FROM documents
+    ), b AS (
+      SELECT doc_id, CAST(power(2, lb) AS BIGINT) AS bucket_cap,
+             CAST(greatest(n_chars, 1) / 5.0 AS DOUBLE) AS est_toks
+      FROM toks JOIN documents USING (doc_id)
+    )
+    SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(est_toks), 6) AS sum_tokens,
+           round(sum(bucket_cap - est_toks), 6) AS padding_waste,
+           round(sum(bucket_cap - est_toks) / sum(bucket_cap), 6)
+             AS waste_ratio
+    FROM b GROUP BY 1
+    """,
+)
+def q_padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: docs grouped into power-of-2
+    token-budget buckets (est. tokens = n_chars/5, the chars-per-token
+    rule of thumb), reporting per bucket how many pad tokens a
+    fixed-length batcher would burn — the number that justifies (or
+    kills) sequence-bucketed batching vs plain context packing
+    (`context_packing` is the packing alternative; this is the
+    measurement that picks between them).
+
+    Scale story: a pure projection (log2 bucket id) + one map-side-
+    combined hash-agg over ~30 bucket keys — the same
+    aggregate-everything-into-tiny-domains shape as class_balance/
+    value_histogram; nothing wider than n rows, output bounded by
+    log2(max_len) buckets however large the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    est = F.greatest(F.col("n_chars"), F.lit(1)) / F.lit(5.0)
+    lb = F.greatest(F.lit(1), F.ceil(F.log(2.0, est)).cast("long"))
+    return (
+        docs.select(
+            F.pow(F.lit(2.0), lb).cast("long").alias("bucket_cap"),
+            est.cast("double").alias("est_toks"),
+        )
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.sum("est_toks"), 6).alias("sum_tokens"),
+            F.round(F.sum(F.col("bucket_cap") - F.col("est_toks")), 6).alias(
+                "padding_waste"
+            ),
+            F.round(
+                F.sum(F.col("bucket_cap") - F.col("est_toks"))
+                / F.sum("bucket_cap"),
+                6,
+            ).alias("waste_ratio"),
+        )
+    )

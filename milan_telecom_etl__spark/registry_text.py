@@ -1604,3 +1604,162 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_novel",
         F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
     )
+
+
+@register(
+    "duplicate_spans",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    grams AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS g
+      FROM (SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i
+            FROM words)
+    ),
+    gc AS (SELECT g, count(*) AS cnt FROM grams GROUP BY 1)
+    SELECT gr.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN gc.cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_positions,
+           round(sum(CASE WHEN gc.cnt >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS dup_fraction
+    FROM grams gr JOIN gc ON gr.g = gc.g
+    GROUP BY 1
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication audit (Lee et al. 2022): fraction of
+    each doc's 8-token windows that occur anywhere else in the corpus
+    (cross-doc or repeated within-doc). The suffix-array op restated as
+    hash-aggs + one join keyed on md5-uniform gram hashes — O(tokens),
+    no skew, no quadratic stage (operators/dedup.py
+    duplicate_span_stats docstring has the full scale story)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_span_stats(docs, k=8)
+
+
+@register(
+    "cross_source_overlap",
+    f"""
+    WITH docs AS (SELECT doc_id, source, {_norm()} AS t FROM documents),
+    words AS (SELECT source, string_split(t, ' ') AS ws FROM docs),
+    sg AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      FROM (
+        SELECT source,
+               unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+        FROM words)
+    ),
+    sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           round(count(*) * 1.0 / (min(za.n) + min(zb.n) - count(*)), 6)
+             AS jaccard
+    FROM sg a
+    JOIN sg b ON a.h = b.h AND a.source < b.source
+    JOIN sz za ON za.source = a.source
+    JOIN sz zb ON zb.source = b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination audit: for every pair of corpus
+    sources (think CommonCrawl dumps / data vendors), the number of
+    distinct 3-gram shingles they share and the shingle-set Jaccard —
+    the matrix that decides which dumps are worth ingesting and which
+    are re-crawls of each other.
+
+    Scale story: source-grain dedup sidesteps the Σdf² hazard of the
+    doc-grain shingle join — after the DISTINCT(source, shingle)
+    hash-agg, a shingle appears at most n_sources times, so the
+    self-join on the shingle hash emits <= C(n_sources, 2) rows per
+    shingle — LINEAR in corpus size with a constant bounded by the
+    (tiny, known) source count. Per-source sizes broadcast (n_sources
+    rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "source", F.split(X.normalize_text("text"), " ").alias("__words")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, "source")
+    sg = (
+        w.select(
+            "source", F.explode(D.shingles_of(F.col("__words"), 3)).alias("s")
+        )
+        .select("source", D._md5_int60(F.col("s")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    sz = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sg.alias("a"), sg.alias("b")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.round(
+                F.col("n_shared")
+                / (F.col("na") + F.col("nb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "duplicate_span_islands",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS g
+      FROM (SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i
+            FROM words)
+    ),
+    gc AS (SELECT g, count(*) AS cnt FROM grams GROUP BY 1),
+    dup AS (
+      SELECT DISTINCT gr.doc_id, gr.i
+      FROM grams gr JOIN gc ON gr.g = gc.g WHERE gc.cnt >= 2
+    ),
+    marked AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM dup
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    )
+    SELECT doc_id,
+           CAST(min(i) AS BIGINT) AS span_start,
+           CAST(max(i) + 7 AS BIGINT) AS span_end,
+           CAST(max(i) + 7 - min(i) + 1 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_id, island
+    """,
+)
+def q_duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans per doc (gaps-and-islands over the
+    exact-substring dup positions) — the unit Lee et al. 2022 actually
+    excise. Full scale story: operators/dedup.py
+    duplicate_span_islands docstring."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_span_islands(docs, k=8)

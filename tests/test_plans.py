@@ -391,3 +391,41 @@ def test_simhash_auto_bucket_cap_drops_degenerate_corpus(spark):
     # with the cap above the corpus size the same docs all pair up
     loose = simhash_band_candidates_auto(docs, max_bucket=1000)
     assert loose.count() == 40 * 39 // 2
+
+
+def test_duplicate_spans_no_cartesian_no_broadcast_of_grams(spark):
+    """Exact-substring audit must stay linear: equality joins on the
+    gram hash only — a cartesian or a broadcast of the (corpus-sized)
+    gram table would both be 100 TB killers."""
+    from milan_telecom_etl__spark.operators.dedup import duplicate_span_stats
+    from milan_telecom_etl__spark.sources.parquet import load_table as lt
+
+    plan = _plan(duplicate_span_stats(lt(spark, SF, "documents"), k=8))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the one join is an EQUALITY join keyed on the gram hash (at tiny
+    # SF the cost model may broadcast the gram-count side — fine; what
+    # matters is the key, which keeps the plan linear at any scale)
+    import re
+
+    assert re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[g#", plan)
+
+
+def test_cross_source_overlap_broadcasts_sizes_only(spark):
+    """The per-source size table (n_sources rows) broadcasts; the
+    shingle self-join is an equality join on the hash, not a nested
+    loop."""
+    from milan_telecom_etl__spark.registry_text import q_cross_source_overlap
+
+    plan = _plan(q_cross_source_overlap(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2  # za + zb size joins
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_training_shards_single_bounded_window(spark):
+    """One row_number window partitioned by shard_id — no global
+    (single-partition) sort: the intra-shard sort is the only wide op."""
+    from milan_telecom_etl__spark.registry_sampling import q_training_shards
+
+    plan = _plan(q_training_shards(spark, SF))
+    assert plan.count("Window") == 1
+    assert "SinglePartition" not in plan

@@ -945,3 +945,131 @@ def test_semdedup_two_level_assignment_tracks_exact(spark):
     )
     embd.unpersist()
     clustered.unpersist()
+
+
+def test_duplicate_spans_flags_exact_copies_and_excludes_short_docs(spark):
+    """Exact-substring audit: two verbatim copies have dup_fraction 1.0
+    (every 8-gram occurs twice); a unique doc scores 0; docs under 8
+    tokens emit no row; within-doc repetition counts as duplication."""
+    from milan_telecom_etl__spark.operators.dedup import duplicate_span_stats
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = "one lone sentence with eight distinct tokens exactly here now"
+    rep = "x y z w " * 4  # 16 tokens, 8-gram at pos 1 == pos 5 etc.
+    rows = [(0, a), (1, a), (2, uniq), (3, "too short"), (4, rep.strip())]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicate_span_stats(docs, k=8).collect()}
+    assert set(out) == {0, 1, 2, 4}  # doc 3: < 8 tokens, no windows
+    assert out[0]["dup_fraction"] == 1.0 and out[1]["dup_fraction"] == 1.0
+    assert out[2]["dup_fraction"] == 0.0
+    assert out[4]["n_dup_positions"] > 0  # self-repetition is duplication
+    for r in out.values():
+        assert 0 <= r["n_dup_positions"] <= r["n_grams"]
+
+
+def test_cross_source_overlap_matrix_matches_set_math(spark):
+    """Source-pair shingle overlap equals direct set intersection /
+    union; only upper-triangle pairs with >= 1 shared shingle emitted."""
+    from milan_telecom_etl__spark.registry_text import q_cross_source_overlap
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_cross_source_overlap(spark, sf).collect()
+    assert rows, "synthetic corpus shares vocabulary across sources"
+    from milan_telecom_etl__spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf, "documents")
+    sets: dict[str, set] = {}
+    for r in (
+        shingle_table(docs, n=3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+        .collect()
+    ):
+        sets.setdefault(r["source"], set()).add(r["shingle"])
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        inter = sets[r["source_a"]] & sets[r["source_b"]]
+        union = sets[r["source_a"]] | sets[r["source_b"]]
+        assert r["n_shared"] == len(inter) > 0
+        assert r["jaccard"] == round(len(inter) / len(union), 6)
+
+
+def test_cluster_silhouette_bounds_and_partition(spark):
+    """Silhouette values lie in [-1, 1]; cluster sizes partition the
+    corpus; prototype vectors themselves (a = 0) score s = 1 so their
+    clusters exist and are non-degenerate."""
+    from milan_telecom_etl__spark.registry_ml import q_cluster_silhouette
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_cluster_silhouette(spark, sf).collect()
+    n_all = load_table(spark, sf, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_all
+    assert {r["cluster"] for r in rows} <= {0, 1, 2, 3}
+    for r in rows:
+        assert -1.0 <= r["silhouette"] <= 1.0
+
+
+def test_training_shards_dense_deterministic_partition(spark):
+    """Every doc lands in exactly one shard; positions are dense 1..n
+    per shard; the assignment is a pure function of doc_id (stable
+    across runs and input order)."""
+    from milan_telecom_etl__spark.registry_sampling import q_training_shards
+
+    sf = "/root/testdata/sf0.001"
+    out = q_training_shards(spark, sf).collect()
+    docs_n = load_table(spark, sf, "documents").count()
+    assert len(out) == docs_n
+    assert len({r["doc_id"] for r in out}) == docs_n
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard_id"] < 8
+        by_shard.setdefault(r["shard_id"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    again = {(r["doc_id"], r["shard_id"], r["pos"]) for r in q_training_shards(spark, sf).collect()}
+    assert again == {(r["doc_id"], r["shard_id"], r["pos"]) for r in out}
+
+
+def test_duplicate_span_islands_merges_overlaps_exactly(spark):
+    """Two verbatim 10-token docs: every window duplicated → ONE maximal
+    span covering tokens 1..10 in each; a unique doc emits no span; two
+    docs sharing only a leading 8-token prefix emit exactly that prefix
+    span."""
+    from milan_telecom_etl__spark.operators.dedup import duplicate_span_islands
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    prefix8 = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        (0, a),
+        (1, a),
+        (2, "totally unique words nine ten eleven twelve thirteen fourteen fifteen"),
+        (3, prefix8 + " tail_a wing_a fin_a rudder_a"),
+        (4, prefix8 + " tail_b wing_b fin_b rudder_b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicate_span_islands(docs, k=8).collect()
+    spans = {}
+    for r in out:
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["span_tokens"])
+        )
+    assert spans[0] == [(1, 10, 10)] and spans[1] == [(1, 10, 10)]
+    assert 2 not in spans
+    assert spans[3] == [(1, 8, 8)] and spans[4] == [(1, 8, 8)]
+
+
+def test_padding_waste_buckets_partition_and_bounds(spark):
+    """Bucket caps are powers of two; doc counts partition the corpus;
+    waste_ratio in [0, 0.5): every doc sits in the tightest cap >= its
+    estimated token count, so padding never reaches half the bucket."""
+    from milan_telecom_etl__spark.registry_sampling import q_padding_waste_buckets
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_padding_waste_buckets(spark, sf).collect()
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["bucket_cap"] & (r["bucket_cap"] - 1) == 0  # power of 2
+        assert 0 <= r["waste_ratio"] < 0.5
+        assert r["padding_waste"] >= 0
