@@ -204,6 +204,92 @@ def duplicate_span_islands(
     )
 
 
+def dedup_span_excise(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """The full Lee et al. 2022 rewrite: return each doc's normalized
+    text with every duplicated span EXCISED, keeping the corpus-first
+    occurrence of each duplicated gram (min (doc_id, position) — so one
+    copy of every substring survives, exact copies collapse to one full
+    text + empty remainders, and unique text is untouched).
+
+    Policy, precisely: a position i in doc d is *removable* iff its
+    k-gram occurs >= 2 times corpus-wide AND (d, i) is not the gram's
+    lexicographically-first occurrence. Removable windows merge into
+    maximal spans (gaps-and-islands, as duplicate_span_islands); every
+    token covered by a span is dropped; the survivors re-join in order.
+    Emits (doc_id, clean_text, n_kept_tokens, n_removed_tokens).
+
+    Scale story: first-occurrence election is ONE arg-min agg keyed on
+    the gram hash (md5-uniform); span expansion explodes each span to
+    its <= span_tokens positions (bounded by the doc's token count, so
+    O(tokens) corpus-wide); the rewrite is a left-anti join on
+    (doc_id, pos) + one per-doc sorted re-assembly — shuffle keys are
+    doc_id or the gram hash, both unskewed. Nothing quadratic, nothing
+    driver-side."""
+    w = words if words is not None else _words_df(docs, text_col)
+    w = w.persist()
+    grams = w.select(
+        "doc_id", F.posexplode(position_grams(F.col("__words"), k)).alias("j", "g")
+    ).select("doc_id", (F.col("j") + 1).alias("i"), "g")
+    # per gram: total count + first occurrence as a single packed key
+    # (doc_id * 2^20 + i; docs are < 2^20 tokens by contract)
+    packed = F.col("doc_id") * F.lit(1 << 20) + F.col("i")
+    gstat = grams.groupBy("g").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(packed).alias("first_occ")
+    )
+    removable = (
+        grams.join(gstat, "g")
+        .filter((F.col("cnt") >= 2) & (packed != F.col("first_occ")))
+        .select("doc_id", "i")
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    ordw = Window.partitionBy("doc_id").orderBy("i")
+    brk = F.when(F.col("i") - F.lag("i").over(ordw) > k, F.lit(1)).otherwise(F.lit(0))
+    spans = (
+        removable.withColumn(
+            "island", F.sum(brk).over(ordw.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy("doc_id", "island")
+        .agg(F.min("i").alias("s"), (F.max("i") + F.lit(k - 1)).alias("e"))
+    )
+    cut = spans.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("e"))).alias("pos")
+    ).distinct()
+    toks = w.select(
+        "doc_id", F.posexplode(F.col("__words")).alias("j", "w")
+    ).select("doc_id", (F.col("j") + 1).alias("pos"), "w")
+    kept = toks.join(cut, ["doc_id", "pos"], "left_anti")
+    n_toks = w.select("doc_id", F.size("__words").alias("n_total"))
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept_tokens"),
+        )
+        .join(n_toks, "doc_id", "right")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept_tokens"), F.lit(0)).cast("long").alias("n_kept_tokens"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed_tokens"),
+        )
+    )
+
+
 def shingle_table(
     docs: DataFrame,
     text_col: str = "text",

@@ -1763,3 +1763,73 @@ def q_duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate_span_islands docstring."""
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicate_span_islands(docs, k=8)
+
+
+@register(
+    "dedup_span_excise",
+    f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    grams AS (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(ws, i, i + 7), ' ')) AS g
+      FROM (SELECT doc_id, ws,
+                   unnest(range(1, greatest(len(ws) - 7, 0) + 1)) AS i
+            FROM words)
+    ),
+    gstat AS (
+      SELECT g, count(*) AS cnt, min(doc_id * 1048576 + i) AS first_occ
+      FROM grams GROUP BY 1
+    ),
+    removable AS (
+      SELECT DISTINCT gr.doc_id, gr.i
+      FROM grams gr JOIN gstat ON gr.g = gstat.g
+      WHERE gstat.cnt >= 2 AND gr.doc_id * 1048576 + gr.i <> gstat.first_occ
+    ),
+    marked AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+                  THEN 1 ELSE 0 END AS brk
+      FROM removable
+    ),
+    isl AS (
+      SELECT doc_id, i,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT doc_id, min(i) AS s, max(i) + 7 AS e
+      FROM isl GROUP BY doc_id, island
+    ),
+    cut AS (
+      SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS pos FROM spans
+    ),
+    toks AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM words)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.w
+      FROM toks t LEFT JOIN cut c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+             count(*) AS n_kept FROM kept GROUP BY 1
+    )
+    SELECT w.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+           CAST(len(w.ws) - coalesce(a.n_kept, 0) AS BIGINT)
+             AS n_removed_tokens
+    FROM words w LEFT JOIN agg a ON w.doc_id = a.doc_id
+    """,
+)
+def q_dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Lee et al. 2022 rewrite: normalized text with every
+    duplicated span excised, keeping the corpus-first occurrence of
+    each duplicated gram (exact copies collapse to one surviving text).
+    Full policy + scale story: operators/dedup.py dedup_span_excise."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_span_excise(docs, k=8)

@@ -1044,8 +1044,8 @@ def test_duplicate_span_islands_merges_overlaps_exactly(spark):
         (0, a),
         (1, a),
         (2, "totally unique words nine ten eleven twelve thirteen fourteen fifteen"),
-        (3, prefix8 + " tail_a wing_a fin_a rudder_a"),
-        (4, prefix8 + " tail_b wing_b fin_b rudder_b"),
+        (3, prefix8 + " taila winga fin_a rudder_a"),
+        (4, prefix8 + " tailb wingb fin_b rudder_b"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = duplicate_span_islands(docs, k=8).collect()
@@ -1073,3 +1073,28 @@ def test_padding_waste_buckets_partition_and_bounds(spark):
         assert r["bucket_cap"] & (r["bucket_cap"] - 1) == 0  # power of 2
         assert 0 <= r["waste_ratio"] < 0.5
         assert r["padding_waste"] >= 0
+
+
+def test_dedup_span_excise_keeps_first_occurrence_only(spark):
+    """Two verbatim copies: the lower doc_id survives untouched, the
+    higher collapses to empty; a prefix-sharing pair loses the prefix
+    only in the higher doc; unique docs and short docs pass through."""
+    from milan_telecom_etl__spark.operators.dedup import dedup_span_excise
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    prefix8 = "p1 p2 p3 p4 p5 p6 p7 p8"
+    rows = [
+        (0, a),
+        (1, a),
+        (2, "six tokens only in here"),
+        (3, prefix8 + " taila winga"),
+        (4, prefix8 + " tailb wingb"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_span_excise(docs, k=8).collect()}
+    assert set(out) == {0, 1, 2, 3, 4}  # every doc emits a row
+    assert out[0]["clean_text"] == a and out[0]["n_removed_tokens"] == 0
+    assert out[1]["clean_text"] == "" and out[1]["n_kept_tokens"] == 0
+    assert out[2]["n_removed_tokens"] == 0  # < 8 tokens: untouched
+    assert out[3]["clean_text"] == prefix8 + " taila winga"
+    assert out[4]["clean_text"] == "tailb wingb"  # prefix excised
