@@ -758,3 +758,57 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+@register(
+    "semantic_decontamination",
+    f"""
+    WITH bench AS (
+      SELECT vec_id AS bid, embedding AS be FROM embeddings WHERE label = 7
+    ), corpus AS (
+      SELECT vec_id, embedding FROM embeddings WHERE label <> 7
+    ), pairs AS (
+      SELECT c.vec_id, {_cos("c.embedding", "b.be")} AS cs
+      FROM corpus c, bench b
+    )
+    SELECT vec_id, round(max(cs), 6) AS max_benchmark_cos,
+           CAST(CASE WHEN max(cs) >= 0.35 THEN 1 ELSE 0 END AS BIGINT)
+             AS contaminated
+    FROM pairs GROUP BY vec_id
+    """,
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-level) decontamination: for every corpus
+    vector, the max cosine to any held-out benchmark vector (label 7
+    plays the benchmark), flagged at tau=0.35 — catches paraphrased
+    eval leakage the n-gram `decontamination_audit` family can't see
+    (no shared shingles, same meaning).
+
+    Scale story: the benchmark side is small by nature (eval suites,
+    not corpora) → broadcast; scoring is a JVM index-ordered fold per
+    (corpus, bench) pair — the knn_bruteforce shape, linear in the
+    corpus with a bench-sized constant. When the benchmark itself is
+    large, the LSH prefilter (`embedding_near_dups_auto`'s auto-plane
+    bucketing) bounds candidates first; this exact pass then scores
+    candidates only. Cosines are index-ordered folds — bit-identical
+    to the oracle's list_sum."""
+    from .operators.similarity import _as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("label") == 7).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("be")
+    )
+    corpus = emb.filter(F.col("label") != 7).select("vec_id", "embedding")
+    cs = cosine(_as_double(F.col("embedding")), _as_double(F.col("be")))
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", cs.alias("cs"))
+        .groupBy("vec_id")
+        .agg(
+            F.round(F.max("cs"), 6).alias("max_benchmark_cos"),
+            F.when(F.max("cs") >= 0.35, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contaminated"),
+        )
+    )

@@ -1833,3 +1833,62 @@ def q_dedup_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     Full policy + scale story: operators/dedup.py dedup_span_excise."""
     docs = load_table(spark, sf_dir, "documents")
     return D.dedup_span_excise(docs, k=8)
+
+
+@register(
+    "quality_threshold_by_source",
+    r"""
+    WITH s AS (
+      SELECT doc_id, source,
+        CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS BIGINT) AS n_words,
+        len(regexp_extract_all(text, '(?i)\b(the|a|of|and|to|in|is|on|for|with)\b')) AS n_stop,
+        CASE WHEN length(text) > 0
+             THEN len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) * 1.0 / length(text)
+             ELSE 0.0 END AS pr
+      FROM documents),
+    q AS (
+      SELECT doc_id, source,
+        round(((CASE WHEN n_words BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+             + least(CASE WHEN n_words > 0 THEN n_stop * 1.0 / n_words ELSE 0.0 END * 5, 1.0)
+             + (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 3, 6) AS quality
+      FROM s),
+    c AS (SELECT source, round(quantile_cont(quality, 0.3), 6) AS cutoff
+          FROM q GROUP BY 1)
+    SELECT q.source, c.cutoff,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN q.quality >= c.cutoff THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_keep,
+           round(sum(CASE WHEN q.quality >= c.cutoff THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS keep_rate
+    FROM q JOIN c ON q.source = c.source
+    GROUP BY q.source, c.cutoff
+    """,
+)
+def q_quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality floors: each source gets its own keep-cutoff
+    (the 30th percentile of the Gopher-style composite within that
+    source) — the curation policy that drops the worst tail of EVERY
+    domain instead of letting one clean domain starve the rest under a
+    single global threshold. Emits cutoff / keep counts / keep-rate per
+    source.
+
+    Scale story: quality is a narrow one-pass projection; the exact
+    per-source percentile is one grouped agg (at 100 TB swap in
+    approx_percentile — same plan shape, documented exactness trade);
+    cutoffs broadcast back (n_sources rows) and the keep/drop audit
+    map-side-combines. Nothing wider than one corpus scan twice."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = X.quality_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    c = q.groupBy("source").agg(
+        F.round(F.percentile("quality", F.lit(0.3)), 6).alias("cutoff")
+    )
+    keep = F.when(F.col("quality") >= F.col("cutoff"), 1).otherwise(0)
+    return (
+        q.join(F.broadcast(c), "source")
+        .groupBy("source", "cutoff")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(keep).cast("long").alias("n_keep"),
+            F.round(F.sum(keep) / F.count(F.lit(1)), 6).alias("keep_rate"),
+        )
+    )

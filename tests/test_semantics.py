@@ -1098,3 +1098,56 @@ def test_dedup_span_excise_keeps_first_occurrence_only(spark):
     assert out[2]["n_removed_tokens"] == 0  # < 8 tokens: untouched
     assert out[3]["clean_text"] == prefix8 + " taila winga"
     assert out[4]["clean_text"] == "tailb wingb"  # prefix excised
+
+
+def test_quality_threshold_by_source_floor_semantics(spark):
+    """Per-source keep counts respect the interpolated-percentile
+    floor: with cutoff = quantile_cont(0.3), at most
+    floor(0.3*(n-1)) + 1 values can fall strictly below it, so
+    n_keep >= n - floor(0.3*(n-1)) - 1. Doc counts partition the
+    corpus; cutoffs lie in the quality range [0, 1]."""
+    import math
+
+    from milan_telecom_etl__spark.registry_text import q_quality_threshold_by_source
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_quality_threshold_by_source(spark, sf).collect()
+    n_docs = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r["cutoff"] <= 1.0
+        assert r["n_keep"] >= r["n_docs"] - math.floor(0.3 * (r["n_docs"] - 1)) - 1
+        assert r["keep_rate"] == round(r["n_keep"] / r["n_docs"], 6)
+
+
+def test_semantic_decontamination_flags_planted_copy(spark):
+    """A corpus vector identical to a benchmark vector must flag with
+    max cosine 1.0; all cosines lie in [-1, 1]; the benchmark itself is
+    excluded from the output."""
+    from milan_telecom_etl__spark.registry_similarity import (
+        q_semantic_decontamination,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    bench = emb.filter(F.col("label") == 7)
+    # plant: clone one benchmark vector as a new corpus vec (label 0)
+    planted = bench.limit(1).select(
+        (F.lit(10_000_000) + F.col("vec_id")).alias("vec_id"),
+        "embedding",
+        F.lit(0).alias("label"),
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        emb.unionByName(planted).write.mode("overwrite").parquet(
+            os.path.join(td, "embeddings.parquet")
+        )
+        for t in ["documents"]:
+            pass  # only embeddings needed by this entry
+        out = {r["vec_id"]: r for r in q_semantic_decontamination(spark, td).collect()}
+    pl = [v for k, v in out.items() if k >= 10_000_000]
+    assert len(pl) == 1 and pl[0]["max_benchmark_cos"] == 1.0 and pl[0]["contaminated"] == 1
+    bench_ids = {r["vec_id"] for r in bench.collect()}
+    assert not bench_ids & set(out)
+    for r in out.values():
+        assert -1.0 <= r["max_benchmark_cos"] <= 1.0
