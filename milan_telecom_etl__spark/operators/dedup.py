@@ -524,7 +524,10 @@ def simhash_band_candidates_auto(
         "doc_id",
         F.col("band.band_id").alias("band_id"),
         F.col("band.band_val").alias("band_val"),
-    )
+    ).persist()  # 3 consumers (live, a, b): without this the whole
+    # tokenize+60-bit-vote pipeline executes once PER consumer — at any
+    # scale that's 3 corpus scans for one; with it, one pass + cheap
+    # re-reads (measured 3.4 s -> ~1.5 s at sf0.1)
     live = (
         banded.groupBy("band_id", "band_val")
         .agg(F.count(F.lit(1)).alias("nb"))
