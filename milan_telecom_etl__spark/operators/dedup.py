@@ -137,7 +137,9 @@ def duplicate_span_stats(
     grams = w.select(
         "doc_id", F.explode(position_grams(F.col("__words"), k)).alias("g")
     )
-    per_doc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("np"))
+    # per_doc feeds BOTH the global-count agg and the join probe side;
+    # persisted, the tokenize+hash pipeline runs once, not twice
+    per_doc = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("np")).persist()
     global_cnt = per_doc.groupBy("g").agg(F.sum("np").alias("cnt"))
     return (
         per_doc.join(global_cnt, "g")
@@ -176,7 +178,7 @@ def duplicate_span_islands(
     w = words if words is not None else _words_df(docs, text_col)
     grams = w.select(
         "doc_id", F.posexplode(position_grams(F.col("__words"), k)).alias("j", "g")
-    ).select("doc_id", (F.col("j") + 1).alias("i"), "g")
+    ).select("doc_id", (F.col("j") + 1).alias("i"), "g").persist()
     cnt = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
     dup = (
         grams.join(cnt.filter(F.col("cnt") >= 2), "g")
@@ -232,9 +234,11 @@ def dedup_span_excise(
     driver-side."""
     w = words if words is not None else _words_df(docs, text_col)
     w = w.persist()
+    # grams feeds the gram-stats agg AND the removable-position probe:
+    # persisted, the md5 window hashing runs once, not twice
     grams = w.select(
         "doc_id", F.posexplode(position_grams(F.col("__words"), k)).alias("j", "g")
-    ).select("doc_id", (F.col("j") + 1).alias("i"), "g")
+    ).select("doc_id", (F.col("j") + 1).alias("i"), "g").persist()
     # per gram: total count + first occurrence as a single packed key
     # (doc_id * 2^20 + i; docs are < 2^20 tokens by contract)
     packed = F.col("doc_id") * F.lit(1 << 20) + F.col("i")

@@ -432,9 +432,14 @@ def q_auc_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("score"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("pos"),
     )
+    # persist the reduced per-distinct-score table: its consumers
+    # (quantile cutpoints, the bucketed rank pipeline, and the offset
+    # branch above it) would otherwise each re-scan + re-reduce the
+    # fact table — 4 corpus scans for one, and this table is tiny
+    # (distinct scores) so the cache is cheap at any SF
     g = scored.groupBy("score").agg(
         F.count(F.lit(1)).alias("n"), F.sum("pos").alias("n_pos")
-    )
+    ).persist()
     cuts = g.agg(
         F.percentile_approx(
             "score", [i / 16.0 for i in range(1, 16)], 10000

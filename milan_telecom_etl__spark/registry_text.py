@@ -1007,9 +1007,15 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same row. No driver-side model state."""
     from .operators.text import normalize_text
 
+    # persist the NORMALIZED doc table, not the exploded token table:
+    # 4 downstream consumers (doc-term counts, per-lang counts, lang
+    # totals, vocab size) would otherwise re-run the regex
+    # normalization per consumer — 4 corpus-wide regex passes for one —
+    # while caching post-explode tokens costs token-sized storage and
+    # measured SLOWER (the explode is cheap; the regex isn't)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", normalize_text("text").alias("t")
-    )
+    ).persist()
     toks = docs.select(
         "doc_id", "lang", F.explode(F.split("t", " ")).alias("w")
     ).filter(F.col("w") != "")
