@@ -210,3 +210,79 @@ def test_countmin_overestimates_every_key(spark, keys):
     exact = Counter(keys)
     for k, n in exact.items():
         assert est[k] >= n
+
+
+def _span_reference(texts, k=8):
+    """Pure-Python exact-substring reference: per doc_id, the set of
+    duplicated window-start positions (1-based) — a window is duplicated
+    iff its k-token gram occurs >= 2 times corpus-wide."""
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    grams: Counter = Counter()
+    pos: dict[int, list[tuple[int, str]]] = {}
+    for d, ws in toks.items():
+        pos[d] = []
+        for i in range(len(ws) - k + 1):
+            g = " ".join(ws[i : i + k])
+            grams[g] += 1
+            pos[d].append((i + 1, g))
+    return {
+        d: {i for i, g in ps if grams[g] >= 2} for d, ps in pos.items()
+    }, {d: len(ps) for d, ps in pos.items()}
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd"])
+_doc = st.lists(_word, min_size=0, max_size=24).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_duplicate_spans_matches_python_reference(spark, texts):
+    """Differential: duplicate_span_stats against an independent
+    pure-Python k-gram counter over random tiny-vocab corpora (tiny
+    vocab maximizes collisions — within-doc repeats, cross-doc repeats,
+    sub-window overlaps all occur)."""
+    from milan_telecom_etl__spark.operators.dedup import duplicate_span_stats
+
+    dup_ref, n_ref = _span_reference(texts, k=8)
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_positions"])
+        for r in duplicate_span_stats(docs, k=8).collect()
+    }
+    want = {
+        d: (n_ref[d], len(dup_ref[d])) for d in n_ref if n_ref[d] > 0
+    }
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc, min_size=1, max_size=8))
+def test_span_islands_match_python_interval_merge(spark, texts):
+    """Differential: duplicate_span_islands against a pure-Python
+    interval merge of the reference's duplicated positions."""
+    from milan_telecom_etl__spark.operators.dedup import duplicate_span_islands
+
+    k = 8
+    dup_ref, _ = _span_reference(texts, k=k)
+    want = set()
+    for d, positions in dup_ref.items():
+        run: list[int] = []
+        for i in sorted(positions):
+            if run and i - run[-1] > k:
+                want.add((d, run[0], run[-1] + k - 1))
+                run = []
+            run.append(i)
+        if run:
+            want.add((d, run[0], run[-1] + k - 1))
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicate_span_islands(docs, k=k).collect()
+    }
+    assert got == want
