@@ -1898,3 +1898,73 @@ def q_quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum(keep) / F.count(F.lit(1)), 6).alias("keep_rate"),
         )
     )
+
+
+@register(
+    "dedup_method_eval",
+    f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.6),
+    cand AS (SELECT * FROM ({_lsh_sql()})),
+    tp AS (
+      SELECT count(*) AS tp FROM exact e
+      JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(tp.tp AS BIGINT) AS n_true_positives,
+           round(tp.tp * 1.0 / nullif((SELECT count(*) FROM cand), 0), 6)
+             AS precision_at_06,
+           round(tp.tp * 1.0 / nullif((SELECT count(*) FROM exact), 0), 6)
+             AS recall_at_06
+    FROM tp
+    """,
+)
+def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement that justifies an LSH configuration: candidate
+    precision/recall of the 16-hash/2-row MinHash banding against the
+    EXACT shingle-Jaccard pairs at tau=0.6, on the corpus itself.
+    One row: n_exact, n_candidates, n_true_positives, precision, recall
+    — rerun per corpus before committing band parameters (the S-curve
+    says recall ~0.97 at J=0.6 for this scheme; this entry measures it
+    rather than trusting the formula).
+
+    Scale story: both sides are the already-audited linear pipelines
+    (shingle equality joins, banded signature joins); the comparison
+    adds one left-semi join keyed on the (doc_a, doc_b) pair and three
+    scalar aggregates crossJoined (1-row broadcasts). At 100 TB you'd
+    run it on a deterministic-sample slice (`deterministic_sample`'s
+    hash filter composes directly) — the estimate needs thousands of
+    pairs, not the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    cand = D.minhash_lsh_candidates(docs)
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    tp = exact.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_true_positives")
+    )
+    out = ne.crossJoin(nc).crossJoin(tp)
+    return out.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_true_positives").cast("long").alias("n_true_positives"),
+        F.round(
+            F.col("n_true_positives")
+            / F.when(F.col("n_candidates") > 0, F.col("n_candidates")),
+            6,
+        ).alias("precision_at_06"),
+        F.round(
+            F.col("n_true_positives")
+            / F.when(F.col("n_exact") > 0, F.col("n_exact")),
+            6,
+        ).alias("recall_at_06"),
+    )

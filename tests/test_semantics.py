@@ -1151,3 +1151,17 @@ def test_semantic_decontamination_flags_planted_copy(spark):
     assert not bench_ids & set(out)
     for r in out.values():
         assert -1.0 <= r["max_benchmark_cos"] <= 1.0
+
+
+def test_dedup_method_eval_consistency(spark):
+    """Eval counters are internally consistent: tp <= min(exact, cand),
+    ratios reproduce the counts, and on this corpus the 16x2 banding's
+    planted near-dups (J >= 0.6, above the S-curve midpoint) are fully
+    recalled."""
+    from milan_telecom_etl__spark.registry_text import q_dedup_method_eval
+
+    r = q_dedup_method_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    assert 0 < r["n_true_positives"] <= min(r["n_exact"], r["n_candidates"])
+    assert r["precision_at_06"] == round(r["n_true_positives"] / r["n_candidates"], 6)
+    assert r["recall_at_06"] == round(r["n_true_positives"] / r["n_exact"], 6)
+    assert r["recall_at_06"] >= 0.9
