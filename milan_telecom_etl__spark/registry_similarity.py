@@ -821,3 +821,98 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contaminated"),
         )
     )
+
+
+_KNN_EXACT_SQL = f"""
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_cos("q.embedding", "c.embedding")} DESC, c.vec_id
+             ) AS rk
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rk <= 5
+"""
+
+
+@register(
+    "knn_method_eval",
+    f"""
+    WITH exactk AS ({_KNN_EXACT_SQL}),
+    m_lsh AS (SELECT query_id, neighbor_id FROM ({_knn_lsh_sql()})),
+    m_multi AS (SELECT query_id, neighbor_id FROM ({_knn_lsh_multi_sql()})),
+    m_ivf AS (SELECT query_id, neighbor_id FROM ({_knn_ivf_sql()})),
+    ne AS (SELECT count(*) AS n FROM exactk)
+    SELECT 'ivf' AS method,
+           CAST((SELECT count(*) FROM exactk e JOIN m_ivf m
+                 ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id)
+                AS BIGINT) AS n_hits,
+           CAST(ne.n AS BIGINT) AS n_exact,
+           round((SELECT count(*) FROM exactk e JOIN m_ivf m
+                  ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id)
+                 * 1.0 / ne.n, 6) AS recall_at_5
+    FROM ne
+    UNION ALL
+    SELECT 'lsh',
+           CAST((SELECT count(*) FROM exactk e JOIN m_lsh m
+                 ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id)
+                AS BIGINT),
+           CAST(ne.n AS BIGINT),
+           round((SELECT count(*) FROM exactk e JOIN m_lsh m
+                  ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id)
+                 * 1.0 / ne.n, 6)
+    FROM ne
+    UNION ALL
+    SELECT 'lsh_multi',
+           CAST((SELECT count(*) FROM exactk e JOIN m_multi m
+                 ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id)
+                AS BIGINT),
+           CAST(ne.n AS BIGINT),
+           round((SELECT count(*) FROM exactk e JOIN m_multi m
+                  ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id)
+                 * 1.0 / ne.n, 6)
+    FROM ne
+    """,
+)
+def q_knn_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever-tier recall@5, measured not assumed: each ANN method
+    (single-table LSH, 4x2 multi-table LSH, IVF nprobe=2) scored
+    against the exact brute-force top-5 for the 5 query vectors — the
+    per-corpus eval that picks the retriever tier (`dedup_method_eval`
+    is the same discipline for the dedup family).
+
+    Scale story: the three candidate pipelines are the already-audited
+    bucketed plans; the comparison adds per-method left-semi joins on
+    (query_id, neighbor_id) — bounded by n_queries x k rows — and
+    1-row scalar crossJoins. Query-set size is the knob: the estimate
+    needs a sample of queries, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from .operators.similarity import (
+        cosine_knn_bruteforce,
+        cosine_knn_ivf,
+        cosine_knn_lsh,
+        cosine_knn_lsh_multi,
+    )
+
+    exact = cosine_knn_bruteforce(emb).select("query_id", "neighbor_id")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def scored(method: str, approx: DataFrame) -> DataFrame:
+        hits = exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        ).agg(F.count(F.lit(1)).alias("n_hits"))
+        return hits.crossJoin(ne).select(
+            F.lit(method).alias("method"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_at_5"),
+        )
+
+    return (
+        scored("ivf", cosine_knn_ivf(emb))
+        .unionByName(scored("lsh", cosine_knn_lsh(emb)))
+        .unionByName(scored("lsh_multi", cosine_knn_lsh_multi(emb)))
+    )

