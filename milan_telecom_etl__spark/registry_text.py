@@ -1968,3 +1968,73 @@ def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_06"),
     )
+
+
+def _split_case(key: str) -> str:
+    from .registry_sampling import _HASH_SQL
+
+    h = _HASH_SQL.format(salt="split:", key=key)
+    return f"CASE WHEN {h} < 900 THEN 'train' WHEN {h} < 950 THEN 'val' ELSE 'test' END"
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+    WITH pairs AS (SELECT doc_a, doc_b FROM ({_lsh_verified_sql()})),
+    s AS (SELECT doc_id, {_split_case("doc_id")} AS split FROM documents),
+    tagged AS (
+      SELECT least(sa.split, sb.split) AS split_a,
+             greatest(sa.split, sb.split) AS split_b
+      FROM pairs p
+      JOIN s sa ON sa.doc_id = p.doc_a
+      JOIN s sb ON sb.doc_id = p.doc_b
+    )
+    SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS BIGINT)
+             AS leaked
+    FROM tagged GROUP BY 1, 2
+    """,
+)
+def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: verified near-dup pairs (the
+    two-stage LSH+exact pipeline at J >= 0.5) tagged with each member's
+    hash-derived train/val/test split — any pair whose members land in
+    DIFFERENT splits (leaked = 1) is evaluation contamination the
+    split alone cannot prevent (the reason production pipelines dedup
+    BEFORE splitting). Counts per ordered split pair.
+
+    Scale story: the pair pipeline is the already-audited bounded
+    two-stage dedup; the audit adds two joins against a projection of
+    (doc_id, split) — split is a pure md5 function of doc_id, so the
+    join carries no new state — and a 6-key hash-agg. Cost is the
+    dedup pipeline's cost plus epsilon."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .registry_sampling import _hash_bucket
+
+    b = _hash_bucket(F.col("doc_id"), "split:")
+    s = docs.select(
+        "doc_id",
+        F.when(b < 900, "train").when(b < 950, "val").otherwise("test").alias("split"),
+    )
+    pairs = D.lsh_verified_pairs(docs).select("doc_a", "doc_b")
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.when(F.col("split_a") != F.col("split_b"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("leaked"),
+        )
+    )

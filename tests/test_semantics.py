@@ -1179,3 +1179,18 @@ def test_knn_method_eval_bounds_and_ordering(spark):
     for r in rows.values():
         assert 0 <= r["n_hits"] <= r["n_exact"]
         assert r["recall_at_5"] == round(r["n_hits"] / r["n_exact"], 6)
+
+
+def test_split_leakage_audit_totals_and_flags(spark):
+    """Leaked flag marks exactly the cross-split rows; pair totals equal
+    the verified near-dup pair count; split keys are ordered."""
+    from milan_telecom_etl__spark.operators.dedup import lsh_verified_pairs
+    from milan_telecom_etl__spark.registry_text import q_split_leakage_audit
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_split_leakage_audit(spark, sf).collect()
+    n_pairs = lsh_verified_pairs(load_table(spark, sf, "documents")).count()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs > 0
+    for r in rows:
+        assert r["split_a"] <= r["split_b"]
+        assert r["leaked"] == (1 if r["split_a"] != r["split_b"] else 0)
