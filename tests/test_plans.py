@@ -429,3 +429,15 @@ def test_training_shards_single_bounded_window(spark):
     plan = _plan(q_training_shards(spark, SF))
     assert plan.count("Window") == 1
     assert "SinglePartition" not in plan
+
+
+def test_multi_consumer_pipelines_cache_once(spark):
+    """The round-6 scan-hygiene wins, pinned: plans whose expensive
+    subtree feeds several consumers must show an InMemoryRelation (the
+    persist) — without it the corpus re-scans once per consumer
+    (simhash auto ran 4 FileScans; nb_lang 7; auc 4)."""
+    import __spark_entry__ as m
+
+    for name in ("nb_lang_confusion", "auc_returnflag", "duplicate_spans", "dedup_span_excise"):
+        plan = _plan(m.queries()[name](spark, SF))
+        assert "InMemoryRelation" in plan, f"{name}: lost its persist"
