@@ -2038,3 +2038,84 @@ def q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("leaked"),
         )
     )
+
+
+_SAMPLED_EVAL_BODY = f"""
+    {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.6),
+    cand AS (SELECT * FROM ({_lsh_sql()})),
+    tp AS (
+      SELECT count(*) AS tp FROM exact e
+      JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(tp.tp AS BIGINT) AS n_true_positives,
+           round(tp.tp * 1.0 / nullif((SELECT count(*) FROM cand), 0), 6)
+             AS precision_at_06,
+           round(tp.tp * 1.0 / nullif((SELECT count(*) FROM exact), 0), 6)
+             AS recall_at_06
+    FROM tp
+    """.replace("FROM documents", "FROM docs_slice")
+
+# the body's CTE list starts directly with the shingle fragment (no WITH
+# keyword of its own), so the slice CTE prepends cleanly; the body's
+# "FROM documents" references were rewritten to the slice above
+_SAMPLED_EVAL_SQL = (
+    """
+    WITH docs_slice AS (
+      SELECT * FROM documents
+      WHERE ('0x' || substr(md5('evalslice:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 500
+    ),"""
+    + _SAMPLED_EVAL_BODY
+)
+
+
+@register("dedup_method_eval_sampled", _SAMPLED_EVAL_SQL)
+def q_dedup_method_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE posture of `dedup_method_eval`, shipped: the same
+    LSH-vs-exact precision/recall measured on a deterministic 50%
+    hash slice of the corpus (md5 'evalslice:' salt — membership is a
+    pure function of doc_id, so the slice is reproducible on any
+    engine/cluster/run). The full-corpus twin's uncapped exact side is
+    quadratic in template-family size (4.35x wall at 3x data, sf3
+    tier); the slice caps that at a constant fraction while the
+    recall/precision estimate — a ratio over thousands of pairs —
+    keeps its statistical power. Both the candidate and ground-truth
+    pipelines see the SAME slice, so the estimate is unbiased for the
+    sliced population."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .registry_sampling import _hash_bucket
+
+    sliced = docs.filter(_hash_bucket(F.col("doc_id"), "evalslice:") < 500)
+    exact = D.ngram_jaccard_pairs(sliced, threshold=0.6).select("doc_a", "doc_b")
+    cand = D.minhash_lsh_candidates(sliced)
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    tp = exact.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).alias("n_true_positives")
+    )
+    out = ne.crossJoin(nc).crossJoin(tp)
+    return out.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.col("n_candidates").cast("long").alias("n_candidates"),
+        F.col("n_true_positives").cast("long").alias("n_true_positives"),
+        F.round(
+            F.col("n_true_positives")
+            / F.when(F.col("n_candidates") > 0, F.col("n_candidates")),
+            6,
+        ).alias("precision_at_06"),
+        F.round(
+            F.col("n_true_positives")
+            / F.when(F.col("n_exact") > 0, F.col("n_exact")),
+            6,
+        ).alias("recall_at_06"),
+    )

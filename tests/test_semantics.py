@@ -1194,3 +1194,23 @@ def test_split_leakage_audit_totals_and_flags(spark):
     for r in rows:
         assert r["split_a"] <= r["split_b"]
         assert r["leaked"] == (1 if r["split_a"] != r["split_b"] else 0)
+
+
+def test_sampled_method_eval_estimates_track_full_corpus(spark):
+    """The 50% hash-slice eval must reproduce the full-corpus
+    precision/recall estimates (the statistical claim that justifies
+    the sampled scale posture). Run at sf0.1 — the estimate needs
+    thousands of candidate pairs for power; at sf0.01's ~250-doc slice
+    the variance swamps it (which is itself the documented reason the
+    SLICE, not a fixed row count, is the knob)."""
+    from milan_telecom_etl__spark.registry_text import (
+        q_dedup_method_eval,
+        q_dedup_method_eval_sampled,
+    )
+
+    sf = "/root/testdata/sf0.1"
+    full = q_dedup_method_eval(spark, sf).collect()[0]
+    samp = q_dedup_method_eval_sampled(spark, sf).collect()[0]
+    assert 0 < samp["n_exact"] < full["n_exact"]
+    assert abs(samp["precision_at_06"] - full["precision_at_06"]) < 0.1
+    assert abs(samp["recall_at_06"] - full["recall_at_06"]) < 0.1
