@@ -331,6 +331,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT near-dup pairs by shingle-set Jaccard ≥ threshold.
 
@@ -344,7 +345,7 @@ def ngram_jaccard_pairs(
     # Persist: the shingle table feeds three consumers (both self-join
     # sides + the per-doc sizes); without it the regex-normalize +
     # explode upstream runs three times.
-    sh = shingle_table(docs, text_col, n, max_shingle_df).persist()
+    sh = shingle_table(docs, text_col, n, max_shingle_df, words).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -1945,8 +1945,13 @@ def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash filter composes directly) — the estimate needs thousands of
     pairs, not the full corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = D.ngram_jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
-    cand = D.minhash_lsh_candidates(docs)
+    # one normalize+split pass shared by BOTH pipelines (the regex is
+    # the CPU hot spot; unshared it ran once per side)
+    words = D._words_df(docs).persist()
+    exact = D.ngram_jaccard_pairs(docs, threshold=0.6, words=words).select(
+        "doc_a", "doc_b"
+    )
+    cand = D.minhash_lsh_candidates(docs, words=words)
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     tp = exact.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
@@ -2096,8 +2101,11 @@ def q_dedup_method_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .registry_sampling import _hash_bucket
 
     sliced = docs.filter(_hash_bucket(F.col("doc_id"), "evalslice:") < 500)
-    exact = D.ngram_jaccard_pairs(sliced, threshold=0.6).select("doc_a", "doc_b")
-    cand = D.minhash_lsh_candidates(sliced)
+    words = D._words_df(sliced).persist()
+    exact = D.ngram_jaccard_pairs(sliced, threshold=0.6, words=words).select(
+        "doc_a", "doc_b"
+    )
+    cand = D.minhash_lsh_candidates(sliced, words=words)
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     tp = exact.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
