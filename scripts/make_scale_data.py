@@ -40,6 +40,10 @@ STRIDE = 10_000_000  # beyond every base key range (max o_orderkey < 1e6)
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf1.0"
+    # optional 3rd arg: comma-list of tables to generate (default all) —
+    # lets a documents-only decade (e.g. sf30 for the text families)
+    # skip the 180M-row lineitem replication it would never read
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     threads = int(
@@ -51,6 +55,8 @@ def main() -> None:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
     def write(t: str, sql: str) -> None:
+        if only is not None and t not in only:
+            return
         con.execute(
             f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
