@@ -808,7 +808,13 @@ def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(
         (F.col("label") != 7) | (F.col("vec_id") >= 2000)
     ).select("vec_id", "embedding")
-    cs = cosine(_as_double(F.col("embedding")), _as_double(F.col("be")))
+    # round per-PAIR (not just the final max): the oracle's _cos rounds
+    # each cosine to 6dp before the max, and max(rounded) can differ
+    # from round(max(unrounded)) when the top-2 cosines straddle a
+    # rounding boundary — the same boundary the 0.35 flag reads
+    cs = F.round(
+        cosine(_as_double(F.col("embedding")), _as_double(F.col("be"))), 6
+    )
     return (
         corpus.crossJoin(F.broadcast(bench))
         .select("vec_id", cs.alias("cs"))
