@@ -3,6 +3,7 @@ correctness gate (row-count + schema + value-hash)."""
 
 from __future__ import annotations
 
+import decimal
 import math
 
 import duckdb
@@ -29,6 +30,12 @@ def _norm_cell(v):
         # FORGOT its round() surfaces here instead of passing locally
         # and diverging under a stricter external gate (ADVICE r1).
         return round(v, 9)
+    if isinstance(v, decimal.Decimal):
+        # Scale-pinned string, NOT numeric equality: the driver hashes
+        # wire renders, so Decimal('1.20') and Decimal('1.2') must NOT
+        # compare equal here even though Python says they do (VERDICT r6
+        # #1 — revenue_decimal_exact passed locally, failed the driver).
+        return f"dec:{v}"
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
@@ -64,21 +71,21 @@ def check_oracle_types(
 ) -> list[str]:
     """Return a list of type-hazard descriptions (empty = safe).
 
-    HUGEINT/UHUGEINT are always hazards. DECIMAL is a hazard unless the
-    Spark side deliberately emits a decimal of the same scale (scale
-    drives the rendered value, hence the hash)."""
+    HUGEINT/UHUGEINT are always hazards. DECIMAL is now ALWAYS a hazard
+    (VERDICT r6 #1): even a same-declared-scale decimal on both wires
+    hash-failed the driver while local Decimal-object equality passed.
+    Exact-decimal entries must render at the boundary — scale-pinned
+    VARCHAR string and/or 6dp DOUBLE (see revenue_decimal_exact)."""
     problems = []
     for col, dt in duck_types.items():
         base = dt.split("(")[0]
         if base in _BANNED_DUCK_TYPES:
             problems.append(f"{col}: duck={dt} (int128 wire type; CAST AS BIGINT)")
-        elif base == "DECIMAL" and spark_dtypes is not None:
-            s = spark_dtypes.get(col, "")
-            if not s.startswith("decimal"):
-                problems.append(
-                    f"{col}: duck={dt} but spark={s or 'missing'}; "
-                    "CAST oracle to DOUBLE/BIGINT or make Spark emit the decimal"
-                )
+        elif base == "DECIMAL":
+            problems.append(
+                f"{col}: duck={dt} (decimal wire render is engine-specific; "
+                "CAST to VARCHAR fixed-scale or round(CAST(.. AS DOUBLE), 6))"
+            )
     return problems
 
 

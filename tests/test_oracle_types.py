@@ -31,3 +31,17 @@ def test_oracle_output_types_safe(spark, name, sql):
     spark_dtypes = dict(entrymod.queries()[name](spark, SF_DIR).dtypes)
     problems = check_oracle_types(spark_dtypes, duck_types)
     assert not problems, f"{name}: {problems}"
+
+
+def test_norm_cell_pins_decimal_scale():
+    """VERDICT r6 #1 regression: Decimal('1.20') == Decimal('1.2') in
+    Python, but the driver hashes wire renders where they differ — the
+    local normalizer must distinguish them."""
+    from decimal import Decimal
+
+    from tests.parity import _norm_cell
+
+    assert _norm_cell(Decimal("1.20")) != _norm_cell(Decimal("1.2"))
+    assert _norm_cell(Decimal("1.20")) == _norm_cell(Decimal("1.20"))
+    # nested containers normalize too
+    assert _norm_cell([Decimal("0.50")]) != _norm_cell([Decimal("0.5")])
