@@ -120,13 +120,50 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_near_dups_auto")  # no SQL oracle: plane count is
-# runtime-derived from corpus size, so bucket constants aren't static
-# SQL; the driver records the rows-only gate. Exactness is pinned
-# instead by tests/test_semantics.py (precision == 1 against brute
-# force; recall floor via OR-amplification) and the scale behavior by
-# BENCH_SCALE.json (this is the variant whose wall grows ~linearly at
-# 10x data, vs the fixed-4-plane twin's quadratic bucket blowup).
+def _near_dup_auto_sql(n_tables: int = 6, threshold: float = 0.4) -> str:
+    """Full value oracle for the AUTO twin (VERDICT r6 #2 close-out):
+    the plane count is derived in SQL from count(*) (the auto_n_planes
+    rule, incl. the n<=128 -> 1 collapse), and the md5-derived plane
+    WEIGHTS are computed inline per (plane, dim) — exact integer
+    arithmetic ((h % 2001 - 1000) / 1000.0) reproduces the Python
+    literals bit-for-bit. Bucket bits and cosines use the same ordered
+    list_sum folds the green pinned twin relies on."""
+    tables = ", ".join(f"({t})" for t in range(n_tables))
+    w = (
+        "(((('0x' || substr(md5((t.table_id * cfg.np + pp) || ':' || (i - 1)),"
+        " 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
+    )
+    pair_cos = (
+        "round(list_sum(list_transform(range(1, 65), i -> "
+        "x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) / (x.nrm * y.nrm), 6)"
+    )
+    return f"""
+    WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+    cfg AS (SELECT CASE WHEN cnt <= 128 THEN 1
+                        ELSE greatest(1, CAST(ceil(log2(cnt / 128.0)) AS INT))
+                   END AS np FROM n),
+    b AS (
+      SELECT e.vec_id, e.embedding,
+             sqrt(list_sum(list_transform(range(1, 65), i ->
+               e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm,
+             t.table_id,
+             array_to_string(
+               list_transform(range(0, cfg.np), pp ->
+                 CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                   e.embedding[i]::DOUBLE * {w})) >= 0
+                 THEN '1' ELSE '0' END),
+               '') AS bucket
+      FROM embeddings e, cfg, (VALUES {tables}) t(table_id))
+    SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           {pair_cos} AS cos_sim
+    FROM b x JOIN b y
+      ON x.table_id = y.table_id AND x.bucket = y.bucket
+      AND x.vec_id < y.vec_id
+    WHERE {pair_cos} >= {threshold}
+    """
+
+
+@register("embedding_near_dups_auto", _near_dup_auto_sql())
 def q_embedding_near_dups_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of embedding_near_dups: auto_n_planes keeps
     E[bucket size] <= 128 as the corpus grows (planes = ceil(log2(n /
@@ -434,11 +471,44 @@ def q_semdedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semdedup_keepers(emb, _SEMDEDUP_K)
 
 
-@register("semdedup_auto")  # rows-only gate: k is runtime-derived from
-# corpus size, so seed/tie constants aren't static SQL; the pinned-k
-# twin above keeps the full value oracle, pytest pins the cluster-
-# minima and subset invariants on this one, and BENCH_SCALE carries
-# the scale claim.
+def _semdedup_auto_sql() -> str:
+    """Full value oracle for the AUTO twin (VERDICT r6 #2 close-out):
+    identical to the pinned-k oracle except k = greatest(8, n // 250)
+    is derived in a cfg CTE (seed filter AND the tie-break multiplier
+    both read it). Valid wherever the Spark side takes the exact
+    single-level assignment path, i.e. derived k < _SEMDEDUP_IVF_MIN_K
+    (=64, n < 16k vectors) — which covers every shipped testdata SF
+    (sf0.1: n=2000, k=8); beyond that the Spark side's IVF nprobe
+    routing may legitimately diverge from exact nearest and the gate
+    would need the bracket form instead."""
+    return f"""
+    WITH cfg AS (SELECT greatest(8, count(*) // 250) AS k FROM embeddings),
+    seeds AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings, cfg
+      WHERE vec_id < cfg.k
+    ), pairs AS (
+      SELECT e.vec_id, s.cid, {_SQDIST_ES} AS d
+      FROM embeddings e, seeds s
+    ), best AS (
+      SELECT vec_id,
+             arg_min(cid, CAST(round(d * 1e9) AS BIGINT)
+                          * (SELECT k FROM cfg) + cid) AS cluster
+      FROM pairs GROUP BY vec_id
+    ), b AS (
+      SELECT e.vec_id, e.embedding, t.cluster
+      FROM embeddings e JOIN best t USING (vec_id)
+    ), dropped AS (
+      SELECT DISTINCT y.vec_id
+      FROM b x JOIN b y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE {_cos("x.embedding", "y.embedding")} >= {_SEMDEDUP_TAU}
+    )
+    SELECT b.vec_id, CAST(b.cluster AS BIGINT) AS cluster
+    FROM b LEFT JOIN dropped d ON b.vec_id = d.vec_id
+    WHERE d.vec_id IS NULL
+    """
+
+
+@register("semdedup_auto", _semdedup_auto_sql())
 def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path twin of semdedup_keepers (VERDICT r5 #1 superlinear
     fix): k grows with the corpus — k = max(8, n // 250), i.e. mean
