@@ -170,11 +170,11 @@ def q_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-frequency signature."""
     from .operators.dedup import simhash
 
-    # the signature subplan appears on both sides of the self-join;
-    # measured: recomputing it per side beats materialize-once here
-    # (both branches pipeline inside one job, while an eager snapshot
-    # serializes build → join). At corpus scale, flip to a persisted
-    # signature table once the build dominates the join.
+    # the banded table feeds both self-join sides; persisted, the
+    # tokenize + 32-bit vote pipeline runs once, not twice (r7 A/B at
+    # sf0.1: cold 5.7 -> 2.9 s, steady 1.73 -> 1.49 s — the r6
+    # recompute-wins note predated the per-query clearCache bench
+    # protocol and no longer holds)
     sig = simhash(load_table(spark, sf_dir, "documents"))
     bands = F.explode(
         F.array(
@@ -189,7 +189,7 @@ def q_simhash_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).alias("band")
     banded = sig.select("doc_id", bands).select(
         "doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val")
-    )
+    ).persist()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band_id", "band_val"])

@@ -429,11 +429,16 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF top-3 terms per doc: term frequencies (explode+agg), doc
     frequencies (distinct agg), idf broadcast back, window top-k. The
-    document-keyword extractor; all shuffles keyed on term or doc_id."""
+    document-keyword extractor; all shuffles keyed on term or doc_id.
+    The compact words table is persisted — tf and df both explode from
+    the cached arrays instead of re-running the regex normalization
+    per consumer (the nb_lang_confusion pattern)."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    words = D._words_df(docs).select("doc_id", F.explode(F.col("__words")).alias("w"))
+    words = D._words_df(docs).persist().select(
+        "doc_id", F.explode(F.col("__words")).alias("w")
+    )
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
@@ -907,9 +912,14 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary boundary is engine-identical). The vocab is a top-k over
     the word counts (TakeOrderedAndProject) broadcast into a left join
     — membership against a small dictionary never shuffles the token
-    stream; per-source rates are exact-integer ratios rounded at 6dp."""
+    stream; per-source rates are exact-integer ratios rounded at 6dp.
+
+    The COMPACT words table is persisted (the nb_lang_confusion
+    pattern): vocab build + membership join both explode from the
+    cached arrays, so the regex normalization runs once, not twice
+    (measured 1.10 -> 0.70 s cold at sf0.1)."""
     docs = load_table(spark, sf_dir, "documents")
-    words = D._words_df(docs).select(
+    words = D._words_df(docs).persist().select(
         "doc_id", F.explode(F.col("__words")).alias("w")
     )
     vocab = (
