@@ -549,6 +549,20 @@ def simhash_band_candidates_auto(
     )
 
 
+def simhash_near_dup_candidates(
+    docs: DataFrame, text_col: str = "text", **kwargs
+) -> DataFrame:
+    """THE SimHash near-dup entry point — corpus-size-keyed dispatch
+    (VERDICT r6 #5): routes to `simhash_band_candidates_auto`, whose
+    band width derives from corpus size (collapsing to the pinned
+    32-bit/8-bit-band layout below ~8k docs, growing past it so bucket
+    population stays ~constant) with the stop-bucket cap. A naive
+    caller therefore gets the ~linear scale path; the fixed 32-bit
+    registry twin (`simhash_band_candidates`) survives as the
+    static-SQL oracle companion and small-corpus reference layout."""
+    return simhash_band_candidates_auto(docs, text_col, **kwargs)
+
+
 # Edge budget for finishing connected components on the driver: 2M
 # pairs ≈ tens of MB collected — far under driver headroom — while the
 # distributed fixpoint loop it replaces costs diameter × round-latency.

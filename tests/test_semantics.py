@@ -1175,10 +1175,13 @@ def test_knn_method_eval_bounds_and_ordering(spark):
     from milan_telecom_etl__spark.registry_similarity import q_knn_method_eval
 
     rows = {r["method"]: r for r in q_knn_method_eval(spark, "/root/testdata/sf0.001").collect()}
-    assert set(rows) == {"ivf", "lsh", "lsh_multi"}
+    assert set(rows) == {"ivf", "lsh", "lsh_multi", "default"}
     for r in rows.values():
         assert 0 <= r["n_hits"] <= r["n_exact"]
         assert r["recall_at_5"] == round(r["n_hits"] / r["n_exact"], 6)
+    # the shipped default tier must clear the usable-recall floor the
+    # single-table diagnostic tier fails (VERDICT r6 #6: >= 0.5)
+    assert rows["default"]["recall_at_5"] >= 0.5
 
 
 def test_split_leakage_audit_totals_and_flags(spark):
