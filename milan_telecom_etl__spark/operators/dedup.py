@@ -214,9 +214,15 @@ def dedup_span_excise(
 ) -> DataFrame:
     """The full Lee et al. 2022 rewrite: return each doc's normalized
     text with every duplicated span EXCISED, keeping the corpus-first
-    occurrence of each duplicated gram (min (doc_id, position) — so one
-    copy of every substring survives, exact copies collapse to one full
-    text + empty remainders, and unique text is untouched).
+    occurrence of each duplicated gram (min (doc_id, position)): exact
+    copies collapse to one full text + empty remainders, and unique
+    text is untouched. One copy of each duplicated k-gram survives
+    EXCEPT under overlapping self-repeats (ADVICE r6): in periodic
+    text (e.g. "x y z w" * 4) the removable island merges into — and
+    excises part of — the kept first-occurrence window, so a gram can
+    lose its last full copy. The per-gram *stats/islands* twins stay
+    exact; callers needing guaranteed retention under periodicity
+    should drop whole docs (dedup_exact_keepers) instead of excising.
 
     Policy, precisely: a position i in doc d is *removable* iff its
     k-gram occurs >= 2 times corpus-wide AND (d, i) is not the gram's
@@ -240,8 +246,12 @@ def dedup_span_excise(
         "doc_id", F.posexplode(position_grams(F.col("__words"), k)).alias("j", "g")
     ).select("doc_id", (F.col("j") + 1).alias("i"), "g").persist()
     # per gram: total count + first occurrence as a single packed key
-    # (doc_id * 2^20 + i; docs are < 2^20 tokens by contract)
-    packed = F.col("doc_id") * F.lit(1 << 20) + F.col("i")
+    # (doc_id * 2^32 + i). The shift bounds tokens-per-doc: a doc with
+    # >= 2^32 tokens would silently mis-order first-occurrence election
+    # (identically on both engines — parity would hide it), so the
+    # BIGINT budget is split 2^31 docs x 2^32 tokens rather than the
+    # r6 2^20 "by contract" shift nothing enforced (ADVICE r6).
+    packed = F.col("doc_id") * F.lit(1 << 32) + F.col("i")
     gstat = grams.groupBy("g").agg(
         F.count(F.lit(1)).alias("cnt"), F.min(packed).alias("first_occ")
     )

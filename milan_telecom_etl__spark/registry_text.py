@@ -1697,9 +1697,14 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny, known) source count. Per-source sizes broadcast (n_sources
     rows)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Repartition by doc_id, NOT source (ADVICE r6): source has ~20
+    # distinct values, so keying the exchange on it would cap the
+    # CPU-heavy normalize+shingle stage at ~20 skew-prone tasks no
+    # matter the cluster width. doc_id spreads evenly; the DISTINCT
+    # below shuffles by its own (source, h) keys anyway.
     w = docs.select(
-        "source", F.split(X.normalize_text("text"), " ").alias("__words")
-    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, "source")
+        "doc_id", "source", F.split(X.normalize_text("text"), " ").alias("__words")
+    ).repartition(docs.sparkSession.sparkContext.defaultParallelism, "doc_id")
     sg = (
         w.select(
             "source", F.explode(D.shingles_of(F.col("__words"), 3)).alias("s")
@@ -1794,13 +1799,13 @@ def q_duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM words)
     ),
     gstat AS (
-      SELECT g, count(*) AS cnt, min(doc_id * 1048576 + i) AS first_occ
+      SELECT g, count(*) AS cnt, min(doc_id * 4294967296 + i) AS first_occ
       FROM grams GROUP BY 1
     ),
     removable AS (
       SELECT DISTINCT gr.doc_id, gr.i
       FROM grams gr JOIN gstat ON gr.g = gstat.g
-      WHERE gstat.cnt >= 2 AND gr.doc_id * 1048576 + gr.i <> gstat.first_occ
+      WHERE gstat.cnt >= 2 AND gr.doc_id * 4294967296 + gr.i <> gstat.first_occ
     ),
     marked AS (
       SELECT doc_id, i,
