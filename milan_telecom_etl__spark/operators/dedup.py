@@ -422,7 +422,7 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def minhash_banded(
     docs: DataFrame,
     text_col: str = "text",
     n: int = 3,
@@ -430,9 +430,10 @@ def minhash_lsh_candidates(
     band_size: int = 2,
     words: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of their signature become a
-    candidate pair. Equality join per band on (band_id, band_hash) —
-    distributed-friendly; no cross join anywhere."""
+    """(doc_id, band_id, band_hash): the banded MinHash signature table
+    — the LSH index layout. A pure projection over the signatures
+    (banding 100 TB is map-only); both the full self-join candidates
+    and the incremental probe path build on it."""
     sig = minhash_signatures(docs, text_col, n, num_hashes, words)
     n_bands = num_hashes // band_size
     bands = []
@@ -444,9 +445,23 @@ def minhash_lsh_candidates(
                 F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_hash"),
             )
         )
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    words: DataFrame | None = None,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of their signature become a
+    candidate pair. Equality join per band on (band_id, band_hash) —
+    distributed-friendly; no cross join anywhere."""
+    banded = minhash_banded(docs, text_col, n, num_hashes, band_size, words)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -454,6 +469,88 @@ def minhash_lsh_candidates(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def incremental_near_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    new_max_id: int = 100,
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against the existing corpus index — the shape
+    production pipelines actually run (daily crawl vs standing index),
+    where re-deduping the whole corpus per arrival would be quadratic
+    in corpus-lifetime. Docs with doc_id < new_max_id are the incoming
+    batch (a constant-size slice by contract — the batch does not grow
+    with the corpus); everything else is the standing index.
+
+    Scale story — the asymmetry IS the optimization: the batch's
+    banded signatures are broadcast (batch_size * n_bands rows), the
+    corpus-side banded table streams through a broadcast-hash join —
+    the corpus is never shuffled and never self-joined. Candidate
+    volume is O(batch * bucket) instead of the full-dedup O(n *
+    bucket); in steady state the index's banded table is a stored
+    artifact and only the batch's signatures are computed. Within the
+    batch, keep-first (dup_of < new_doc) dedups the arrivals against
+    each other; against the index any collision counts. The verify
+    stage is the exact-Jaccard join of lsh_verified_pairs restricted
+    to the candidate probes. Output: (new_doc, dup_of, n_common,
+    jaccard, in_index) for every verified duplicate — the batch's
+    drop list is `SELECT DISTINCT new_doc`.
+
+    No reference-repo counterpart (extension operator); the full-corpus
+    twin is `lsh_verified_pairs` (reference semantics per SURVEY §2
+    extension table).
+    """
+    if max_shingle_df is None:
+        max_shingle_df = DEFAULT_MAX_SHINGLE_DF
+    words = _words_df(docs, text_col).persist()
+    banded = minhash_banded(docs, text_col, n, num_hashes, band_size, words)
+    new_b = banded.filter(F.col("doc_id") < new_max_id).select(
+        "band_id", "band_hash", F.col("doc_id").alias("new_doc")
+    )
+    cand = (
+        banded.join(F.broadcast(new_b), ["band_id", "band_hash"])
+        .filter(
+            (F.col("doc_id") >= F.lit(new_max_id))
+            | (F.col("doc_id") < F.col("new_doc"))
+        )
+        .select("new_doc", F.col("doc_id").alias("dup_of"))
+        .distinct()
+    )
+    sh = shingle_table(docs, text_col, n, max_shingle_df, words).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("new_doc"), "shingle"), "new_doc")
+        .join(
+            sh.select(F.col("doc_id").alias("dup_of"), "shingle"),
+            ["dup_of", "shingle"],
+        )
+        .groupBy("new_doc", "dup_of")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("dup_of"), F.col("n_shingles").alias("size_b"))
+    jac = F.round(
+        F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+    )
+    return (
+        inter.join(sa, "new_doc")
+        .join(sb, "dup_of")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            "new_doc",
+            "dup_of",
+            F.col("n_common").cast("long").alias("n_common"),
+            "jaccard",
+            (F.col("dup_of") >= F.lit(new_max_id)).alias("in_index"),
+        )
     )
 
 

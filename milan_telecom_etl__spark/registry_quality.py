@@ -740,3 +740,137 @@ def q_mutual_information_type_hour(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_cells"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1) — the published
+# rule battery corpus-curation pipelines actually run, as per-doc flags.
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _gopher_sql() -> str:
+    stops = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '') AS ws,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) <> '') AS lines,
+             length(text) - length(replace(text, '#', ''))
+               + length(text) - length(replace(text, '…', ''))
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS n_symbols
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             list_sum(list_transform(ws, x -> length(x))) AS n_chars,
+             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha_words,
+             len(list_intersect(list_distinct(list_transform(ws, x -> lower(x))),
+                                [{stops}])) AS n_stops,
+             len(lines) AS n_lines,
+             len(list_filter(lines, l -> regexp_matches(l, '^\\s*[-*•]')))
+               AS n_bullet,
+             len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+               AS n_ellipsis,
+             n_symbols
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+           3 * n_words <= n_chars AND n_chars <= 10 * n_words
+             AS mean_word_len_ok,
+           10 * n_symbols < n_words AS symbol_ratio_ok,
+           10 * n_bullet <= 9 * n_lines AS bullet_ok,
+           10 * n_ellipsis <= 3 * n_lines AS ellipsis_ok,
+           5 * n_alpha_words >= 4 * n_words AS alpha_ok,
+           n_stops >= 2 AS stopword_ok,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (3 * n_words <= n_chars AND n_chars <= 10 * n_words)
+             AND (10 * n_symbols < n_words)
+             AND (10 * n_bullet <= 9 * n_lines)
+             AND (10 * n_ellipsis <= 3 * n_lines)
+             AND (5 * n_alpha_words >= 4 * n_words)
+             AND (n_stops >= 2) AS passes
+    FROM c
+    """
+
+
+@register("gopher_quality_flags", _gopher_sql())
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher rule battery (Rae et al. 2021 A1.1) — the
+    published curation filter set: word count in [50, 100k], mean word
+    length in [3, 10], symbol-to-word ratio (#/ellipsis) < 0.1, <= 90%
+    bullet-led lines, <= 30% ellipsis-ended lines, >= 80% words with an
+    alphabetic char, >= 2 distinct required stop words. Works on RAW
+    text (the rules reference symbols/lines the dedup-side
+    normalization strips).
+
+    Every ratio gate is EXACT INTEGER arithmetic (10*symbols < words,
+    5*alpha >= 4*words, ...) — no float division anywhere, so there is
+    no rounding boundary for engines to disagree on. One projection
+    over the corpus: per-doc arrays (whitespace words, non-blank
+    lines) feed higher-order-function folds; no explode, no shuffle —
+    flagging 100 TB is map-only, and the `passes` column is the
+    curation predicate downstream filters push down.
+
+    On the SYNTHETIC testdata corpus the stop-word gate rejects every
+    doc (the generator vocabulary contains only 'the' of the eight
+    required words) — that is the rule correctly identifying
+    non-natural text, pinned in tests along with a crafted natural-
+    English doc that clears all gates."""
+    txt = F.col("text")
+    ws = F.filter(F.split(txt, r"\s+"), lambda x: x != F.lit(""))
+    lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_symbols = (
+        (F.length(txt) - F.length(F.regexp_replace(txt, "#", "")))
+        + (F.length(txt) - F.length(F.regexp_replace(txt, "…", "")))
+        + F.regexp_count(txt, F.lit(r"\.\.\."))
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(ws).alias("n_words"),
+        F.aggregate(
+            F.transform(ws, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+        ).alias("n_chars"),
+        F.size(F.filter(ws, lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha_words"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(ws, lambda x: F.lower(x))),
+                F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+            )
+        ).alias("n_stops"),
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]"))).alias("n_bullet"),
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$"))).alias(
+            "n_ellipsis"
+        ),
+        n_symbols.alias("n_symbols"),
+    )
+    wc_ok = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    mwl_ok = (3 * F.col("n_words") <= F.col("n_chars")) & (
+        F.col("n_chars") <= 10 * F.col("n_words")
+    )
+    sym_ok = 10 * F.col("n_symbols") < F.col("n_words")
+    bul_ok = 10 * F.col("n_bullet") <= 9 * F.col("n_lines")
+    ell_ok = 10 * F.col("n_ellipsis") <= 3 * F.col("n_lines")
+    alp_ok = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    stp_ok = F.col("n_stops") >= 2
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        wc_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        sym_ok.alias("symbol_ratio_ok"),
+        bul_ok.alias("bullet_ok"),
+        ell_ok.alias("ellipsis_ok"),
+        alp_ok.alias("alpha_ok"),
+        stp_ok.alias("stopword_ok"),
+        (wc_ok & mwl_ok & sym_ok & bul_ok & ell_ok & alp_ok & stp_ok).alias(
+            "passes"
+        ),
+    )

@@ -275,6 +275,79 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(load_table(spark, sf_dir, "documents"))
 
 
+_INCR_NEW_MAX_ID = 100
+
+
+def _incremental_dedup_sql(
+    new_max_id: int = _INCR_NEW_MAX_ID,
+    num_hashes: int = 16,
+    band_size: int = 2,
+    threshold: float = 0.5,
+    cap: int | None = D.DEFAULT_MAX_SHINGLE_DF,
+) -> str:
+    """Incremental (new-batch-vs-index) twin of _lsh_verified_sql: the
+    candidate join keeps only pairs probing FROM the batch (doc_id <
+    new_max_id) — against any index doc, or keep-first within the
+    batch — then the same exact-Jaccard verify over the df-capped
+    shingle table."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for bi in range(n_bands):
+        cols = "||','||".join(
+            f"CAST(mh_{bi * band_size + j} AS VARCHAR)" for j in range(band_size)
+        )
+        bands.append(f"SELECT doc_id, {bi} AS band_id, md5({cols}) AS band_hash FROM sig")
+    banded = " UNION ALL ".join(bands)
+    cand_inner = f"""
+    WITH {_SHINGLE_CTE},
+    sig AS ({_minhash_sql_body(num_hashes)}),
+    banded AS ({banded})
+    SELECT DISTINCT nb.doc_id AS new_doc, c.doc_id AS dup_of
+    FROM banded nb JOIN banded c
+      ON nb.band_id = c.band_id AND nb.band_hash = c.band_hash
+    WHERE nb.doc_id < {new_max_id}
+      AND (c.doc_id >= {new_max_id} OR c.doc_id < nb.doc_id)
+    """
+    return f"""
+    WITH {_shingle_cte(cap)},
+    cand AS (SELECT * FROM ({cand_inner})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.new_doc, c.dup_of, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.new_doc
+      JOIN sh b ON b.doc_id = c.dup_of AND b.shingle_hash = a.shingle_hash
+      GROUP BY 1, 2
+    )
+    SELECT new_doc, dup_of, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard,
+           dup_of >= {new_max_id} AS in_index
+    FROM inter
+    JOIN sizes sa ON new_doc = sa.doc_id
+    JOIN sizes sb ON dup_of = sb.doc_id
+    WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= {threshold}
+    """
+
+
+@register("incremental_dedup", _incremental_dedup_sql())
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch-vs-standing-index near-dup — the PRODUCTION dedup
+    shape (daily crawl vs index; re-deduping the whole corpus per
+    arrival is quadratic in corpus lifetime). Batch = doc_id < 100, a
+    constant-size slice by contract (the batch does not grow with the
+    corpus — the fixed-id-range pinning discipline the semantic-decon
+    entry established); index = the rest, which DOES grow with SF.
+    The batch's banded MinHash signatures broadcast; the corpus-side
+    banded table streams through a broadcast-hash join — the corpus is
+    never shuffled and never self-joined. Verified by exact shingle
+    Jaccard ≥ 0.5 (the lsh_verified_pairs stage restricted to the
+    probes). Output rows: every (new_doc, dup_of) verified duplicate
+    with in_index flagging index-side matches."""
+    return D.incremental_near_dups(
+        load_table(spark, sf_dir, "documents"), new_max_id=_INCR_NEW_MAX_ID
+    )
+
+
 @register("minhash_lsh_sharp", _lsh_sql(num_hashes=64, band_size=4))
 def q_minhash_lsh_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharp-banding MinHash LSH: 64 hashes in 16 bands of 4 rows —

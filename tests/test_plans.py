@@ -441,3 +441,28 @@ def test_multi_consumer_pipelines_cache_once(spark):
     for name in ("nb_lang_confusion", "auc_returnflag", "duplicate_spans", "dedup_span_excise"):
         plan = _plan(m.queries()[name](spark, SF))
         assert "InMemoryRelation" in plan, f"{name}: lost its persist"
+
+
+def test_gopher_flags_plan_is_map_only(spark):
+    """gopher_quality_flags docstring: one projection, HOF folds, no
+    explode/shuffle — flagging 100 TB must stay map-only."""
+    from milan_telecom_etl__spark.registry_quality import q_gopher_quality_flags
+
+    plan = _plan(q_gopher_quality_flags(spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode
+    assert "FileScan" in plan
+
+
+def test_incremental_dedup_broadcasts_the_batch(spark):
+    """incremental_near_dups docstring: the batch's banded signatures
+    broadcast; the corpus-side banded table is never self-joined via a
+    shuffle on the band key — the candidate probe is a broadcast-hash
+    join (the corpus streams)."""
+    from milan_telecom_etl__spark.registry_text import q_incremental_dedup
+
+    plan = _plan(q_incremental_dedup(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # no cartesian anywhere in the pipeline
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

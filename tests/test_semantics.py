@@ -1217,3 +1217,79 @@ def test_sampled_method_eval_estimates_track_full_corpus(spark):
     assert 0 < samp["n_exact"] < full["n_exact"]
     assert abs(samp["precision_at_06"] - full["precision_at_06"]) < 0.1
     assert abs(samp["recall_at_06"] - full["recall_at_06"]) < 0.1
+
+
+def test_incremental_dedup_probes_only_from_batch(spark):
+    """Every emitted pair probes FROM the batch (new_doc < 100);
+    within-batch matches are keep-first (dup_of < new_doc); in_index
+    marks exactly the index-side matches; and the batch-internal pairs
+    are a subset of the full-corpus verified pairs."""
+    from milan_telecom_etl__spark.operators.dedup import (
+        incremental_near_dups,
+        lsh_verified_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    rows = incremental_near_dups(docs, new_max_id=100).collect()
+    assert rows, "planted dups should produce at least one probe hit"
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in lsh_verified_pairs(docs).collect()
+    }
+    for r in rows:
+        assert r["new_doc"] < 100
+        assert r["in_index"] == (r["dup_of"] >= 100)
+        if not r["in_index"]:
+            assert r["dup_of"] < r["new_doc"]
+            assert (min(r["dup_of"], r["new_doc"]), max(r["dup_of"], r["new_doc"])) in full
+        assert r["jaccard"] >= 0.5
+
+
+def test_gopher_flags_consistency(spark):
+    """passes == AND of the individual flags; flags are total (no
+    nulls); every gate except the stop-word one accepts part of the
+    corpus. The stop-word gate (>= 2 distinct of the/be/to/of/and/
+    that/have/with) rejects the ENTIRE synthetic corpus — its
+    generator vocabulary contains only 'the' — which is the rule
+    doing its job on non-natural text, not a bug; crafted natural
+    text below proves the gate opens."""
+    from milan_telecom_etl__spark.registry_quality import q_gopher_quality_flags
+
+    rows = q_gopher_quality_flags(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    gates = [
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ok", "ellipsis_ok", "alpha_ok", "stopword_ok",
+    ]
+    for r in rows:
+        flags = [r[g] for g in gates]
+        assert all(f is not None for f in flags)
+        assert r["passes"] == all(flags)
+    for g in gates[:-1]:
+        assert any(r[g] for r in rows), f"{g} rejects the whole corpus"
+    assert not any(r["stopword_ok"] for r in rows)
+
+
+def test_gopher_passes_on_natural_text(spark):
+    """A crafted natural-English doc clears every gate; degenerate
+    shapes trip exactly their gate."""
+    from milan_telecom_etl__spark.registry_quality import q_gopher_quality_flags
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    natural = (
+        "The study of distributed systems continues to be one of the "
+        "richest areas that engineers have worked with over the years. "
+        "Researchers continue to refine the models and tools that teams "
+        "rely on, and the results of that work have shaped how modern "
+        "platforms scale with demand across many regions of the world."
+    )
+    bullets = "\n".join("- item " + "word " * 9 for _ in range(10))
+    rows = [(0, natural), (1, bullets)]
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in QUERIES["gopher_quality_flags"](spark, d).collect()}
+    assert got[0]["stopword_ok"] and got[0]["passes"]
+    assert not got[1]["bullet_ok"] and not got[1]["passes"]
