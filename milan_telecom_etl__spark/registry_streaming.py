@@ -338,3 +338,82 @@ def q_streaming_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.col("total_value").cast("long").alias("total_micro"),
     )
+
+
+_DOCS_STREAM_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+_PROBE_NEW_MAX_ID = 100
+
+
+def _stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the driver's documents parquet (fixed user
+    schema; pathGlobFilter narrows the directory listing)."""
+    return (
+        spark.readStream.schema(_DOCS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _index_probe_sql() -> str:
+    from .registry_text import _norm
+
+    return f"""
+    WITH fp AS (SELECT doc_id, md5({_norm()}) AS f FROM documents)
+    SELECT n.doc_id AS new_doc, i.doc_id AS dup_of,
+           i.doc_id >= {_PROBE_NEW_MAX_ID} AS in_index
+    FROM fp n JOIN fp i ON n.f = i.f
+    WHERE n.doc_id < {_PROBE_NEW_MAX_ID}
+      AND (i.doc_id >= {_PROBE_NEW_MAX_ID} OR i.doc_id < n.doc_id)
+    """
+
+
+@register("streaming_index_probe_batch", _index_probe_sql())
+def q_streaming_index_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the one Structured Streaming join shape the
+    family didn't yet exercise (rollup = stateful agg, dedupe =
+    bounded-state keys, interval join = stream-stream, merge =
+    foreachBatch, sessionize = applyInPandasWithState): arriving docs
+    (doc_id < 100, the incremental_dedup batch contract) stream in,
+    fingerprint as a PURE PROJECTION (md5 over normalized text — no
+    streaming-side aggregation, so the plan stays append-mode with zero
+    state stores), and probe the STATIC exact-dup index built batch-side
+    from the standing corpus. Emits every (new_doc, dup_of) exact-dup
+    hit; keep-first within the arriving batch.
+
+    Scale story: the static index is loaded once per query (not per
+    micro-batch) and joined per batch on the uniform fingerprint key —
+    at 100 TB the index is a bucketed table co-partitioned on the
+    fingerprint so each micro-batch probe is a local hash join; the
+    streaming side never aggregates, so no watermark and no state GC
+    are involved. The MinHash near-dup variant of the same shape is the
+    batch `incremental_dedup` entry (signatures need a per-doc agg,
+    which streaming joins disallow after — production computes
+    signatures in the ingest job and streams them pre-aggregated)."""
+    from .operators.text import normalize_text
+    from .sources.parquet import load_table
+
+    static_idx = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("dup_of"),
+        F.md5(normalize_text("text")).alias("f"),
+    )
+    stream = (
+        _stream_documents(spark, sf_dir)
+        .filter(F.col("doc_id") < _PROBE_NEW_MAX_ID)
+        .select(
+            F.col("doc_id").alias("new_doc"),
+            F.md5(normalize_text("text")).alias("f"),
+        )
+    )
+    joined = (
+        stream.join(static_idx, "f")
+        .filter(
+            (F.col("dup_of") >= _PROBE_NEW_MAX_ID)
+            | (F.col("dup_of") < F.col("new_doc"))
+        )
+        .select(
+            "new_doc",
+            "dup_of",
+            (F.col("dup_of") >= _PROBE_NEW_MAX_ID).alias("in_index"),
+        )
+    )
+    return _drain(joined, "append")
