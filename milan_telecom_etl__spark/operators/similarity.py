@@ -361,6 +361,60 @@ def cosine_knn(
     )
 
 
+def cosine_knn_filtered(
+    embeddings: DataFrame,
+    predicate: Column,
+    n_queries: int = 5,
+    k: int = 5,
+    n_tables: int = KNN_DEFAULT_TABLES,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Filtered ANN — top-k restricted to corpus vectors satisfying a
+    metadata predicate (the RAG shape: \"nearest docs WHERE
+    source/label/date ...\"), via the PRE-FILTER strategy: the
+    predicate pushes down to the parquet scan, and the LSH index is
+    built ON the filtered subset with the plane count derived from ITS
+    size. That ordering is the point — probing a global index
+    post-filter is the classic filtered-ANN pitfall (at high
+    selectivity most bucket hits fail the predicate and recall
+    collapses for fixed candidate budgets); sizing planes from the
+    filtered count keeps E[bucket] on target no matter how selective
+    the filter. Queries are NOT filtered (they come from the full
+    set); both sides bucket with the same derived planes."""
+    corpus = embeddings.filter(predicate)
+    n_planes = auto_n_planes(corpus.count(), KNN_DEFAULT_TARGET_BUCKET)
+    cb = multi_table_buckets(corpus, n_tables, n_planes, dim, vec_col, id_col)
+    qb = multi_table_buckets(
+        embeddings.filter(F.col(id_col) < n_queries),
+        n_tables,
+        n_planes,
+        dim,
+        vec_col,
+        id_col,
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "table_id", "bucket"
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", F.col("v").alias("cv"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+    )
+
+
 def cosine_knn_pandas(
     embeddings: DataFrame,
     n_queries: int = 5,

@@ -359,6 +359,71 @@ def _knn_default_sql(k: int = 5, n_queries: int = 5) -> str:
     """
 
 
+_FILTER_LABEL = 3
+
+
+def _knn_filtered_sql(
+    label: int = _FILTER_LABEL, k: int = 5, n_queries: int = 5
+) -> str:
+    """Filtered-ANN oracle: plane count derived from the FILTERED
+    subset's count (the pre-filter sizing rule), both sides bucketed
+    with the same derived planes."""
+    L, target = S.KNN_DEFAULT_TABLES, S.KNN_DEFAULT_TARGET_BUCKET
+    tables = ", ".join(f"({t})" for t in range(L))
+    w = (
+        "(((('0x' || substr(md5((t.table_id * cfg.np + pp) || ':' || (i - 1)),"
+        " 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
+    )
+    bucket = (
+        f"array_to_string(list_transform(range(0, cfg.np), pp -> "
+        f"CASE WHEN list_sum(list_transform(range(1, 65), i -> "
+        f"e.embedding[i]::DOUBLE * {w})) >= 0 THEN '1' ELSE '0' END), '')"
+    )
+    return f"""
+    WITH n AS (SELECT count(*) AS cnt FROM embeddings WHERE label = {label}),
+    cfg AS (SELECT CASE WHEN cnt <= {target} THEN 1
+                        ELSE greatest(1, CAST(ceil(log2(cnt / {target}.0)) AS INT))
+                   END AS np FROM n),
+    cb AS (
+      SELECT e.vec_id, e.embedding, t.table_id, {bucket} AS bucket
+      FROM embeddings e, cfg, (VALUES {tables}) t(table_id)
+      WHERE e.label = {label}),
+    qb AS (
+      SELECT e.vec_id, e.embedding, t.table_id, {bucket} AS bucket
+      FROM embeddings e, cfg, (VALUES {tables}) t(table_id)
+      WHERE e.vec_id < {n_queries}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                      q.embedding AS qe, c.embedding AS ce
+      FROM qb q JOIN cb c
+        ON q.table_id = c.table_id AND q.bucket = c.bucket
+       AND c.vec_id <> q.vec_id),
+    scored AS (
+      SELECT query_id, neighbor_id, {_cos("qe", "ce")} AS cos_sim FROM cand
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@register("knn_filtered", _knn_filtered_sql())
+def q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered ANN (the RAG shape: nearest neighbors WHERE
+    label = 3) via the pre-filter strategy — predicate pushed to the
+    scan, LSH planes derived from the FILTERED count so E[bucket]
+    stays on target at any selectivity (the post-filter pitfall:
+    probing a global index and filtering after empties buckets and
+    collapses recall). Full value oracle with the plane count derived
+    in SQL from the same filtered count."""
+    return S.cosine_knn_filtered(
+        load_table(spark, sf_dir, "embeddings"),
+        F.col("label") == _FILTER_LABEL,
+    )
+
+
 @register("knn_default", _knn_default_sql())
 def q_knn_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE default retriever tier (VERDICT r6 #6): `cosine_knn` —

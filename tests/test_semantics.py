@@ -1293,3 +1293,32 @@ def test_gopher_passes_on_natural_text(spark):
     got = {r["doc_id"]: r for r in QUERIES["gopher_quality_flags"](spark, d).collect()}
     assert got[0]["stopword_ok"] and got[0]["passes"]
     assert not got[1]["bullet_ok"] and not got[1]["passes"]
+
+
+def test_knn_filtered_respects_predicate_and_recalls(spark):
+    """Every neighbor satisfies the predicate; recall vs the exact
+    filtered brute force stays usable (the pre-filter sizing claim)."""
+    from milan_telecom_etl__spark.operators.similarity import (
+        cosine_knn_bruteforce,
+        cosine_knn_filtered,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    got = cosine_knn_filtered(emb, F.col("label") == 3).collect()
+    assert got
+    for r in got:
+        assert labels[r["neighbor_id"]] == 3
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_knn_bruteforce(emb.filter(F.col("label") == 3)).collect()
+        if r["query_id"] < 5
+    }
+    # exact twin filters queries too; compare only on shared query ids
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got if (r["query_id"], ) and labels[r["query_id"]] == 3}
+    if exact:
+        shared_q = {q for q, _ in exact} & {q for q, _ in approx}
+        ex = {(q, n) for q, n in exact if q in shared_q}
+        ap = {(q, n) for q, n in approx if q in shared_q}
+        if ex:
+            assert len(ex & ap) / len(ex) >= 0.5
