@@ -469,3 +469,72 @@ def q_padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("waste_ratio"),
         )
     )
+
+
+_MIX_ALPHA = 0.7
+_MIX_BUDGET = 1_000_000
+
+
+@register(
+    "temperature_mixing",
+    f"""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), q AS (
+      SELECT source, n_tokens,
+             CAST(round(pow(n_tokens, {_MIX_ALPHA}) * 1e9) AS BIGINT) AS wq
+      FROM per_src
+    ), tot AS (
+      SELECT CAST(sum(wq) AS BIGINT) AS swq, CAST(sum(n_tokens) AS BIGINT) AS st
+      FROM q
+    )
+    SELECT q.source, q.n_tokens,
+           round(q.wq * 1.0 / tot.swq, 6) AS weight,
+           round(q.wq * 1.0 / tot.swq * {_MIX_BUDGET} / q.n_tokens, 6)
+             AS effective_epochs,
+           q.wq * tot.st > q.n_tokens * tot.swq AS upsampled
+    FROM q, tot
+    """,
+)
+def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the alpha-sampling rule the
+    LLaMA / Pile recipes publish): per-source sampling weight
+    proportional to n_tokens^alpha (alpha = 0.7 < 1 flattens the
+    distribution — head sources down-weighted, tail sources upsampled)
+    plus the effective-epoch count each source would see at a fixed
+    token budget (epochs > 1 on small sources is the overfitting signal
+    the alpha knob trades against diversity).
+
+    Cross-engine float discipline: pow(n, 0.7) is the one
+    transcendental — quantized to integer nano-units (the ln-1e9
+    convention the NB/LM entries proved); every ratio after that is
+    integer-exact until the final 6dp round, and the `upsampled` flag
+    is a PURE INTEGER cross-multiplication (wq*st > n*swq), no float
+    boundary at all. Scale: per-source token counts are one hash-agg
+    (20 rows out); the weight table broadcasts to whatever sampler
+    consumes it (corpus_mixing's keep-rate join shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(
+            F.size(F.expr(r"regexp_extract_all(text, '[a-zA-Z0-9]+', 0)"))
+        ).cast("long").alias("n_tokens")
+    )
+    q = per_src.withColumn(
+        "wq", F.round(F.pow(F.col("n_tokens"), F.lit(_MIX_ALPHA)) * F.lit(1e9)).cast("long")
+    )
+    tot = q.agg(
+        F.sum("wq").cast("long").alias("swq"),
+        F.sum("n_tokens").cast("long").alias("st"),
+    )
+    return q.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("wq") / F.col("swq"), 6).alias("weight"),
+        F.round(F.col("wq") / F.col("swq") * F.lit(_MIX_BUDGET) / F.col("n_tokens"), 6).alias(
+            "effective_epochs"
+        ),
+        (F.col("wq") * F.col("st") > F.col("n_tokens") * F.col("swq")).alias("upsampled"),
+    )

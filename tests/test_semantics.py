@@ -1322,3 +1322,24 @@ def test_knn_filtered_respects_predicate_and_recalls(spark):
         ap = {(q, n) for q, n in approx if q in shared_q}
         if ex:
             assert len(ex & ap) / len(ex) >= 0.5
+
+
+def test_temperature_mixing_flattens_the_distribution(spark):
+    """alpha < 1 must up-weight tail sources and down-weight head
+    sources relative to proportional sampling; weights sum to ~1;
+    upsampled flags exactly the sources whose weight exceeds their
+    token share."""
+    from milan_telecom_etl__spark.registry_sampling import q_temperature_mixing
+
+    rows = q_temperature_mixing(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) >= 2
+    total_tokens = sum(r["n_tokens"] for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        share = r["n_tokens"] / total_tokens
+        assert r["upsampled"] == (r["weight"] > share + 1e-12) or abs(r["weight"] - share) < 1e-6
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    biggest = max(rows, key=lambda r: r["n_tokens"])
+    if smallest["n_tokens"] != biggest["n_tokens"]:
+        assert smallest["weight"] / (smallest["n_tokens"] / total_tokens) > 1
+        assert biggest["weight"] / (biggest["n_tokens"] / total_tokens) < 1
