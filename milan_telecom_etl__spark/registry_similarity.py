@@ -1117,7 +1117,10 @@ def q_knn_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query_id, neighbor_id) — bounded by n_queries x k rows — and
     1-row scalar crossJoins. Query-set size is the knob: the estimate
     needs a sample of queries, never the corpus."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    # five pipelines (exact + 4 retriever tiers) consume the same
+    # corpus: persisted, the scan+cast runs once (r7 A/B at sf0.1:
+    # cold 6.5 -> 4.0 s, steady 4.0 -> 3.8 s)
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     from .operators.similarity import (
         cosine_knn_bruteforce,
         cosine_knn_ivf,

@@ -1343,3 +1343,42 @@ def test_temperature_mixing_flattens_the_distribution(spark):
     if smallest["n_tokens"] != biggest["n_tokens"]:
         assert smallest["weight"] / (smallest["n_tokens"] / total_tokens) > 1
         assert biggest["weight"] / (biggest["n_tokens"] / total_tokens) < 1
+
+
+def test_incremental_probe_against_persisted_index(spark, tmp_path):
+    """The standing-index story end-to-end: the banded MinHash index
+    written to parquet and read back yields EXACTLY the candidates the
+    in-query banding computes — signatures are hash-deterministic, so
+    an index built yesterday probes identically today (what makes the
+    incremental path a storable artifact, not a per-run recompute)."""
+    from pyspark.sql import functions as F
+
+    from milan_telecom_etl__spark.operators.dedup import minhash_banded
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    idx_path = str(tmp_path / "banded_index")
+    minhash_banded(docs.filter(F.col("doc_id") >= 100)).write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    probe = minhash_banded(docs.filter(F.col("doc_id") < 100)).select(
+        F.col("doc_id").alias("new_doc"), "band_id", "band_hash"
+    )
+    via_store = {
+        (r["new_doc"], r["doc_id"])
+        for r in stored.join(probe, ["band_id", "band_hash"]).select("new_doc", "doc_id").distinct().collect()
+    }
+    live = minhash_banded(docs)
+    via_live = {
+        (r["new_doc"], r["doc_id"])
+        for r in live.filter(F.col("doc_id") >= 100)
+        .join(
+            live.filter(F.col("doc_id") < 100).select(
+                F.col("doc_id").alias("new_doc"), "band_id", "band_hash"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("new_doc", "doc_id")
+        .distinct()
+        .collect()
+    }
+    assert via_store == via_live and via_store
