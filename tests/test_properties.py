@@ -286,3 +286,48 @@ def test_span_islands_match_python_interval_merge(spark, texts):
         for r in duplicate_span_islands(docs, k=k).collect()
     }
     assert got == want
+
+
+# random "documents": small vocab so duplicates and near-duplicates
+# arise naturally; doc_ids straddle the batch boundary (new < 3)
+_doc_text = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]),
+    min_size=5,
+    max_size=12,
+).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_doc_text, min_size=4, max_size=10))
+def test_incremental_dedup_equals_full_dedup_restricted(spark, texts):
+    """Differential: the incremental probe must emit EXACTLY the
+    full-corpus verified pairs that involve a batch doc — (new, index)
+    pairs always, within-batch pairs once in keep-first orientation —
+    with identical jaccard values. The batch boundary is doc_id < 3."""
+    from milan_telecom_etl__spark.operators.dedup import (
+        incremental_near_dups,
+        lsh_verified_pairs,
+    )
+
+    new_max = 3
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in lsh_verified_pairs(docs, max_shingle_df=None).collect()
+    }
+    # expected probe rows derived from the full pair set
+    expected = {}
+    for (a, b), j in full.items():  # a < b by construction
+        if b < new_max:
+            expected[(b, a)] = j  # within-batch, keep-first
+        elif a < new_max:
+            expected[(a, b)] = j  # new vs index
+    got = {
+        (r["new_doc"], r["dup_of"]): r["jaccard"]
+        for r in incremental_near_dups(
+            docs, new_max_id=new_max, max_shingle_df=10**9
+        ).collect()
+    }
+    assert got == expected
