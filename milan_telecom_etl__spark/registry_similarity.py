@@ -1152,3 +1152,86 @@ def q_knn_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(scored("lsh_multi", cosine_knn_lsh_multi(emb)))
         .unionByName(scored("default", cosine_knn(emb)))
     )
+
+
+def _paraphrase_sql() -> str:
+    from .registry_text import _shingle_cte
+
+    jac = (
+        "round(coalesce(i.n_common, 0) * 1.0 "
+        "/ (sa.n + sb.n - coalesce(i.n_common, 0)), 6)"
+    )
+    return f"""
+    WITH sem AS (SELECT * FROM ({_near_dup_auto_sql()})),
+    {_shingle_cte(None)},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT s.vec_a, s.vec_b, count(*) AS n_common
+      FROM sem s
+      JOIN sh a ON a.doc_id = s.vec_a
+      JOIN sh b ON b.doc_id = s.vec_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY 1, 2
+    )
+    SELECT s.vec_a AS doc_a, s.vec_b AS doc_b, s.cos_sim,
+           {jac} AS jaccard,
+           CASE WHEN {jac} >= 0.5 THEN 'near_duplicate'
+                ELSE 'paraphrase' END AS relation
+    FROM sem s
+    JOIN sizes sa ON sa.doc_id = s.vec_a
+    JOIN sizes sb ON sb.doc_id = s.vec_b
+    LEFT JOIN inter i ON i.vec_a = s.vec_a AND i.vec_b = s.vec_b
+    """
+
+
+@register("paraphrase_mining", _paraphrase_sql())
+def q_paraphrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-vs-lexical divergence audit — paraphrase mining: every
+    embedding-near pair (the auto-tuned cos >= 0.4 blocking, vec_id ==
+    doc_id by the standard embedded-corpus layout) is re-scored with
+    exact lexical shingle Jaccard and classified: 'near_duplicate'
+    (jaccard >= 0.5 too — drop in dedup) vs 'paraphrase' (semantically
+    close, lexically far — the pairs worth KEEPING for diversity, or
+    mining as paraphrase training data). The curation insight is the
+    two-signal split: cosine-only dedup over-deletes paraphrases;
+    lexical-only dedup misses semantic dups.
+
+    Scale: the semantic side is the linear auto-plane blocking; the
+    lexical re-score touches only the emitted pairs (|pairs| * |doc
+    shingles| join rows, LSH-bounded), never a corpus self-join."""
+    from .operators.dedup import shingle_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    sem = S.embedding_near_dups(
+        emb, threshold=0.4, n_planes=None, n_tables=6
+    ).persist()  # two consumers: the intersect probe + the final join
+    sh = shingle_table(docs, max_shingle_df=None).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sem.select("vec_a", "vec_b")
+        .join(sh.select(F.col("doc_id").alias("vec_a"), "shingle"), "vec_a")
+        .join(
+            sh.select(F.col("doc_id").alias("vec_b"), "shingle"),
+            ["vec_b", "shingle"],
+        )
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("vec_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("vec_b"), F.col("n").alias("nb"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    jac = F.round(nc / (F.col("na") + F.col("nb") - nc), 6)
+    return (
+        sem.join(sa, "vec_a")
+        .join(sb, "vec_b")
+        .join(inter, ["vec_a", "vec_b"], "left")
+        .select(
+            F.col("vec_a").alias("doc_a"),
+            F.col("vec_b").alias("doc_b"),
+            "cos_sim",
+            jac.alias("jaccard"),
+            F.when(jac >= 0.5, F.lit("near_duplicate"))
+            .otherwise(F.lit("paraphrase"))
+            .alias("relation"),
+        )
+    )
