@@ -243,15 +243,20 @@ def _minhash_sql_body(num_hashes: int = 16) -> str:
 
 
 def _lsh_verified_sql(
-    threshold: float = 0.5, cap: int | None = D.DEFAULT_MAX_SHINGLE_DF
+    threshold: float = 0.5,
+    cap: int | None = D.DEFAULT_MAX_SHINGLE_DF,
+    num_hashes: int = 64,
+    band_size: int = 4,
 ) -> str:
     """Two-stage near-dup oracle: LSH candidates (inner WITH — its own
     UNCAPPED shingle/minhash pipeline, shadowing the outer CTE names)
     verified by exact Jaccard over the df-CAPPED shingle table, exactly
-    mirroring dedup.lsh_verified_pairs(max_shingle_df=cap)."""
+    mirroring dedup.lsh_verified_pairs(max_shingle_df=cap). Banding
+    defaults move in lockstep with the Spark side: sharp 64/4 (the
+    scale-linear scheme) since round 8."""
     return f"""
     WITH {_shingle_cte(cap)},
-    cand AS (SELECT * FROM ({_lsh_sql()})),
+    cand AS (SELECT * FROM ({_lsh_sql(num_hashes, band_size)})),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
@@ -280,8 +285,8 @@ _INCR_NEW_MAX_ID = 100
 
 def _incremental_dedup_sql(
     new_max_id: int = _INCR_NEW_MAX_ID,
-    num_hashes: int = 16,
-    band_size: int = 2,
+    num_hashes: int = 64,
+    band_size: int = 4,
     threshold: float = 0.5,
     cap: int | None = D.DEFAULT_MAX_SHINGLE_DF,
 ) -> str:
@@ -351,7 +356,9 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("minhash_lsh_sharp", _lsh_sql(num_hashes=64, band_size=4))
 def q_minhash_lsh_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharp-banding MinHash LSH: 64 hashes in 16 bands of 4 rows —
-    the at-scale parameterization of minhash_lsh_candidates.
+    since round 8 this is the DEFAULT banding of the whole verify chain
+    (lsh_verified_pairs, near_dup_clusters, incremental_near_dups and
+    their composed entries); this entry pins the layout in isolation.
 
     Both schemes center the S-curve near J ≈ 0.5 ((1/b)^(1/r): 0.35 for
     r=2/b=8, 0.50 for r=4/b=16), but the per-band collision rate is J^r:

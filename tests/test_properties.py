@@ -327,7 +327,7 @@ def test_incremental_dedup_equals_full_dedup_restricted(spark, texts):
     got = {
         (r["new_doc"], r["dup_of"]): r["jaccard"]
         for r in incremental_near_dups(
-            docs, new_max_id=new_max, max_shingle_df=10**9
+            docs, new_max_id=new_max, max_shingle_df=None
         ).collect()
     }
     assert got == expected
