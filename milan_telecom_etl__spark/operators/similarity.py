@@ -124,12 +124,26 @@ def auto_n_planes(n_vectors: int, target_bucket_size: int = 128) -> int:
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Bucket id = sign-bit string over the hyperplanes (a pure
-    projection — bucketing 100 TB is map-only)."""
-    bits = []
-    for row in planes:
-        plane = F.array(*[F.lit(w) for w in row])
-        bits.append(F.when(dot(vec, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    projection — bucketing 100 TB is map-only).
+
+    The plane matrix ships as ONE nested-array Literal and the bits as
+    a higher-order transform over it — not per-plane CreateArray
+    expression trees. With k planes × 64 dims the old form put
+    thousands of literal nodes into codegen (36-plane multi-table
+    layouts compiled whole-stage code big enough to dominate the cold
+    first run and thrash the 100-entry codegen cache across a full
+    registry sweep — the r8 root cause of the `embedding_near_dups_auto`
+    bench drift); this form is a single constant reference plus a loop,
+    and the fold order (zip_with → left aggregate) is unchanged, so
+    bucket bits stay bit-identical to the oracle's."""
+    planes_arr = F.lit([[float(w) for w in row] for row in planes])
+    return F.array_join(
+        F.transform(
+            planes_arr,
+            lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
+        ),
+        "",
+    )
 
 
 def lsh_buckets(
