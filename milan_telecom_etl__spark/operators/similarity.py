@@ -136,13 +136,20 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     bench drift); this form is a single constant reference plus a loop,
     and the fold order (zip_with → left aggregate) is unchanged, so
     bucket bits stay bit-identical to the oracle's."""
+    return F.array_join(sign_bits(vec, planes), "")
+
+
+def sign_bits(vec: Column, planes: list[list[float]]) -> Column:
+    """Array of '1'/'0' sign bits, one per hyperplane row. Because
+    `hyperplanes` is a prefix-stable generator (plane p's weights depend
+    only on p), any tier's bucket over hyperplanes(k)[a:b] equals a
+    SLICE of this array computed over a superset plane matrix — the
+    sharing hook knn_method_eval uses to bucket all LSH tiers from one
+    per-vector bit vector."""
     planes_arr = F.lit([[float(w) for w in row] for row in planes])
-    return F.array_join(
-        F.transform(
-            planes_arr,
-            lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
-        ),
-        "",
+    return F.transform(
+        planes_arr,
+        lambda p: F.when(dot(vec, p) >= 0, F.lit("1")).otherwise(F.lit("0")),
     )
 
 
@@ -397,7 +404,10 @@ def cosine_knn_filtered(
     filtered count keeps E[bucket] on target no matter how selective
     the filter. Queries are NOT filtered (they come from the full
     set); both sides bucket with the same derived planes."""
-    corpus = embeddings.filter(predicate)
+    # persist: the filtered subset feeds BOTH the plane-sizing count and
+    # the bucket build — without it the scan+filter runs as two jobs
+    # (the persist-shared-subtree discipline of knn_method_eval/tfidf)
+    corpus = embeddings.filter(predicate).persist()
     n_planes = auto_n_planes(corpus.count(), KNN_DEFAULT_TARGET_BUCKET)
     cb = multi_table_buckets(corpus, n_tables, n_planes, dim, vec_col, id_col)
     qb = multi_table_buckets(
@@ -483,6 +493,85 @@ def cosine_knn_pandas(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rk")
     )
+
+
+def eval_bits_query_cos(
+    embeddings: DataFrame,
+    planes: list[list[float]],
+    n_queries: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[int]]:
+    """ONE Arrow pass producing (vec_id, bits, cs): the per-vector
+    sign-bit string over `planes` plus RAW (unrounded) cosines against
+    the n_queries query vectors — the shared index+scoring table
+    knn_method_eval prices every LSH tier from. Returns (df, query_ids)
+    with cs[i] the cosine against query_ids[i].
+
+    Numeric contract: interpreted JVM higher-order folds are the eval's
+    hot spot (each zip_with/aggregate pair allocates and boxes per
+    element), but a BLAS matmul would change summation ORDER (pairwise,
+    not left fold) and sign bits have no rounding buffer to absorb
+    that. So dot products here accumulate DIMENSION-SEQUENTIALLY
+    (acc += v_d * w_d — one IEEE rounding per step, vectorized across
+    rows), exactly the left-fold order of the JVM zip_with/aggregate
+    path and the oracle's list_sum: bits and cosines are bit-identical
+    to lsh_bucket's / cosine()'s. Rounding to 6dp stays JVM-side
+    (F.round is HALF_UP like the oracle's; numpy rounds HALF_EVEN).
+    The query-matrix collect is bounded by n_queries — the
+    kmeans-centroid discipline."""
+    q_rows = (
+        embeddings.filter(F.col(id_col) < n_queries).select(id_col, vec_col).collect()
+    )
+    q_rows.sort(key=lambda r: r[0])
+    q_ids = [int(r[0]) for r in q_rows]
+    q_mat = [[float(x) for x in r[1]] for r in q_rows]
+    p_mat = [[float(w) for w in row] for row in planes]
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        P = np.asarray(p_mat)  # (L, D)
+        Q = np.asarray(q_mat)  # (nq, D)
+        dim = P.shape[1]
+
+        def fold_mm(V, W):  # (n,dim) x (m,dim) -> (n,m), left fold over dims
+            acc = np.zeros((V.shape[0], W.shape[0]))
+            for d in range(dim):
+                acc += np.outer(V[:, d], W[:, d])
+            return acc
+
+        qn_acc = np.zeros(len(q_mat))
+        for d in range(dim):
+            qn_acc += Q[:, d] * Q[:, d]
+        qn = np.sqrt(qn_acc)
+        for batch in batches:
+            cols = batch.to_pydict()
+            ids = cols[id_col]
+            if not ids:
+                continue
+            V = np.asarray([[float(x) for x in v] for v in cols[vec_col]])
+            sgn = fold_mm(V, P) >= 0
+            bits = ["".join("1" if b else "0" for b in row) for row in sgn]
+            vn_acc = np.zeros(V.shape[0])
+            for d in range(dim):
+                vn_acc += V[:, d] * V[:, d]
+            vn = np.sqrt(vn_acc)
+            cs = fold_mm(V, Q) / np.outer(vn, qn)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([int(i) for i in ids], type=pa.int64()),
+                    pa.array(bits, type=pa.string()),
+                    pa.array([list(row) for row in cs], type=pa.list_(pa.float64())),
+                ],
+                names=[id_col, "bits", "cs"],
+            )
+
+    out = embeddings.select(id_col, vec_col).mapInArrow(
+        gen, f"{id_col} long, bits string, cs array<double>"
+    )
+    return out, q_ids
 
 
 def cosine_knn_ivf(

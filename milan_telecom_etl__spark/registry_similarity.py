@@ -1055,10 +1055,7 @@ _KNN_EXACT_SQL = f"""
 """
 
 
-@register(
-    "knn_method_eval",
-    f"""
-    WITH exactk AS ({_KNN_EXACT_SQL}),
+_KNN_EVAL_BODY = f"""exactk AS ({_KNN_EXACT_SQL}),
     m_lsh AS (SELECT query_id, neighbor_id FROM ({_knn_lsh_sql()})),
     m_multi AS (SELECT query_id, neighbor_id FROM ({_knn_lsh_multi_sql()})),
     m_ivf AS (SELECT query_id, neighbor_id FROM ({_knn_ivf_sql()})),
@@ -1103,34 +1100,95 @@ _KNN_EXACT_SQL = f"""
                   ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id)
                  * 1.0 / ne.n, 6)
     FROM ne
-    """,
-)
-def q_knn_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retriever-tier recall@5, measured not assumed: each ANN method
-    (single-table LSH, 4x2 multi-table LSH, IVF nprobe=2) scored
-    against the exact brute-force top-5 for the 5 query vectors — the
-    per-corpus eval that picks the retriever tier (`dedup_method_eval`
-    is the same discipline for the dedup family).
+    """
 
-    Scale story: the three candidate pipelines are the already-audited
-    bucketed plans; the comparison adds per-method left-semi joins on
-    (query_id, neighbor_id) — bounded by n_queries x k rows — and
-    1-row scalar crossJoins. Query-set size is the knob: the estimate
-    needs a sample of queries, never the corpus."""
-    # five pipelines (exact + 4 retriever tiers) consume the same
-    # corpus: persisted, the scan+cast runs once (r7 A/B at sf0.1:
-    # cold 6.5 -> 4.0 s, steady 4.0 -> 3.8 s)
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+# Deterministic hash slice for the sampled eval twin: ~25% of the
+# corpus plus the query vectors (vec_id < 5), membership a pure md5
+# function of vec_id — the dedup_method_eval_sampled convention.
+_KNN_SLICE_PRED_SQL = (
+    "(('0x' || substr(md5('knneval:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+    "::BIGINT % 1000) < 250 OR vec_id < 5"
+)
+
+
+def _knn_eval_df(emb: DataFrame) -> DataFrame:
+    """Shared-index eval body (VERDICT r7 #3): instead of five
+    pipelines each re-bucketing and re-scoring the corpus, build ONE
+    persisted (vec_id, v, bits) table — `hyperplanes` is prefix-stable,
+    so every LSH tier's bucket is a SLICE of the same bit vector — and
+    ONE scored pair table (the exact tier's full scoring), which then
+    prices every tier's candidates via bounded semi-joins. The IVF tier
+    keeps its own centroid pipeline (no planes to share)."""
+    from pyspark.sql.window import Window
+
     from .operators.similarity import (
-        cosine_knn_bruteforce,
+        KNN_DEFAULT_TABLES,
+        KNN_DEFAULT_TARGET_BUCKET,
+        auto_n_planes,
         cosine_knn_ivf,
-        cosine_knn_lsh,
-        cosine_knn_lsh_multi,
+        eval_bits_query_cos,
+        hyperplanes,
     )
 
-    from .operators.similarity import cosine_knn
+    emb = emb.persist()  # three consumers: the sizing count, the bits
+    # table build, and the IVF tier's centroid pipeline
+    n = emb.count()
+    kk = auto_n_planes(n, KNN_DEFAULT_TARGET_BUCKET)
+    planes = hyperplanes(max(8, KNN_DEFAULT_TABLES * kk), 64)
+    base, q_ids = eval_bits_query_cos(emb, planes)
+    base = base.persist()
+    scored_all = (
+        base.select(F.col("vec_id").alias("neighbor_id"), F.posexplode("cs"))
+        .select(
+            F.element_at(F.lit(q_ids), F.col("pos") + 1).alias("query_id"),
+            "neighbor_id",
+            F.round(F.col("col"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .persist()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
 
-    exact = cosine_knn_bruteforce(emb).select("query_id", "neighbor_id")
+    def topk(cands: DataFrame | None) -> DataFrame:
+        s = (
+            scored_all
+            if cands is None
+            else scored_all.join(
+                F.broadcast(cands), ["query_id", "neighbor_id"], "left_semi"
+            )
+        )
+        return (
+            s.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    def lsh_cands(slices: list) -> DataFrame:
+        tb = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table_id"),
+                    F.substring(F.col("bits"), s + 1, ln).alias("bucket"),
+                )
+                for t, (s, ln) in enumerate(slices)
+            ]
+        )
+        bt = base.select("vec_id", F.explode(tb).alias("tb")).select(
+            "vec_id",
+            F.col("tb.table_id").alias("table_id"),
+            F.col("tb.bucket").alias("bucket"),
+        )
+        qb = bt.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "table_id", "bucket"
+        )
+        return (
+            bt.join(F.broadcast(qb), ["table_id", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"))
+            .distinct()
+        )
+
+    exact = topk(None)
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
     def scored(method: str, approx: DataFrame) -> DataFrame:
@@ -1148,10 +1206,62 @@ def q_knn_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         scored("ivf", cosine_knn_ivf(emb))
-        .unionByName(scored("lsh", cosine_knn_lsh(emb)))
-        .unionByName(scored("lsh_multi", cosine_knn_lsh_multi(emb)))
-        .unionByName(scored("default", cosine_knn(emb)))
+        .unionByName(scored("lsh", topk(lsh_cands([(0, 4)]))))
+        .unionByName(
+            scored("lsh_multi", topk(lsh_cands([(2 * t, 2) for t in range(4)])))
+        )
+        .unionByName(
+            scored(
+                "default",
+                topk(lsh_cands([(kk * t, kk) for t in range(KNN_DEFAULT_TABLES)])),
+            )
+        )
     )
+
+
+@register("knn_method_eval", f"WITH {_KNN_EVAL_BODY}")
+def q_knn_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever-tier recall@5, measured not assumed: each ANN method
+    (single-table LSH, 4x2 multi-table LSH, IVF nprobe=2, the 8-table
+    default) scored against the exact brute-force top-5 for the 5 query
+    vectors — the per-corpus eval that picks the retriever tier
+    (`dedup_method_eval` is the same discipline for the dedup family).
+
+    Scale story: ONE persisted bits table buckets all LSH tiers (the
+    prefix-stable plane generator makes every tier's bucket a slice of
+    the same bit vector) and ONE scored pair table prices all tiers'
+    hits — per-tier work is a bounded candidate semi-join, not its own
+    corpus scan. The exact side still scores |queries| x |corpus|
+    cosines; `knn_method_eval_sampled` is the 100 TB posture."""
+    return _knn_eval_df(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "knn_method_eval_sampled",
+    f"WITH emb_slice AS (SELECT * FROM embeddings WHERE {_KNN_SLICE_PRED_SQL}),\n"
+    + _KNN_EVAL_BODY.replace("embeddings", "emb_slice"),
+)
+def q_knn_method_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE posture of `knn_method_eval`, shipped (the
+    dedup_method_eval_sampled discipline): the same four-tier recall@5
+    measured on a deterministic ~25% md5 hash slice of the corpus plus
+    the query vectors — membership is a pure function of vec_id, so
+    the slice reproduces on any engine/cluster/run. The full eval's
+    exact side re-scores |queries| x |corpus| cosines per run, linear
+    in corpus size; the slice caps it at a constant fraction while the
+    recall estimate — a ratio over n_queries x k hits — keeps its
+    power. Every tier (exact ground truth included) sees the SAME
+    slice, so the estimate is unbiased for the sliced population; the
+    auto-derived default-tier plane count also derives from the
+    SLICE's size, exactly as it would on the sampled production
+    corpus."""
+    from .registry_sampling import _hash_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sliced = emb.filter(
+        (_hash_bucket(F.col("vec_id"), "knneval:") < 250) | (F.col("vec_id") < 5)
+    )
+    return _knn_eval_df(sliced)
 
 
 def _paraphrase_sql() -> str:

@@ -1305,23 +1305,37 @@ def test_knn_filtered_respects_predicate_and_recalls(spark):
 
     emb = load_table(spark, SF, "embeddings")
     labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    # predicate leg: the registry label (3) — no query carries it at
+    # this SF, exactly the selective-filter shape
     got = cosine_knn_filtered(emb, F.col("label") == 3).collect()
     assert got
     for r in got:
         assert labels[r["neighbor_id"]] == 3
+    # recall leg: a label a query vector actually carries (vec_id 1 has
+    # label 0 at sf0.01), so the exact filtered twin is non-empty —
+    # the old label-3 comparison was silently vacuous (ADVICE r7)
+    recall_label = labels[1]
+    got0 = cosine_knn_filtered(emb, F.col("label") == recall_label).collect()
+    for r in got0:
+        assert labels[r["neighbor_id"]] == recall_label
     exact = {
         (r["query_id"], r["neighbor_id"])
-        for r in cosine_knn_bruteforce(emb.filter(F.col("label") == 3)).collect()
+        for r in cosine_knn_bruteforce(
+            emb.filter(F.col("label") == recall_label)
+        ).collect()
         if r["query_id"] < 5
     }
-    # exact twin filters queries too; compare only on shared query ids
-    approx = {(r["query_id"], r["neighbor_id"]) for r in got if (r["query_id"], ) and labels[r["query_id"]] == 3}
-    if exact:
-        shared_q = {q for q, _ in exact} & {q for q, _ in approx}
-        ex = {(q, n) for q, n in exact if q in shared_q}
-        ap = {(q, n) for q, n in approx if q in shared_q}
-        if ex:
-            assert len(ex & ap) / len(ex) >= 0.5
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in got0
+        if labels[r["query_id"]] == recall_label
+    }
+    assert exact, "recall-leg label must yield at least one query < 5"
+    shared_q = {q for q, _ in exact} & {q for q, _ in approx}
+    ex = {(q, n) for q, n in exact if q in shared_q}
+    assert ex, "exact and approx must share query ids — recall check was vacuous"
+    ap = {(q, n) for q, n in approx if q in shared_q}
+    assert len(ex & ap) / len(ex) >= 0.5
 
 
 def test_temperature_mixing_flattens_the_distribution(spark):
