@@ -65,6 +65,32 @@ def _families() -> dict[str, list[tuple[str, float]]]:
     return fams
 
 
+# Per-ENTRY pins for the flagship queries (VERDICT r7 #5): family means
+# average away drift on individual headline entries (top_cells slid
+# 0.26 -> 0.43 s across r6->r8 unnoticed). Root-caused r8: an 8-rep
+# isolated run converges to 0.40-0.50 s — 0.43 IS the steady state and
+# the r06 0.26 was the outlier (warm-cache subsidy under the old
+# min-of-2 protocol's leftovers). Ceilings ~2x the honest steady wall —
+# the flagship should never be a multi-second query at sf0.1.
+ENTRY_BUDGET_S = {
+    "top_cells": 0.9,   # steady 0.40-0.50 s
+    "top_cells_sql": 1.3,  # steady 0.72-0.82 s
+}
+
+
+def test_flagship_entries_within_budget():
+    with open(ARTIFACT) as f:
+        detail = json.load(f)
+    if str(detail.get("sf")) != "0.1":
+        pytest.skip(f"BENCH_DETAIL.json is at sf={detail.get('sf')}, budgets are sf0.1")
+    over = [
+        f"{name}: {detail['queries'][name]:.3f}s > {budget}s"
+        for name, budget in ENTRY_BUDGET_S.items()
+        if name in detail["queries"] and detail["queries"][name] > budget
+    ]
+    assert not over, "flagship entry budgets exceeded:\n" + "\n".join(over)
+
+
 def test_every_family_is_budgeted():
     missing = set(_families()) - set(FAMILY_MEAN_BUDGET_S)
     assert not missing, (
