@@ -144,3 +144,81 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.md5(normalize_text(text_col)).alias("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML / boilerplate stripping (pretraining ingest starts from markup)
+# ---------------------------------------------------------------------------
+
+# Entity decode table, applied AFTER tag excision, &amp; LAST so
+# double-encoded text decodes exactly one level per pass — literal
+# replaces, so Spark and the DuckDB oracle agree byte-for-byte.
+HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+# Kept RE2-compatible (no backreferences, inline (?is) flags only) so
+# the DuckDB oracle runs the IDENTICAL patterns.
+HTML_SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+HTML_STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"<[^>]+>"
+
+# Fraction of raw markup that is NOT retained text before a page is
+# boilerplate-heavy (nav/chrome-dominated) — the text-density rule of
+# boilerplate detectors (Kohlschütter et al. 2010), collapsed to the
+# document grain.
+BOILERPLATE_HEAVY_RATIO = 0.7
+
+
+def html_strip_text(col: str | Column) -> Column:
+    """Markup → text: excise script/style blocks and comments, drop
+    tags (replaced by a space so adjacent words don't fuse), decode the
+    common entities, collapse whitespace. A pure per-row projection —
+    stripping 100 TB of crawl HTML is map-only and fully parallel."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, HTML_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, HTML_STYLE_RE, " ")
+    c = F.regexp_replace(c, HTML_COMMENT_RE, " ")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def html_strip(
+    docs: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, text, raw_len, text_len, boilerplate_ratio, boilerplate_heavy):
+    stripped text plus the text-density diagnostics that feed
+    quality_score / gopher_quality_flags on crawl-shaped corpora.
+    boilerplate_ratio = 1 - |text| / |raw| — the share of the raw page
+    that was markup/chrome; pages above BOILERPLATE_HEAVY_RATIO are
+    flagged for the curation filter."""
+    raw = F.col(html_col)
+    out = docs.select(
+        id_col,
+        html_strip_text(raw).alias("text"),
+        F.length(raw).cast("long").alias("raw_len"),
+    )
+    return out.select(
+        id_col,
+        "text",
+        "raw_len",
+        F.length("text").cast("long").alias("text_len"),
+        F.round(
+            F.lit(1.0) - F.length("text") / F.when(F.col("raw_len") > 0, F.col("raw_len")),
+            6,
+        ).alias("boilerplate_ratio"),
+    ).withColumn(
+        "boilerplate_heavy",
+        F.coalesce(
+            F.col("boilerplate_ratio") > BOILERPLATE_HEAVY_RATIO, F.lit(True)
+        ),
+    )

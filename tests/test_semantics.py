@@ -1396,3 +1396,37 @@ def test_incremental_probe_against_persisted_index(spark, tmp_path):
         .collect()
     }
     assert via_store == via_live and via_store
+
+
+def test_html_strip_crafted_markup(spark):
+    """Block excision (case-insensitive, multi-line, attrs), comment
+    removal, tag drop without word-fusing, single-level entity decode,
+    whitespace collapse, and the text-density heavy flag."""
+    from milan_telecom_etl__spark.operators.text import html_strip
+
+    rows = [
+        (0, "<p>plain &amp; simple</p>"),
+        (1, "<SCRIPT>var s = '<div>not text</div>';\nalert(1);</SCRIPT>body text"),
+        (2, "<style type=text/css>\n.nav { color: red; }\n</style>kept"),
+        (3, "<!-- multi\nline comment -->after<div>x</div>y"),
+        (4, "a&amp;lt;b &nbsp; c&#39;d &quot;q&quot;"),
+        (5, "<div><div><div>deep</div></div></div>"),
+        (6, "word<br>break   and\t\nspace"),
+        (7, "<script src='x.js'></script><style></style>only chrome<hr/>"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r["doc_id"]: r for r in html_strip(docs).collect()}
+    assert got[0]["text"] == "plain & simple"
+    assert got[1]["text"] == "body text"        # script content + quotes gone
+    assert got[2]["text"] == "kept"             # style block, attrs, newlines
+    assert got[3]["text"] == "after x y"        # comment gone, tags -> spaces
+    assert got[4]["text"] == 'a&lt;b c\'d "q"'  # ONE decode level: &amp;lt; -> &lt;
+    assert got[5]["text"] == "deep"
+    assert got[6]["text"] == "word break and space"
+    assert got[7]["text"] == "only chrome"
+    for r in got.values():
+        assert r["raw_len"] >= r["text_len"]
+        expected_ratio = round(1.0 - r["text_len"] / r["raw_len"], 6)
+        assert abs(r["boilerplate_ratio"] - expected_ratio) < 1e-9
+        assert r["boilerplate_heavy"] == (r["boilerplate_ratio"] > 0.7)
+    assert got[7]["boilerplate_heavy"] and not got[0]["boilerplate_heavy"]
