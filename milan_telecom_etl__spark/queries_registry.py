@@ -4,6 +4,17 @@ Each entry maps one SURVEY.md §2 operator (or an extension operator)
 onto the driver's testdata tables, with a DuckDB-equivalent oracle SQL.
 Column names and float rounding are aligned on both sides
 (__spark_entry__ docstring).
+
+EXECUTION PROTOCOL — clearCache between entries (ADVICE r7): several
+entries persist() shared subtrees (shingle/words/signature tables,
+the knn eval's bits table) and intentionally do NOT unpersist — the
+returned DataFrame is lazy, so there is no in-entry point after the
+terminal action to hook an unpersist without forcing evaluation or
+leaking state anyway. The contract is therefore on the CALLER: run
+`spark.catalog.clearCache()` between entries (bench.py does; the
+plan-pin tests do per-test). A harness that sweeps many entries
+without clearing will accumulate InMemoryRelations — correctness is
+unaffected, but memory pressure and plan pins are.
 """
 
 from __future__ import annotations
