@@ -397,6 +397,49 @@ def _hash_params(num_hashes: int) -> list[tuple[int, int]]:
     return params
 
 
+def _minhash_sig_arr(w: DataFrame, n: int, num_hashes: int) -> DataFrame:
+    """(doc_id, __sig array<bigint>) — the MinHash signature as ONE
+    shuffle-free projection over the words table.
+
+    h_i(x) = (a_i * (x mod P31) + b_i) mod P31 over 60-bit shingle
+    hashes, folded to a per-doc elementwise min with `aggregate` over
+    the shingle array: acc starts at [P31]*k and each shingle zips in
+    `least(acc_i, h_i(x))`. The (a_i, b_i) table ships as a single
+    nested-array Literal (the `sign_bits` discipline — one constant
+    reference in codegen, not k expression trees), and the shingle's
+    md5 is bound ONCE per shingle via a 1-element `transform` acting as
+    a let-binding (an inline `_md5_int60(s)` inside the per-param
+    lambda would re-hash once per hash function — the 40× hazard
+    `shingles_of` documents). No explode, no groupBy, no shuffle:
+    signing 100 TB of docs is map-only. Precondition: one row per
+    doc_id (every caller feeds unique-keyed docs); docs with fewer
+    than n words have no shingles and are dropped, exactly as the
+    former explode+groupBy shape dropped them.
+    """
+    p31 = F.lit(MERSENNE_31).cast("long")
+    params = F.lit([[a, b] for a, b in _hash_params(num_hashes)])
+    init = F.array_repeat(p31, num_hashes)
+    sig = F.aggregate(
+        shingles_of(F.col("__words"), n),
+        init,
+        lambda acc, s: F.element_at(
+            F.transform(
+                F.array(_md5_int60(s) % p31),
+                lambda x: F.zip_with(
+                    acc,
+                    F.transform(
+                        params,
+                        lambda p: (F.element_at(p, 1) * x + F.element_at(p, 2)) % p31,
+                    ),
+                    lambda l, r: F.least(l, r),
+                ),
+            ),
+            1,
+        ),
+    )
+    return w.filter(F.size("__words") >= F.lit(n)).select("doc_id", sig.alias("__sig"))
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -404,22 +447,19 @@ def minhash_signatures(
     num_hashes: int = 16,
     words: DataFrame | None = None,
 ) -> DataFrame:
-    """Per-doc MinHash signature as `num_hashes` columns mh_0..mh_{k-1}.
-
-    h_i(x) = (a_i * (x mod P31) + b_i) mod P31 over 60-bit shingle
-    hashes. Computed as a PURE PROJECTION: hash the shingle array once
-    (one md5 per shingle), then k array_min folds — no explode, no
-    shuffle, no aggregation. Signing 100 TB of docs is map-only.
-    """
+    """Per-doc MinHash signature as `num_hashes` columns mh_0..mh_{k-1}
+    — a column view over `_minhash_sig_arr`'s array (the element_at
+    projection references the non-cheap signature alias k times, which
+    keeps CollapseProject from inlining the fold k-fold)."""
     w = words if words is not None else _words_df(docs, text_col)
-    sh = w.select(
-        "doc_id", F.explode(shingles_of(F.col("__words"), n)).alias("shingle")
-    ).withColumn("x", _md5_int60(F.col("shingle")) % F.lit(MERSENNE_31))
-    aggs = [
-        F.min((F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_31)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes))
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    sig = _minhash_sig_arr(w, n, num_hashes)
+    return sig.select(
+        "doc_id",
+        *[
+            F.element_at(F.col("__sig"), i + 1).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ],
+    )
 
 
 def minhash_banded(
@@ -431,20 +471,29 @@ def minhash_banded(
     words: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, band_hash): the banded MinHash signature table
-    — the LSH index layout. A pure projection over the signatures
-    (banding 100 TB is map-only); both the full self-join candidates
-    and the incremental probe path build on it."""
-    sig = minhash_signatures(docs, text_col, n, num_hashes, words)
+    — the LSH index layout. Banding slices `_minhash_sig_arr`'s array
+    directly (band_hash = md5 of the comma-joined band values, same
+    bytes as the former concat_ws over mh_* columns); both the full
+    self-join candidates and the incremental probe path build on it.
+    A pure projection over the signatures — banding 100 TB is map-only."""
+    w = words if words is not None else _words_df(docs, text_col)
+    sig = _minhash_sig_arr(w, n, num_hashes)
     n_bands = num_hashes // band_size
-    bands = []
-    for bi in range(n_bands):
-        cols = [F.col(f"mh_{bi * band_size + j}") for j in range(band_size)]
-        bands.append(
-            F.struct(
-                F.lit(bi).alias("band_id"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias("band_hash"),
-            )
+    bands = [
+        F.struct(
+            F.lit(bi).alias("band_id"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(F.col("__sig"), bi * band_size + j + 1).cast("string")
+                        for j in range(band_size)
+                    ],
+                )
+            ).alias("band_hash"),
         )
+        for bi in range(n_bands)
+    ]
     return sig.select(
         "doc_id", F.explode(F.array(*bands)).alias("band")
     ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))

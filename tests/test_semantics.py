@@ -1430,3 +1430,72 @@ def test_html_strip_crafted_markup(spark):
         assert abs(r["boilerplate_ratio"] - expected_ratio) < 1e-9
         assert r["boilerplate_heavy"] == (r["boilerplate_ratio"] > 0.7)
     assert got[7]["boilerplate_heavy"] and not got[0]["boilerplate_heavy"]
+
+
+def test_minhash_projection_matches_explode_groupby_reference(spark):
+    """The r8 shuffle-free signature fold (`_minhash_sig_arr`: one
+    params Literal + aggregate/zip_with/least over the shingle array)
+    must be bit-identical to the former explode+groupBy shape — the
+    shape every DuckDB oracle still computes. Same docs kept, same
+    mh_* values, same banded (band_id, band_hash) rows, at both the
+    legacy 16/2 and the sharp-default 64/4 layouts."""
+    from milan_telecom_etl__spark.operators.dedup import (
+        MERSENNE_31,
+        _hash_params,
+        _md5_int60,
+        _words_df,
+        minhash_banded,
+        minhash_signatures,
+        shingles_of,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    for num_hashes, band_size in [(16, 2), (64, 4)]:
+        w = _words_df(docs)
+        ref_sig = (
+            w.select(
+                "doc_id",
+                F.explode(shingles_of(F.col("__words"), 3)).alias("shingle"),
+            )
+            .withColumn("x", _md5_int60(F.col("shingle")) % F.lit(MERSENNE_31))
+            .groupBy("doc_id")
+            .agg(
+                *[
+                    F.min(
+                        (F.lit(a) * F.col("x") + F.lit(b)) % F.lit(MERSENNE_31)
+                    ).alias(f"mh_{i}")
+                    for i, (a, b) in enumerate(_hash_params(num_hashes))
+                ]
+            )
+        )
+        new_sig = minhash_signatures(docs, num_hashes=num_hashes)
+        assert new_sig.count() == ref_sig.count() > 0
+        assert new_sig.exceptAll(ref_sig).count() == 0
+        assert ref_sig.exceptAll(new_sig).count() == 0
+
+        n_bands = num_hashes // band_size
+        ref_banded = ref_sig.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band_id"),
+                            F.md5(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(f"mh_{bi * band_size + j}").cast("string")
+                                        for j in range(band_size)
+                                    ],
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for bi in range(n_bands)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_hash")
+        new_banded = minhash_banded(docs, num_hashes=num_hashes, band_size=band_size)
+        assert new_banded.exceptAll(ref_banded).count() == 0
+        assert ref_banded.exceptAll(new_banded).count() == 0
