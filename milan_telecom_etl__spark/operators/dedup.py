@@ -605,26 +605,42 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     """Per-doc SimHash over word hashes: bit b of the signature is the
     majority vote of bit b across token hashes (duplicates count).
 
-    One explode + ONE hash aggregation with `bits` conditional sums —
-    no per-bit row blowup, single shuffle keyed on doc_id; signature
-    reassembly is a pure projection."""
-    tok = _words_df(docs, text_col).select(
-        "doc_id", F.explode(F.col("__words")).alias("w")
-    ).withColumn("h", _md5_int60(F.col("w")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(bits)
-    ]
-    per_doc = tok.groupBy("doc_id").agg(*votes)
-    sig = None
-    for b in range(bits):
-        term = F.when(
-            F.col(f"v_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + term
-    return per_doc.select("doc_id", sig.alias("simhash"))
+    ONE shuffle-free projection (the `_minhash_sig_arr` discipline):
+    the vote vector folds with `aggregate` over the words array — each
+    token's md5 binds once via a 1-element transform let-binding, bit
+    b's ±1 contribution extracted with `bitwiseAND` against a single
+    pow2 Literal array (shiftleft/shiftright take only int literals,
+    and per-bit expression trees would bloat codegen k-fold) — and the
+    signature reassembles by summing the winning bits' pow2 values.
+    Tokenizing + signing 100 TB is map-only; duplicates count, exactly
+    as the former explode+groupBy vote did."""
+    w = _words_df(docs, text_col)
+    pow2 = F.lit([1 << b for b in range(bits)]).cast("array<bigint>")
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    votes = F.aggregate(
+        F.col("__words"),
+        F.array_repeat(zero, bits),
+        lambda acc, wd: F.element_at(
+            F.transform(
+                F.array(_md5_int60(wd)),
+                lambda h: F.zip_with(
+                    acc,
+                    F.transform(
+                        pow2,
+                        lambda p: F.when(h.bitwiseAND(p) != 0, one).otherwise(-one),
+                    ),
+                    lambda l, r: l + r,
+                ),
+            ),
+            1,
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(votes, pow2, lambda v, p: F.when(v > 0, p).otherwise(zero)),
+        zero,
+        lambda a, x: a + x,
+    )
+    return w.filter(F.col("__words").isNotNull()).select("doc_id", sig.alias("simhash"))
 
 
 def simhash_band_candidates_auto(

@@ -1499,3 +1499,42 @@ def test_minhash_projection_matches_explode_groupby_reference(spark):
         new_banded = minhash_banded(docs, num_hashes=num_hashes, band_size=band_size)
         assert new_banded.exceptAll(ref_banded).count() == 0
         assert ref_banded.exceptAll(new_banded).count() == 0
+
+
+def test_simhash_projection_matches_explode_groupby_reference(spark):
+    """The r8 shuffle-free simhash vote fold must be bit-identical to
+    the former explode+groupBy majority vote (the DuckDB oracle's
+    shape): same docs kept, same signatures, at the pinned 32-bit and
+    the auto-variant's widest 60-bit layout. Duplicates must count —
+    the fold runs over the raw words array, not a distinct set."""
+    from milan_telecom_etl__spark.operators.dedup import (
+        _md5_int60,
+        _words_df,
+        simhash,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    for bits in (32, 60):
+        tok = _words_df(docs).select(
+            "doc_id", F.explode(F.col("__words")).alias("w")
+        ).withColumn("h", _md5_int60(F.col("w")))
+        votes = [
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v_{b}")
+            for b in range(bits)
+        ]
+        per_doc = tok.groupBy("doc_id").agg(*votes)
+        sig = None
+        for b in range(bits):
+            term = F.when(
+                F.col(f"v_{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+            sig = term if sig is None else sig + term
+        ref = per_doc.select("doc_id", sig.alias("simhash"))
+        new = simhash(docs, bits=bits)
+        assert new.count() == ref.count() > 0
+        assert new.exceptAll(ref).count() == 0
+        assert ref.exceptAll(new).count() == 0
