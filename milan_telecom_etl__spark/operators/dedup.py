@@ -601,6 +601,54 @@ def incremental_near_dups(
     )
 
 
+def index_compaction(
+    docs: DataFrame,
+    text_col: str = "text",
+    new_max_id: int = 100,
+    n: int = 3,
+    num_hashes: int = 64,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """The standing-index MERGE step that follows `incremental_near_dups`
+    — production dedup is a lifecycle, not a query: probe the batch
+    against the index, then compact the index by inserting the batch's
+    survivors and discarding its verified duplicates. Output is the
+    per-doc membership verdict of the updated index:
+
+      kept_index   — already in the index (doc_id >= new_max_id)
+      inserted     — batch doc with no verified duplicate; its banded
+                     signature rows join the stored index
+      dropped_dup  — batch doc verified (Jaccard >= threshold) as a
+                     duplicate of an index doc or an earlier batch doc
+
+    Scale story: the verdict is `incremental_near_dups`'s broadcast
+    probe (the corpus is never self-joined) plus one broadcast anti-join
+    of the drop list against the corpus ids — map-only over the index
+    side. In steady state the banded-signature refresh appends only the
+    `inserted` docs' rows (batch-sized, not corpus-sized); no index
+    rewrite. No reference-repo counterpart (extension operator); the
+    probe stage's full-corpus twin is `lsh_verified_pairs`.
+    """
+    dropped = (
+        incremental_near_dups(
+            docs, text_col, new_max_id, n, num_hashes, band_size, threshold,
+            max_shingle_df,
+        )
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return docs.select("doc_id").join(F.broadcast(dropped), "doc_id", "left").select(
+        "doc_id",
+        F.when(F.col("doc_id") >= F.lit(new_max_id), F.lit("kept_index"))
+        .when(F.col("__dropped"), F.lit("dropped_dup"))
+        .otherwise(F.lit("inserted"))
+        .alias("status"),
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """Per-doc SimHash over word hashes: bit b of the signature is the
     majority vote of bit b across token hashes (duplicates count).

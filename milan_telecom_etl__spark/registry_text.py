@@ -2222,3 +2222,134 @@ def q_dedup_method_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall_at_06"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data selection & lexical retrieval (operators/selection.py)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"
+
+
+def _dsir_weights_sql(n_buckets: int = 64, target: str = _DSIR_TARGET) -> str:
+    return f"""
+    WITH dn AS (
+      SELECT doc_id, source = '{target}' AS is_target, {_norm()} AS t
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(w), 1, 15))::BIGINT % {n_buckets} AS b
+      FROM (SELECT doc_id, is_target, unnest(string_split(t, ' ')) AS w FROM dn)
+    ),
+    counts AS (
+      SELECT b,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+             sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS c_r
+      FROM toks GROUP BY b
+    ),
+    totals AS (SELECT sum(c_t) AS t_t, sum(c_r) AS t_r FROM counts),
+    llr AS (
+      SELECT b, ln((c_t + 1.0) / (t_t + {n_buckets}.0))
+               - ln((c_r + 1.0) / (t_r + {n_buckets}.0)) AS llr
+      FROM counts, totals
+    )
+    SELECT doc_id, round(sum(llr), 6) AS weight
+    FROM toks JOIN llr USING (b)
+    WHERE NOT is_target
+    GROUP BY doc_id
+    """
+
+
+@register("dsir_weights", _dsir_weights_sql())
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) for every raw-pool doc:
+    log-likelihood ratio of the doc under hashed-unigram bag models of
+    the target domain (source = 'src0') vs the pool, add-1 smoothed.
+    The bucket-LLR table is 64 rows (broadcast at any corpus size); the
+    per-doc weight is one explode + broadcast join + groupBy(doc_id)."""
+    from .operators import selection as SEL
+
+    return SEL.dsir_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "importance_resampling",
+    f"""
+    SELECT doc_id, weight FROM ({_dsir_weights_sql()})
+    ORDER BY weight DESC, doc_id LIMIT 100
+    """,
+)
+def q_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR resampling step: the 100 raw-pool docs whose hashed
+    n-gram distribution best matches the target domain — deterministic
+    top-k by rounded weight (doc_id tiebreak), so the plan is
+    TakeOrderedAndProject, never a materialized global sort."""
+    from .operators import selection as SEL
+
+    return SEL.dsir_topk(load_table(spark, sf_dir, "documents"), k=100)
+
+
+def _bm25_sql(n_terms: int = 3, k: int = 10) -> str:
+    return f"""
+    WITH dn AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM dn),
+    toks AS (SELECT doc_id, unnest(ws) AS w FROM words),
+    df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+    top_terms AS (SELECT w, df FROM df ORDER BY df DESC, w LIMIT {n_terms}),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM words),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT t.doc_id, t.w, tt.df, count(*) AS tf
+      FROM toks t JOIN top_terms tt USING (w)
+      GROUP BY 1, 2, 3
+    ),
+    scored AS (
+      SELECT tf.w AS term, tf.doc_id,
+             round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * tf * 2.2
+                   / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS score
+      FROM tf JOIN dl USING (doc_id), stats
+    )
+    SELECT term, doc_id, score, CAST(rk AS INT) AS rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+      FROM scored
+    ) WHERE rk <= {k}
+    """
+
+
+@register("bm25_retrieval", _bm25_sql())
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 docs per query term (k1=1.2, b=0.75, +1-in-the-log
+    idf). The query set is the 3 highest-df terms — deterministic, no
+    external query log needed. The broadcast term table prunes the
+    token stream map-side before the tf groupBy, so retrieval cost
+    scales with hits of 3 terms, not vocabulary size."""
+    from .operators import selection as SEL
+
+    return SEL.bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_index_compaction",
+    f"""
+    WITH incr AS (SELECT * FROM ({_incremental_dedup_sql()})),
+    dropped AS (SELECT DISTINCT new_doc AS doc_id FROM incr)
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id >= {_INCR_NEW_MAX_ID} THEN 'kept_index'
+                WHEN dr.doc_id IS NOT NULL THEN 'dropped_dup'
+                ELSE 'inserted' END AS status
+    FROM documents d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    """,
+)
+def q_dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing-index MERGE that follows incremental_dedup:
+    per-doc verdict of the compacted index (kept_index / inserted /
+    dropped_dup). The drop list is the broadcast probe's output (the
+    corpus is never self-joined); the verdict itself is one broadcast
+    left join — map-only over the index side. In steady state the
+    banded-signature refresh appends only the inserted docs' rows."""
+    return D.index_compaction(
+        load_table(spark, sf_dir, "documents"), new_max_id=_INCR_NEW_MAX_ID
+    )

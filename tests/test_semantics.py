@@ -1538,3 +1538,81 @@ def test_simhash_projection_matches_explode_groupby_reference(spark):
         assert new.count() == ref.count() > 0
         assert new.exceptAll(ref).count() == 0
         assert ref.exceptAll(new).count() == 0
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """A raw-pool doc made of target-domain tokens must outweigh a
+    raw-pool doc made of pool-only tokens, weights exist ONLY for the
+    raw pool, and dsir_topk orders by (weight desc, doc_id)."""
+    from milan_telecom_etl__spark.operators.selection import dsir_topk, dsir_weights
+
+    rows = (
+        # target domain: source src0, vocabulary {alpha, beta}
+        [(i, "alpha beta alpha beta alpha", "src0") for i in range(4)]
+        # raw pool: doc 10 looks like the target, docs 11-12 do not
+        + [(10, "alpha beta alpha beta alpha", "src1")]
+        + [(11, "zeta eta theta zeta eta", "src1"), (12, "zeta eta zeta eta theta", "src2")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = {r["doc_id"]: r["weight"] for r in dsir_weights(docs).collect()}
+    assert set(w) == {10, 11, 12}, "weights must cover exactly the raw pool"
+    assert w[10] > w[11] and w[10] > w[12]
+    top = dsir_topk(docs, k=2).collect()
+    assert [r["doc_id"] for r in top] == sorted(
+        w, key=lambda d: (-w[d], d)
+    )[:2]
+
+
+def test_bm25_tf_and_length_normalization(spark):
+    """With one query term: higher tf wins at equal length; at equal tf
+    the shorter doc wins (dl normalization); rk is dense from 1."""
+    from milan_telecom_etl__spark.operators.selection import bm25_topk
+
+    rows = [
+        (0, "apple apple apple pear pear pear pear pear"),  # tf=3, dl=8
+        (1, "apple pear pear pear pear pear pear pear"),    # tf=1, dl=8
+        (2, "apple pear"),                                   # tf=1, dl=2
+        (3, "pear pear pear pear pear pear pear pear"),      # tf=0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(docs, n_query_terms=1, k=10).collect()
+    assert all(r["term"] == "pear" for r in out)  # pear has df=4 > apple df=3
+    out = bm25_topk(docs, n_query_terms=2, k=10).collect()
+    apple = {r["doc_id"]: (r["score"], r["rk"]) for r in out if r["term"] == "apple"}
+    assert set(apple) == {0, 1, 2}, "no zero-tf rows"
+    assert apple[0][0] > apple[1][0], "tf=3 beats tf=1 at equal dl"
+    assert apple[2][0] > apple[1][0], "shorter doc beats longer at equal tf"
+    assert sorted(rk for _, rk in apple.values()) == [1, 2, 3]
+
+
+def test_index_compaction_partitions_corpus(spark):
+    """Statuses partition the corpus: index docs are kept, batch docs
+    split into inserted/dropped exactly along incremental_near_dups's
+    verified drop list."""
+    from milan_telecom_etl__spark.operators.dedup import (
+        incremental_near_dups,
+        index_compaction,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    out = index_compaction(docs, new_max_id=100)
+    by_status = {
+        r["status"]: r["n"]
+        for r in out.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_docs = docs.count()
+    n_batch = docs.filter(F.col("doc_id") < 100).count()
+    assert sum(by_status.values()) == n_docs
+    assert by_status.get("kept_index", 0) == n_docs - n_batch
+    dropped = {
+        r["new_doc"]
+        for r in incremental_near_dups(docs, new_max_id=100)
+        .select("new_doc")
+        .distinct()
+        .collect()
+    }
+    assert by_status.get("dropped_dup", 0) == len(dropped) > 0
+    got_dropped = {
+        r["doc_id"] for r in out.filter(F.col("status") == "dropped_dup").collect()
+    }
+    assert got_dropped == dropped
