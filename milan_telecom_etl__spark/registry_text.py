@@ -1226,9 +1226,19 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-vocabulary-sized and shuffle-join on uniformly-hashed
     string keys; stop-word-ish hot bigrams only skew the count
     build, which the partial aggregation flattens."""
-    from .operators import dedup as D
-
     docs = load_table(spark, sf_dir, "documents")
+    scored = _bigram_lm_scored(docs)
+    return scored.select(
+        "doc_id",
+        F.col("nb").cast("long").alias("n_bigrams"),
+        F.round(F.col("sq") / (F.col("nb") * F.lit(1e9)), 6).alias("avg_logprob"),
+    )
+
+
+def _bigram_lm_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, nb, sq): per-doc bigram count and exact 1e9-quantized
+    log-probability sum under the corpus-trained add-1 bigram LM — the
+    shared core of bigram_lm_quality and perplexity_buckets."""
     words = D._words_df(docs)
     k = F.greatest(F.size("__words") - F.lit(1), F.lit(0))
     grams = F.when(
@@ -1266,11 +1276,7 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("m").alias("nb"), F.sum("contrib").alias("sq"))
     )
-    return scored.select(
-        "doc_id",
-        F.col("nb").cast("long").alias("n_bigrams"),
-        F.round(F.col("sq") / (F.col("nb") * F.lit(1e9)), 6).alias("avg_logprob"),
-    )
+    return scored
 
 
 # ---------------------------------------------------------------------------
@@ -2352,4 +2358,85 @@ def q_dedup_index_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded-signature refresh appends only the inserted docs' rows."""
     return D.index_compaction(
         load_table(spark, sf_dir, "documents"), new_max_id=_INCR_NEW_MAX_ID
+    )
+
+
+def _ppl_buckets_sql() -> str:
+    return f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM words
+    ),
+    big_cnt AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY 1),
+    uni AS (SELECT unnest(ws) AS w FROM words),
+    uni_f AS (SELECT w FROM uni WHERE w <> ''),
+    uni_cnt AS (SELECT w, count(*) AS cu FROM uni_f GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w) AS v FROM uni_f),
+    doc_bg AS (SELECT doc_id, bigram, count(*) AS m FROM bg GROUP BY 1, 2),
+    scored AS (
+      SELECT d.doc_id,
+             sum(d.m) AS nb,
+             sum(d.m * CAST(round(ln((b.cb + 1.0) / (u.cu + v.v)) * 1e9)
+                            AS BIGINT)) AS sq
+      FROM doc_bg d
+      JOIN big_cnt b USING (bigram)
+      JOIN uni_cnt u ON u.w = split_part(d.bigram, ' ', 1)
+      CROSS JOIN vocab v
+      GROUP BY 1
+    ),
+    lp AS (
+      SELECT s.doc_id, d.source,
+             s.sq * 1.0 / (s.nb * 1e9) AS lp_raw,
+             round(s.sq * 1.0 / (s.nb * 1e9), 6) AS avg_logprob
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, source, avg_logprob,
+           CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket
+    FROM (SELECT *, ntile(3) OVER (
+            PARTITION BY source ORDER BY lp_raw DESC, doc_id) AS nt
+          FROM lp)
+    """
+
+
+@register("perplexity_buckets", _ppl_buckets_sql())
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every doc under the corpus-trained add-1 bigram LM (the
+    bigram_lm_quality core, shared via _bigram_lm_scored), then split
+    each SOURCE into head/middle/tail tertiles by model fit — head =
+    most-fluent third, the slice CCNet keeps outright; tail = the
+    candidate-discard third. Per-source (not global) bucketing is the
+    point: it prevents a clean source from monopolizing the keep set.
+
+    Determinism: tertiles order by the exact integer-quantized
+    log-probability ratio (sq/nb as one IEEE division — identical in
+    Spark and DuckDB), doc_id tiebreak, so ntile assignment is
+    engine-stable. Scale story: the LM is two hash-aggs; the bucketing
+    is one shuffle keyed on source + an in-partition sort. With very
+    few giant sources the exact-ntile sort is the documented small-SF
+    contract — at 100 TB you'd swap the window for approx-quantile
+    cutoffs per source (percentile_approx is already the established
+    posture in gap_percentiles), trading exactness for a map-only
+    bucket assignment; semantics otherwise identical."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = _bigram_lm_scored(docs)
+    lp = scored.join(docs.select("doc_id", "source"), "doc_id").withColumn(
+        "lp_raw", F.col("sq") / (F.col("nb") * F.lit(1e9))
+    )
+    w_nt = Window.partitionBy("source").orderBy(F.desc("lp_raw"), F.asc("doc_id"))
+    return lp.withColumn("nt", F.ntile(3).over(w_nt)).select(
+        "doc_id",
+        "source",
+        F.round("lp_raw", 6).alias("avg_logprob"),
+        F.when(F.col("nt") == 1, F.lit("head"))
+        .when(F.col("nt") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
     )

@@ -1616,3 +1616,34 @@ def test_index_compaction_partitions_corpus(spark):
         r["doc_id"] for r in out.filter(F.col("status") == "dropped_dup").collect()
     }
     assert got_dropped == dropped
+
+
+def test_perplexity_buckets_per_source_tertiles(spark):
+    """Within each source, ntile(3) buckets are balanced (sizes differ
+    by at most 1) and the repeated-common-bigram doc outranks the
+    unique-bigram doc (head vs tail)."""
+    from milan_telecom_etl__spark.registry_text import q_perplexity_buckets
+
+    out = q_perplexity_buckets(spark, SF).persist()
+    sizes = (
+        out.groupBy("source", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_src: dict = {}
+    for r in sizes:
+        per_src.setdefault(r["source"], {})[r["bucket"]] = r["n"]
+    assert per_src, "no sources bucketed"
+    for src, b in per_src.items():
+        assert set(b) == {"head", "middle", "tail"}, f"{src}: {b}"
+        assert max(b.values()) - min(b.values()) <= 1, f"{src}: {b}"
+    # head docs are better LM fits than tail docs within every source
+    stats = (
+        out.groupBy("source", "bucket")
+        .agg(F.min("avg_logprob").alias("lo"), F.max("avg_logprob").alias("hi"))
+        .collect()
+    )
+    by = {(r["source"], r["bucket"]): r for r in stats}
+    for src in per_src:
+        assert by[(src, "head")]["lo"] >= by[(src, "tail")]["hi"]
+    out.unpersist()
