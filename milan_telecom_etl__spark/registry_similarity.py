@@ -868,6 +868,47 @@ _PQ_SUBDIST = (
 )
 
 
+def _pq_tables(spark: SparkSession, sf_dir: str):
+    """(codes, adc): the PQ code table for the whole corpus and the
+    per-query ADC lookup tables — the shared core of knn_pq_adc and
+    knn_ivf_pq. Encoding is a map-side fold against the broadcast
+    codebook; every subspace distance is 1e9-quantized at source so
+    downstream ranking is exact integer arithmetic."""
+    from .operators.similarity import _as_double
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        # spread the n x K x M encoding fold across all cores: the raw
+        # parquet scan arrives in a handful of splits (same bottleneck
+        # as the SemDeDup assignment fold — 4 partitions at sf1+)
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cb = emb.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    ss = spark.range(_PQ_M).select(F.col("id").cast("int").alias("s"))
+    subdist = F.expr(
+        f"CAST(round(aggregate(sequence(1, {_PQ_SUBD}), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + (element_at(e, s * {_PQ_SUBD} + i)"
+        f" - element_at(ce, s * {_PQ_SUBD} + i))"
+        f" * (element_at(e, s * {_PQ_SUBD} + i)"
+        f" - element_at(ce, s * {_PQ_SUBD} + i))) * 1e9) AS BIGINT)"
+    )
+    enc = (
+        emb.crossJoin(F.broadcast(cb))
+        .crossJoin(F.broadcast(ss))
+        .select("vec_id", "s", "cid", subdist.alias("dq"))
+    )
+    codes = enc.groupBy("vec_id", "s").agg(
+        F.min_by("cid", F.col("dq") * 16 + F.col("cid")).alias("code")
+    )
+    adc = enc.filter(F.col("vec_id") < _PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "s", F.col("cid").alias("code"), "dq"
+    )
+    return codes, adc
+
+
 @register(
     "knn_pq_adc",
     f"""
@@ -920,38 +961,7 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding table fit an in-memory ANN tier. Scoring joins the code
     table to the broadcast per-query ADC tables on (s, code): one
     shuffle-free broadcast join + one (query, neighbor) aggregation."""
-    from .operators.similarity import _as_double
-
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        # spread the n x K x M encoding fold across all cores: the raw
-        # parquet scan arrives in a handful of splits (same bottleneck
-        # as the SemDeDup assignment fold — 4 partitions at sf1+)
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    cb = emb.filter(F.col("vec_id") < _PQ_K).select(
-        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
-    )
-    ss = spark.range(_PQ_M).select(F.col("id").cast("int").alias("s"))
-    subdist = F.expr(
-        f"CAST(round(aggregate(sequence(1, {_PQ_SUBD}), CAST(0 AS DOUBLE), "
-        f"(acc, i) -> acc + (element_at(e, s * {_PQ_SUBD} + i)"
-        f" - element_at(ce, s * {_PQ_SUBD} + i))"
-        f" * (element_at(e, s * {_PQ_SUBD} + i)"
-        f" - element_at(ce, s * {_PQ_SUBD} + i))) * 1e9) AS BIGINT)"
-    )
-    enc = (
-        emb.crossJoin(F.broadcast(cb))
-        .crossJoin(F.broadcast(ss))
-        .select("vec_id", "s", "cid", subdist.alias("dq"))
-    )
-    codes = enc.groupBy("vec_id", "s").agg(
-        F.min_by("cid", F.col("dq") * 16 + F.col("cid")).alias("code")
-    )
-    adc = enc.filter(F.col("vec_id") < _PQ_NQ).select(
-        F.col("vec_id").alias("query_id"), "s", F.col("cid").alias("code"), "dq"
-    )
+    codes, adc = _pq_tables(spark, sf_dir)
     scored = (
         codes.join(F.broadcast(adc), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -963,6 +973,128 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy("dsum", "neighbor_id")
     return (
         scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dsum") / F.lit(1e9), 6).alias("dist_pq"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+@register(
+    "knn_ivf_pq",
+    f"""
+    WITH cb AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {_PQ_K}
+    ), ss AS (SELECT unnest(range({_PQ_M})) AS s),
+    enc AS (
+      SELECT e.vec_id, ss.s, cb.cid,
+             {_PQ_SUBDIST.format(a="e.embedding", b="cb.ce", s="ss.s", subd=_PQ_SUBD)} AS dq
+      FROM embeddings e, cb, ss
+    ),
+    codes AS (
+      SELECT vec_id, s, arg_min(cid, dq * 16 + cid) AS code
+      FROM enc GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT vec_id AS query_id, s, cid AS code, dq FROM enc
+      WHERE vec_id < {_PQ_NQ}
+    ),
+    seeds AS (
+      SELECT vec_id AS scid, embedding AS se FROM embeddings WHERE vec_id < 8
+    ), ivf_pairs AS (
+      SELECT e.vec_id, s.scid,
+             list_sum(list_transform(range(1, {DIM} + 1), i ->
+               (e.embedding[i]::DOUBLE - s.se[i]::DOUBLE)
+               * (e.embedding[i]::DOUBLE - s.se[i]::DOUBLE))) AS d
+      FROM embeddings e, seeds s
+    ), cells AS (
+      SELECT vec_id, arg_min(scid, d) AS cell FROM ivf_pairs GROUP BY vec_id
+    ), probes AS (
+      SELECT vec_id AS query_id, scid AS cell FROM (
+        SELECT vec_id, scid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, scid) AS pr
+        FROM ivf_pairs WHERE vec_id < {_PQ_NQ}
+      ) WHERE pr <= 2
+    ), cand AS (
+      SELECT p.query_id, c.vec_id
+      FROM probes p JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT x.query_id, k.vec_id AS neighbor_id, sum(a.dq) AS dsum
+      FROM cand x
+      JOIN codes k ON k.vec_id = x.vec_id
+      JOIN adc a ON a.query_id = x.query_id AND a.s = k.s AND a.code = k.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(dsum / 1e9, 6) AS dist_pq,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY dsum, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {_PQ_TOPK}
+    """,
+)
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the composed architecture production ANN systems
+    actually deploy at 100 TB (FAISS IVFPQ / Jégou et al.) — the IVF
+    coarse quantizer prunes the corpus to the probed cells' inverted
+    lists, and PQ-ADC scores ONLY those candidates from their one-byte
+    codes, never touching the original vectors. Next to the standalone
+    tiers this changes the asymptotics in both directions at once:
+    knn_ivf still reads full vectors inside probed cells (memory-bound),
+    knn_pq_adc still scores the WHOLE corpus (compute-bound); IVF-PQ
+    scores n_probe/n_cells of the corpus at 64x compression.
+
+    Plan: the cell assignment and PQ encoding are both map-side folds
+    against broadcast tables (8 seeds / 16x8 codebook); candidates come
+    from the broadcast probe join on cell id; scoring joins candidate
+    codes to the broadcast per-query ADC tables — no full-corpus
+    vector join anywhere. At scale the code table is written
+    partitioned BY cell: probes become partition-pruned scans of
+    1-byte-per-subspace codes. All ranking arithmetic is the same
+    1e9-quantized integers as knn_pq_adc, so the oracle is exact."""
+    from pyspark.sql.window import Window
+
+    from .operators.clustering import sq_dist
+    from .operators.similarity import _as_double
+
+    codes, adc = _pq_tables(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("scid"), F.col("e").alias("se")
+    )
+    ivf_pairs = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "scid", sq_dist(F.col("e"), F.col("se")).alias("d")
+    )
+    cells = ivf_pairs.groupBy("vec_id").agg(F.min_by("scid", F.col("d")).alias("cell"))
+    w_probe = Window.partitionBy("vec_id").orderBy("d", "scid")
+    probes = (
+        ivf_pairs.filter(F.col("vec_id") < _PQ_NQ)
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= 2)
+        .select(F.col("vec_id").alias("query_id"), F.col("scid").alias("cell"))
+    )
+    cand = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    scored = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(adc), ["query_id", "s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dq").alias("dsum"))
+    )
+    w_rk = Window.partitionBy("query_id").orderBy("dsum", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
         .filter(F.col("rk") <= _PQ_TOPK)
         .select(
             "query_id",

@@ -1647,3 +1647,30 @@ def test_perplexity_buckets_per_source_tertiles(spark):
     for src in per_src:
         assert by[(src, "head")]["lo"] >= by[(src, "tail")]["hi"]
     out.unpersist()
+
+
+def test_knn_ivf_pq_consistent_with_pq_adc(spark):
+    """IVF-PQ is PQ-ADC restricted to the probed cells' inverted lists:
+    any (query, neighbor) pair both tiers emit must carry the IDENTICAL
+    quantized ADC distance, ranks are dense per query, and every query
+    returns rows (the probed cells are never empty at this SF)."""
+    from milan_telecom_etl__spark.registry_similarity import (
+        q_knn_ivf_pq,
+        q_knn_pq_adc,
+    )
+
+    ivfpq = q_knn_ivf_pq(spark, SF).collect()
+    pq = {(r["query_id"], r["neighbor_id"]): r["dist_pq"] for r in q_knn_pq_adc(spark, SF).collect()}
+    assert ivfpq, "ivf_pq returned no rows"
+    by_q: dict = {}
+    overlap = 0
+    for r in ivfpq:
+        by_q.setdefault(r["query_id"], []).append(r["rk"])
+        key = (r["query_id"], r["neighbor_id"])
+        if key in pq:
+            overlap += 1
+            assert r["dist_pq"] == pq[key], f"ADC distance drift at {key}"
+    assert overlap > 0, "no shared pairs with the full-corpus PQ tier"
+    for q, rks in by_q.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1)), f"q{q}: {rks}"
+        assert len(rks) <= 5
