@@ -601,6 +601,59 @@ def incremental_near_dups(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    band_size: int = 4,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Containment near-dup pairs — the doc-IN-doc case Jaccard
+    misses: a 100-shingle doc fully embedded in a 10,000-shingle doc
+    has containment_small = 1.0 but Jaccard ≈ 0.01 (quotes, boilerplate
+    wrappers, concatenated shards). Same two-stage shape as
+    lsh_verified_pairs (banded MinHash candidates → exact shingle
+    intersection), but the verify stage scores BOTH directed
+    containments n_common/|A| and n_common/|B| and keeps pairs whose
+    max clears the threshold.
+
+    Honest recall note: MinHash banding collides by JACCARD, so a
+    high-containment/low-Jaccard pair only surfaces when the size gap
+    is moderate; true asymmetric search at scale signs the SMALL side
+    only (or uses OPH containment sketches) — this operator's contract
+    is the verified scoring, and the candidate generator is swappable.
+    """
+    words = _words_df(docs, text_col).persist()
+    cands = minhash_lsh_candidates(docs, text_col, n, num_hashes, band_size, words)
+    sh = shingle_table(docs, text_col, n, max_shingle_df, words).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pair_sh = cands.join(
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+    )
+    inter = (
+        pair_sh.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("size_b"))
+    c_a = F.round(F.col("n_common") / F.col("size_a"), 6)
+    c_b = F.round(F.col("n_common") / F.col("size_b"), 6)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment_a", c_a)
+        .withColumn("containment_b", c_b)
+        .filter(F.greatest(F.col("containment_a"), F.col("containment_b")) >= threshold)
+        .select("doc_a", "doc_b", "n_common", "containment_a", "containment_b")
+    )
+
+
 def index_compaction(
     docs: DataFrame,
     text_col: str = "text",

@@ -2440,3 +2440,82 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def _containment_sql(
+    threshold: float = 0.8,
+    cap: int | None = D.DEFAULT_MAX_SHINGLE_DF,
+    num_hashes: int = 64,
+    band_size: int = 4,
+) -> str:
+    """Containment twin of _lsh_verified_sql: same banded candidates
+    and exact intersection, but scoring both directed containments."""
+    return f"""
+    WITH {_shingle_cte(cap)},
+    cand AS (SELECT * FROM ({_lsh_sql(num_hashes, band_size)})),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle_hash = a.shingle_hash
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           round(n_common * 1.0 / sa.n, 6) AS containment_a,
+           round(n_common * 1.0 / sb.n, 6) AS containment_b
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE greatest(round(n_common * 1.0 / sa.n, 6),
+                   round(n_common * 1.0 / sb.n, 6)) >= {threshold}
+    """
+
+
+@register("containment_pairs", _containment_sql())
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs — the doc-in-doc case (quotes,
+    boilerplate wrappers, concatenated shards) where Jaccard stays low
+    but the small side is fully covered. Two-stage like
+    lsh_verified_pairs; the verify stage scores both directed
+    containments and keeps max >= 0.8. Candidate recall follows
+    MinHash's Jaccard collision law (documented on the operator); the
+    verified scoring contract is exact."""
+    return D.containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "tokenizer_fertility",
+    r"""
+    SELECT source,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           round(sum(n_tokens) * 1.0 / sum(n_words), 6) AS fertility
+    FROM (
+      SELECT source,
+             len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_words,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]'))
+               AS n_tokens
+      FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (tokens emitted per word) by source — the
+    token-budget planning number: a source whose fertility runs high
+    (code, non-Latin scripts, noisy punctuation) costs more context
+    per word of content, which shifts both mixing weights and cost
+    estimates. BPE-ish segmentation regex shared with text_stats.
+    Map-only projection + one tiny agg keyed on source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", X.word_count("text").alias("n_words"),
+                    X.bpe_token_count("text").alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias("fertility"),
+        )
+    )

@@ -1674,3 +1674,27 @@ def test_knn_ivf_pq_consistent_with_pq_adc(spark):
     for q, rks in by_q.items():
         assert sorted(rks) == list(range(1, len(rks) + 1)), f"q{q}: {rks}"
         assert len(rks) <= 5
+
+
+def test_containment_catches_doc_in_doc(spark):
+    """A doc fully embedded in a longer doc scores containment 1.0 on
+    the small side even though Jaccard is well below it."""
+    from milan_telecom_etl__spark.operators.dedup import (
+        containment_pairs,
+        lsh_verified_pairs,
+    )
+
+    # 30 distinct words -> 28 distinct shingles; the wrapper adds 8
+    # words (~9 shingles), keeping Jaccard ~0.76 so the sharp 64/4
+    # bands still collide (J^4 per band), while containment_a = 1.0.
+    base = " ".join(f"w{i}" for i in range(30))
+    wrapper = base + " " + " ".join(f"x{i}" for i in range(8))
+    rows = [(0, base), (1, wrapper), (2, "totally different words entirely here now")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert (0, 1) in out, f"embedded pair not found: {out}"
+    r = out[(0, 1)]
+    assert r["containment_a"] == 1.0, "small side fully covered"
+    jac = {(x["doc_a"], x["doc_b"]): x["jaccard"] for x in lsh_verified_pairs(docs, threshold=0.0).collect()}
+    assert jac[(0, 1)] < r["containment_a"], "containment must exceed Jaccard on size-skewed pairs"
+    assert (0, 2) not in out and (1, 2) not in out
