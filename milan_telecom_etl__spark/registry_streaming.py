@@ -417,3 +417,107 @@ def q_streaming_index_probe_batch(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return _drain(joined, "append")
+
+
+def _streaming_dsir_sql() -> str:
+    from .registry_text import _norm
+
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, source = 'src0' AS is_target, {_norm()} AS t
+      FROM documents WHERE doc_id >= {_PROBE_NEW_MAX_ID}
+    ),
+    ctoks AS (
+      SELECT ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b, is_target
+      FROM (SELECT is_target, unnest(string_split(t, ' ')) AS w FROM corpus)
+    ),
+    counts AS (
+      SELECT b,
+             sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_t,
+             sum(CASE WHEN NOT is_target THEN 1 ELSE 0 END) AS c_r
+      FROM ctoks GROUP BY b
+    ),
+    totals AS (SELECT sum(c_t) AS t_t, sum(c_r) AS t_r FROM counts),
+    buckets AS (SELECT unnest(range(64)) AS b),
+    llr AS (
+      SELECT bk.b,
+             ln((coalesce(c.c_t, 0) + 1.0) / (t.t_t + 64.0))
+           - ln((coalesce(c.c_r, 0) + 1.0) / (t.t_r + 64.0)) AS llr
+      FROM buckets bk LEFT JOIN counts c ON bk.b = c.b CROSS JOIN totals t
+    ),
+    batch AS (
+      SELECT doc_id, {_norm()} AS t FROM documents
+      WHERE doc_id < {_PROBE_NEW_MAX_ID} AND text IS NOT NULL
+    ),
+    bt AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT % 64 AS b
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM batch)
+    )
+    SELECT doc_id, round(sum(l.llr), 6) AS weight
+    FROM bt JOIN llr l ON bt.b = l.b
+    GROUP BY doc_id
+    """
+
+
+@register("streaming_dsir_batch", _streaming_dsir_sql())
+def q_streaming_dsir_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online data selection — DSIR scoring of an ARRIVING stream
+    against a FROZEN importance model, the production shape of
+    crawl-time filtering (score at ingest, keep/drop before paying
+    storage): the 64-bucket LLR model trains batch-side on the
+    STANDING corpus only (doc_id >= 100, target = source 'src0'; all
+    64 buckets materialized with add-1 defaults so unseen batch tokens
+    still score), ships as ONE literal array — a bounded 64-double
+    model artifact, the broadcast-as-literal discipline — and each
+    arriving doc's weight folds map-only over its words array with
+    element_at into that array.
+
+    The streaming plan is a PURE PROJECTION: no explode, no
+    aggregation, no watermark, zero state stores — append mode at any
+    throughput; model refresh is a query restart with a new literal
+    (production: rolling re-train). The full-corpus batch twin is
+    `dsir_weights`; sibling stream-static join shape is
+    `streaming_index_probe_batch`."""
+    import math
+
+    from .operators.dedup import _md5_int60
+    from .operators.text import normalize_text
+    from .sources.parquet import load_table
+
+    corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= _PROBE_NEW_MAX_ID
+    )
+    ctoks = corpus.select(
+        (F.col("source") == "src0").alias("is_target"),
+        F.explode(F.split(normalize_text("text"), " ")).alias("w"),
+    ).select("is_target", (_md5_int60(F.col("w")) % F.lit(64)).alias("b"))
+    rows = (
+        ctoks.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("c_t"),
+            F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("c_r"),
+        )
+        .collect()  # <= 64 rows: the model artifact, bounded by construction
+    )
+    c_t = {r["b"]: r["c_t"] for r in rows}
+    c_r = {r["b"]: r["c_r"] for r in rows}
+    t_t, t_r = sum(c_t.values()), sum(c_r.values())
+    llr = [
+        math.log((c_t.get(b, 0) + 1.0) / (t_t + 64.0))
+        - math.log((c_r.get(b, 0) + 1.0) / (t_r + 64.0))
+        for b in range(64)
+    ]
+    llr_arr = F.lit(llr).cast("array<double>")
+    words = F.split(normalize_text("text"), " ")
+    weight = F.aggregate(
+        words,
+        F.lit(0.0),
+        lambda acc, w: acc
+        + F.element_at(llr_arr, ((_md5_int60(w) % F.lit(64)) + F.lit(1)).cast("int")),
+    )
+    stream = (
+        _stream_documents(spark, sf_dir)
+        .filter((F.col("doc_id") < _PROBE_NEW_MAX_ID) & F.col("text").isNotNull())
+        .select("doc_id", F.round(weight, 6).alias("weight"))
+    )
+    return _drain(stream, "append")

@@ -1698,3 +1698,16 @@ def test_containment_catches_doc_in_doc(spark):
     jac = {(x["doc_a"], x["doc_b"]): x["jaccard"] for x in lsh_verified_pairs(docs, threshold=0.0).collect()}
     assert jac[(0, 1)] < r["containment_a"], "containment must exceed Jaccard on size-skewed pairs"
     assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_streaming_dsir_scores_every_batch_doc(spark):
+    """The frozen-model stream scoring is a pure projection: exactly
+    one finite weight per arriving doc, none dropped or duplicated."""
+    from milan_telecom_etl__spark.registry_streaming import q_streaming_dsir_batch
+
+    out = q_streaming_dsir_batch(spark, SF).collect()
+    docs = load_table(spark, SF, "documents")
+    n_batch = docs.filter((F.col("doc_id") < 100) & F.col("text").isNotNull()).count()
+    assert len(out) == n_batch > 0
+    assert len({r["doc_id"] for r in out}) == len(out)
+    assert all(r["weight"] is not None for r in out)
