@@ -222,3 +222,147 @@ def html_strip(
             F.col("boilerplate_ratio") > BOILERPLATE_HEAVY_RATIO, F.lit(True)
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-level filtering (C4, Raffel et al. 2020) + cross-document
+# boilerplate line purge (CCNet / RefinedWeb line-dedup discipline)
+# ---------------------------------------------------------------------------
+
+# The testdata documents are single-line word streams, so — like
+# html_strip's synthetic crawl wrapper above — the line grain is
+# synthesized deterministically on BOTH engines: fixed nav/js/footer
+# chrome lines around the text split into fixed-width word chunks,
+# with terminal punctuation assigned by a (doc_id + chunk) % 3 rule and
+# a lorem-ipsum line injected on every 7th doc. The OPERATORS below
+# (predicate, purge plan) are the real thing; only the line synthesis
+# is a stand-in for a crawl extractor's line output.
+NAV_LINE = "Home | About | Sign in"
+JS_LINE = "Please enable JavaScript to view this site"
+LOREM_LINE = "Lorem ipsum dolor sit amet, consectetur adipiscing elit."
+FOOTER_LINE = "Copyright 2026 Example Corp { all rights reserved }"
+LINE_CHUNK_WORDS = 12
+
+# C4 line rules (Raffel et al. 2020 §2.2): keep a line only if it ends
+# in terminal punctuation, has >= 5 words, and is free of lorem-ipsum,
+# javascript boilerplate, and code braces; keep a doc only if >= 3
+# lines survive.
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def synth_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lines array<string>): the deterministic line synthesis
+    shared by c4_line_filter / boilerplate_line_purge and their DuckDB
+    oracles. Pure per-row HOF projection — no shuffle, no Python."""
+    ws = F.split(F.col(text_col), " ")
+    n_chunks = F.floor((F.size(ws) + F.lit(LINE_CHUNK_WORDS - 1)) / F.lit(LINE_CHUNK_WORDS)).cast(
+        "int"
+    )
+    doc_id = F.col("doc_id")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat(
+            F.array_join(F.slice(ws, i * LINE_CHUNK_WORDS + 1, LINE_CHUNK_WORDS), " "),
+            F.when((doc_id + i) % 3 == 0, F.lit("")).otherwise(F.lit(".")),
+        ),
+    )
+    lines = F.concat(
+        F.array(F.lit(NAV_LINE), F.lit(JS_LINE)),
+        chunks,
+        F.when(doc_id % 7 == 0, F.array(F.lit(LOREM_LINE), F.lit(FOOTER_LINE))).otherwise(
+            F.array(F.lit(FOOTER_LINE))
+        ),
+    )
+    return docs.select("doc_id", lines.alias("lines"))
+
+
+def c4_keep_line(line: Column) -> Column:
+    """The C4 per-line keep predicate — all built-ins, usable inside a
+    higher-order filter so the whole rule set stays in one codegen'd
+    projection."""
+    return (
+        line.rlike('[.!?"]$')
+        & (F.size(F.split(line, " ")) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(line).contains("lorem ipsum")
+        & ~F.lower(line).contains("javascript")
+        & ~line.contains("{")
+    )
+
+
+def c4_line_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4 line-level cleaning: per-doc (n_lines, n_kept, kept_ratio,
+    doc_pass, clean_text). One narrow map over the corpus — at 100 TB
+    this is scan-bound with zero shuffle: the line split, the rule
+    evaluation, and the reassembly are a single higher-order projection
+    per row."""
+    ln = synth_lines(docs, text_col)
+    kept = F.filter(F.col("lines"), c4_keep_line)
+    out = ln.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        kept.alias("_kept"),
+    )
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_lines"), 6).alias("kept_ratio"),
+        (F.col("n_kept") >= C4_MIN_KEPT_LINES).alias("doc_pass"),
+        F.array_join("_kept", "\n").alias("clean_text"),
+    )
+
+
+def boilerplate_line_purge(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_docs: int = 3,
+    doc_frac: float = 0.01,
+) -> DataFrame:
+    """Cross-document boilerplate removal: a normalized line occurring
+    in >= max(min_docs, ceil(doc_frac * n_docs)) DISTINCT documents is
+    chrome (nav bars, cookie banners, footers) and is excised from
+    every document, order-preserved.
+
+    100 TB plan: the frequent-line table is by construction tiny (a
+    line must repeat across >=1% of the corpus to qualify) — it is
+    broadcast back, so the corpus is shuffled exactly once (the per-doc
+    reassembly groupBy); the frequency count itself is a partial-agg
+    hash count on the normalized line. The threshold auto-derives from
+    corpus size inside the plan (1-row aggregate broadcast), so the
+    operator is scale-invariant with no tuned constant."""
+    ln = synth_lines(docs, text_col)
+    lines = ln.select(
+        "doc_id", F.posexplode("lines").alias("pos", "line")
+    ).withColumn("norm", normalize_text("line"))
+    cfg = docs.agg(
+        F.greatest(F.lit(min_docs), F.ceil(F.count(F.lit(1)) * doc_frac))
+        .cast("long")
+        .alias("thr")
+    )
+    freq = lines.groupBy("norm").agg(F.count_distinct("doc_id").alias("dfreq"))
+    boiler = (
+        freq.crossJoin(F.broadcast(cfg))
+        .filter(F.col("dfreq") >= F.col("thr"))
+        .select("norm", F.lit(True).alias("is_b"))
+    )
+    flagged = lines.join(F.broadcast(boiler), "norm", "left")
+    kept_struct = F.when(F.col("is_b").isNull(), F.struct("pos", "line"))
+    agg = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(F.col("is_b"), 1).otherwise(0)).cast("long").alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "n_boiler",
+        F.round(F.col("n_boiler") / F.col("n_lines"), 6).alias("boiler_ratio"),
+        "clean_text",
+    )

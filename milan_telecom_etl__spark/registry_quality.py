@@ -966,3 +966,111 @@ def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("html"),
     )
     return html_strip(wrapped)
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level filtering + cross-document boilerplate line purge
+# ---------------------------------------------------------------------------
+
+def _synth_lines_cte() -> str:
+    """dn/ln CTE text — the DuckDB twin of operators.text.synth_lines
+    (same chrome constants, chunking, and punctuation rule)."""
+    from .operators.text import (
+        FOOTER_LINE,
+        JS_LINE,
+        LINE_CHUNK_WORDS,
+        LOREM_LINE,
+        NAV_LINE,
+    )
+
+    w = LINE_CHUNK_WORDS
+    return (
+        "dn AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),\n"
+        "    ln AS (SELECT doc_id,\n"
+        f"      ['{NAV_LINE}', '{JS_LINE}'] ||\n"
+        f"      list_transform(range(0, (len(ws)+{w - 1})//{w}),\n"
+        f"        i -> array_to_string(ws[(i*{w}+1):(i*{w}+{w})], ' ')\n"
+        "             || (CASE WHEN (doc_id + i) % 3 = 0 THEN '' ELSE '.' END)) ||\n"
+        f"      (CASE WHEN doc_id % 7 = 0 THEN ['{LOREM_LINE}', '{FOOTER_LINE}']\n"
+        f"            ELSE ['{FOOTER_LINE}'] END) AS lines\n"
+        "      FROM dn)"
+    )
+
+
+def _c4_sql() -> str:
+    from .operators.text import C4_MIN_KEPT_LINES, C4_MIN_LINE_WORDS
+
+    keep = (
+        "l -> regexp_matches(l, '[.!?\"]$')\n"
+        f"        AND len(string_split(l, ' ')) >= {C4_MIN_LINE_WORDS}\n"
+        "        AND NOT contains(lower(l), 'lorem ipsum')\n"
+        "        AND NOT contains(lower(l), 'javascript')\n"
+        "        AND NOT contains(l, '" + "{" + "')"
+    )
+    return f"""
+    WITH {_synth_lines_cte()},
+    k AS (SELECT doc_id, lines, list_filter(lines, {keep}) AS kept FROM ln)
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           round(len(kept) * 1.0 / len(lines), 6) AS kept_ratio,
+           len(kept) >= {C4_MIN_KEPT_LINES} AS doc_pass,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+    FROM k
+    """
+
+
+@register("c4_line_filters", _c4_sql())
+def q_c4_line_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020 §2.2):
+    terminal-punctuation, >=5-word, lorem-ipsum, javascript and
+    curly-brace line rules, then the >=3-surviving-lines document gate.
+    The whole rule set runs inside ONE higher-order filter projection —
+    no explode, no shuffle; at 100 TB the operator is scan-bound and
+    embarrassingly parallel. Line grain is synthesized deterministically
+    (see operators.text.synth_lines) the way html_strip synthesizes its
+    crawl wrapper."""
+    from .operators.text import c4_line_filter
+
+    return c4_line_filter(load_table(spark, sf_dir, "documents"))
+
+
+def _boiler_purge_sql(min_docs: int = 3, doc_frac: float = 0.01) -> str:
+    from .registry_text import _norm
+
+    return f"""
+    WITH {_synth_lines_cte()},
+    cfg AS (SELECT greatest({min_docs},
+                   CAST(ceil({doc_frac} * count(*)) AS BIGINT)) AS thr
+            FROM documents),
+    lx AS (SELECT doc_id, CAST(unnest(range(1, len(lines)+1)) AS INT) AS p,
+                  lines FROM ln),
+    lp AS (SELECT doc_id, p - 1 AS pos, lines[p] AS line FROM lx),
+    nrm AS (SELECT doc_id, pos, line, {_norm('line')} AS norm FROM lp),
+    frq AS (SELECT norm, count(DISTINCT doc_id) AS dfreq FROM nrm GROUP BY norm),
+    bl AS (SELECT norm FROM frq, cfg WHERE dfreq >= thr),
+    fl AS (SELECT n.doc_id, n.pos, n.line, (b.norm IS NOT NULL) AS is_b
+           FROM nrm n LEFT JOIN bl b USING (norm))
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           round(sum(CASE WHEN is_b THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS boiler_ratio,
+           coalesce(string_agg(CASE WHEN NOT is_b THEN line END, chr(10)
+                               ORDER BY pos), '') AS clean_text
+    FROM fl GROUP BY doc_id
+    """
+
+
+@register("boilerplate_line_purge", _boiler_purge_sql())
+def q_boilerplate_line_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style cross-document line dedup: a normalized
+    line repeating across >= max(3, 1% of corpus) DISTINCT docs is
+    chrome and is excised everywhere, order-preserved. The frequent-line
+    set is tiny by construction (must repeat across 1% of docs), so it
+    broadcasts back; the corpus shuffles exactly once (per-doc
+    reassembly) and the threshold auto-derives from corpus size inside
+    the plan — no tuned constant to drift at 1000x the data."""
+    from .operators.text import boilerplate_line_purge
+
+    return boilerplate_line_purge(load_table(spark, sf_dir, "documents"))

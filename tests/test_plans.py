@@ -484,3 +484,30 @@ def test_incremental_dedup_broadcasts_the_batch(spark):
     # no cartesian anywhere in the pipeline
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_c4_line_filter_plan_is_map_only(spark):
+    """c4_line_filter docstring: line split, rule evaluation, and
+    reassembly are ONE higher-order projection — no explode, no
+    shuffle; 100 TB of line filtering is scan-bound."""
+    from milan_telecom_etl__spark.registry_quality import q_c4_line_filters
+
+    plan = _plan(q_c4_line_filters(spark, SF))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "FileScan" in plan
+
+
+def test_boilerplate_purge_broadcasts_frequent_lines(spark):
+    """boilerplate_line_purge docstring: the frequent-line set (and the
+    1-row threshold aggregate) broadcast back — the corpus must not be
+    shuffle-joined on the line key; the per-doc reassembly groupBy is
+    the only wide op over the exploded lines."""
+    from milan_telecom_etl__spark.registry_quality import (
+        q_boilerplate_line_purge,
+    )
+
+    plan = _plan(q_boilerplate_line_purge(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

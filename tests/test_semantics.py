@@ -1711,3 +1711,87 @@ def test_streaming_dsir_scores_every_batch_doc(spark):
     assert len(out) == n_batch > 0
     assert len({r["doc_id"] for r in out}) == len(out)
     assert all(r["weight"] is not None for r in out)
+
+
+def _write_docs_dir(spark, rows):
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_c4_line_filter_rules(spark):
+    """Crafted docs: every surviving line ends in terminal punctuation,
+    has >= 5 words, and carries none of the lorem/javascript/brace
+    markers; chrome lines are always excised; the >=3-line doc gate
+    trips on short docs."""
+    from milan_telecom_etl__spark.operators.text import (
+        C4_MIN_KEPT_LINES,
+        c4_line_filter,
+    )
+
+    long_text = " ".join(f"token{i} word{i} item{i} unit{i}" for i in range(15))
+    rows = [(21, long_text), (4, "too short to survive")]
+    d = _write_docs_dir(spark, rows)
+    docs = spark.read.parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r for r in c4_line_filter(docs).collect()}
+
+    big = got[21]
+    # 60 words -> 5 chunks; doc 21: 2 chrome + 5 chunks + lorem + footer
+    assert big["n_lines"] == 9
+    kept_lines = big["clean_text"].split("\n")
+    assert big["n_kept"] == len(kept_lines)
+    for ln in kept_lines:
+        assert ln[-1] in '.!?"'
+        assert len(ln.split(" ")) >= 5
+        low = ln.lower()
+        assert "lorem ipsum" not in low
+        assert "javascript" not in low and "{" not in ln
+    # doc 21 chunks i with (21+i)%3==0 lose their punctuation: i=0,3
+    assert big["n_kept"] == 3 and big["doc_pass"]
+
+    small = got[4]
+    assert small["n_kept"] < C4_MIN_KEPT_LINES and not small["doc_pass"]
+
+
+def test_boilerplate_line_purge_cross_doc(spark):
+    """Chrome lines (present in every doc) and a content line repeated
+    across >= 3 docs are purged corpus-wide; unique lines survive in
+    original order. Punctuation parity differs per doc_id, so matching
+    must happen on the NORMALIZED line."""
+    from milan_telecom_etl__spark.operators.text import (
+        boilerplate_line_purge,
+    )
+
+    shared = " ".join(["common"] * 12)  # one full chunk, identical in 3 docs
+    rows = [(i, shared + " " + " ".join(f"uniq{i}w{j}" for j in range(12)))
+            for i in range(3)]
+    rows += [(10 + i, " ".join(f"solo{i}x{j}" for j in range(24))) for i in range(4)]
+    d = _write_docs_dir(spark, rows)
+    docs = spark.read.parquet(d + "/documents.parquet")
+    got = {r["doc_id"]: r for r in boilerplate_line_purge(docs).collect()}
+    assert len(got) == 7
+
+    for i in range(3):
+        r = got[i]
+        # 2 chrome + 2 chunks + footer (+ lorem for doc 0)
+        assert r["n_lines"] == (6 if i == 0 else 5)
+        # chrome (nav/js/footer in all 7 docs) + the shared chunk purged;
+        # doc 0's lorem line is in only ONE doc here, so it SURVIVES —
+        # cross-doc frequency, not content, drives this operator
+        assert r["n_boiler"] == 4
+        kept = r["clean_text"].split("\n")
+        assert kept[0].startswith(f"uniq{i}")
+        if i == 0:
+            assert len(kept) == 2 and kept[1].startswith("Lorem ipsum")
+        else:
+            assert len(kept) == 1
+    for i in range(4):
+        r = got[10 + i]
+        kept = r["clean_text"].split("\n")
+        assert r["n_boiler"] == 3 and len(kept) == 2
+        assert kept[0].startswith(f"solo{i}x0") and kept[1].startswith(f"solo{i}x12")
