@@ -49,6 +49,13 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # smoke-subset knob: comma-separated entry names. Subset runs skip
+    # the sidecar writes so a quick check can never clobber the
+    # committed full-registry BENCH_DETAIL artifacts.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        want = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in want}
 
     # warmup: trigger JVM + parquet footer reads once
     try:
@@ -82,6 +89,24 @@ def main() -> None:
     # and failed to parse the 140-entry map in r1/r2 ("parsed": null).
     # Full per-query timings go to a sidecar instead (VERDICT r2 #4).
     repo = os.path.dirname(os.path.abspath(__file__))
+    if only:
+        print(
+            json.dumps(
+                {
+                    "metric": "total_query_wall_seconds",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": dict(sorted(ok.items(), key=lambda kv: -kv[1])[:5]),
+                    "n_queries": len(timings),
+                    "n_failed": len(timings) - len(ok),
+                    "mean_sec": round(total / max(len(ok), 1), 4),
+                    "subset": sorted(timings),
+                    "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                }
+            )
+        )
+        spark.stop()
+        return
     detail = {
         "sf": sf,
         "queries": timings,

@@ -694,3 +694,127 @@ def dot_scores_arrow(embeddings: DataFrame, query_vec: list[float]) -> DataFrame
     return embeddings.select("vec_id", "embedding").mapInArrow(
         batches, schema="vec_id long, score double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a lexical and a dense leg
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard fusion constant (Cormack et al. 2009)
+
+
+def rrf_hybrid_retrieval(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    probe_ids: tuple[int, ...] = (1, 3, 5),
+    list_k: int = 100,
+    k: int = 10,
+) -> DataFrame:
+    """Hybrid search: fuse a lexical ranking (token-set Jaccard against
+    the probe doc) and a dense ranking (embedding cosine) with
+    reciprocal-rank fusion — score = Σ 1/(60 + rank), summed over the
+    legs that retrieved the doc within their top `list_k`.
+
+    Plan shape (the 100 TB story): the probe set is constant and tiny —
+    its token lists and embeddings broadcast, so neither leg shuffles
+    the corpus for scoring. The lexical leg touches only candidates
+    sharing a probe token (a broadcast semi-probe, BM25-style term
+    pruning would bound it further on a real vocabulary); the dense leg
+    is the brute-force re-rank shape (broadcast nested loop); each leg
+    ends in a per-probe window top-`list_k`, and fusion is a tiny
+    full-outer join of two ≤ |probes|·list_k rank lists. Ranks use
+    6dp-rounded scores with doc-id tiebreaks, so both engines order
+    identically."""
+    from .text import normalize_text
+
+    probes = list(probe_ids)
+    base = docs.select("doc_id", "text").join(
+        embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    tok = base.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalize_text("text"), " "))).alias(
+            "tok"
+        ),
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    ptok = tok.filter(F.col("doc_id").isin(probes)).select(
+        F.col("doc_id").alias("probe_id"), "tok"
+    )
+    psize = sizes.filter(F.col("doc_id").isin(probes)).select(
+        F.col("doc_id").alias("probe_id"), F.col("n_tok").alias("n_probe")
+    )
+    inter = (
+        tok.join(F.broadcast(ptok), "tok")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = (
+        inter.join(sizes, "doc_id")
+        .join(F.broadcast(psize), "probe_id")
+        .select(
+            "probe_id",
+            "doc_id",
+            F.round(
+                F.col("inter")
+                / (F.col("n_tok") + F.col("n_probe") - F.col("inter")),
+                6,
+            ).alias("jac"),
+        )
+    )
+    wl = Window.partitionBy("probe_id").orderBy(F.desc("jac"), F.asc("doc_id"))
+    lex = (
+        jac.withColumn("lex_rk", F.row_number().over(wl))
+        .filter(F.col("lex_rk") <= list_k)
+        .select("probe_id", "doc_id", "lex_rk")
+    )
+
+    pvec = base.filter(F.col("doc_id").isin(probes)).select(
+        F.col("doc_id").alias("probe_id"), _as_double("embedding").alias("qv")
+    )
+    cand = base.select("doc_id", _as_double("embedding").alias("cv"))
+    cos = (
+        cand.crossJoin(F.broadcast(pvec))
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "doc_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cs"),
+        )
+    )
+    wd = Window.partitionBy("probe_id").orderBy(F.desc("cs"), F.asc("doc_id"))
+    den = (
+        cos.withColumn("dense_rk", F.row_number().over(wd))
+        .filter(F.col("dense_rk") <= list_k)
+        .select("probe_id", "doc_id", "dense_rk")
+    )
+
+    fused = lex.join(den, ["probe_id", "doc_id"], "full_outer").select(
+        "probe_id",
+        "doc_id",
+        "lex_rk",
+        "dense_rk",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("lex_rk")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("dense_rk")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= k)
+        .select(
+            "probe_id",
+            "doc_id",
+            F.coalesce("lex_rk", F.lit(0)).cast("int").alias("lex_rk"),
+            F.coalesce("dense_rk", F.lit(0)).cast("int").alias("dense_rk"),
+            "rrf_score",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

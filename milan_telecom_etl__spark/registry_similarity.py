@@ -1477,3 +1477,78 @@ def q_paraphrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("relation"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + dense legs
+# ---------------------------------------------------------------------------
+
+def _rrf_sql(list_k: int = 100, k: int = 10, rrf_k: int = 60) -> str:
+    from .registry_text import _norm
+
+    probes = "(1, 3, 5)"
+    return f"""
+    WITH base AS (
+      SELECT d.doc_id, d.text, e.embedding FROM documents d
+      JOIN embeddings e ON e.vec_id = d.doc_id),
+    tok AS (SELECT doc_id,
+                   unnest(list_distinct(string_split({_norm('text')}, ' ')))
+                     AS tok
+            FROM base),
+    sz AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY doc_id),
+    it AS (SELECT p.doc_id AS probe_id, t.doc_id AS doc_id, count(*) AS inter
+           FROM tok t JOIN tok p USING (tok)
+           WHERE p.doc_id IN {probes} AND t.doc_id <> p.doc_id
+           GROUP BY 1, 2),
+    jac AS (SELECT probe_id, it.doc_id,
+                   round(inter * 1.0 / (sa.n_tok + sb.n_tok - inter), 6) AS jac
+            FROM it JOIN sz sa ON sa.doc_id = it.doc_id
+                    JOIN sz sb ON sb.doc_id = it.probe_id),
+    lex AS (SELECT probe_id, doc_id, lex_rk FROM (
+              SELECT probe_id, doc_id, row_number() OVER (
+                PARTITION BY probe_id ORDER BY jac DESC, doc_id) AS lex_rk
+              FROM jac) WHERE lex_rk <= {list_k}),
+    cosd AS (SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+                    {_cos("p.embedding", "c.embedding")} AS cs
+             FROM base p JOIN base c ON c.doc_id <> p.doc_id
+             WHERE p.doc_id IN {probes}),
+    den AS (SELECT probe_id, doc_id, dense_rk FROM (
+              SELECT probe_id, doc_id, row_number() OVER (
+                PARTITION BY probe_id ORDER BY cs DESC, doc_id) AS dense_rk
+              FROM cosd) WHERE dense_rk <= {list_k}),
+    fused AS (SELECT coalesce(l.probe_id, d.probe_id) AS probe_id,
+                     coalesce(l.doc_id, d.doc_id) AS doc_id,
+                     l.lex_rk, d.dense_rk
+              FROM lex l FULL OUTER JOIN den d
+                ON l.probe_id = d.probe_id AND l.doc_id = d.doc_id),
+    sc AS (SELECT probe_id, doc_id, lex_rk, dense_rk,
+                  round(coalesce(1.0 / ({rrf_k} + lex_rk), 0)
+                        + coalesce(1.0 / ({rrf_k} + dense_rk), 0), 6)
+                    AS rrf_score
+           FROM fused)
+    SELECT probe_id, doc_id,
+           CAST(coalesce(lex_rk, 0) AS INT) AS lex_rk,
+           CAST(coalesce(dense_rk, 0) AS INT) AS dense_rk,
+           rrf_score, CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY rrf_score DESC, doc_id) AS rk
+          FROM sc)
+    WHERE rk <= {k}
+    """
+
+
+@register("rrf_hybrid_retrieval", _rrf_sql())
+def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via reciprocal-rank fusion (Cormack et al. 2009):
+    a lexical leg (token-set Jaccard vs the probe doc) and a dense leg
+    (embedding cosine) each produce a per-probe top-100 ranking; fusion
+    scores Σ 1/(60 + rank) and keeps the top-10. The probe set is
+    constant (doc_ids 1/3/5 — corpus growth must not grow the query
+    side), both probe tables broadcast, and fusion joins two bounded
+    rank lists — the corpus is never shuffled for scoring. See
+    operators/similarity.rrf_hybrid_retrieval for the full plan
+    notes."""
+    return S.rrf_hybrid_retrieval(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )

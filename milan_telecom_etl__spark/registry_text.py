@@ -2519,3 +2519,128 @@ def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_tokens") / F.sum("n_words"), 6).alias("fertility"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Typed PII density profile. regex_redaction above demonstrates the
+# masking machinery on an in-corpus pattern; this entry carries the
+# REAL pattern classes (email / phone / IPv4 / 16-digit card) over a
+# deterministically synthesized PII suffix (the corpus itself is
+# PII-free), giving the per-source compliance profile a curation run
+# needs before release. All patterns live in the Java-regex ∩ RE2
+# subset so the oracle runs the identical automata.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]" + "{2,}"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_CARD_RE = r"\b\d{16}\b"
+
+
+def _pii_wrap_sql() -> str:
+    return (
+        "text"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' Contact user' ||"
+        " CAST(doc_id AS VARCHAR) || '@example.com for details.'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 5 = 0 THEN ' Call 415-555-' ||"
+        " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now.'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN ' Logged in from 10.0.' ||"
+        " CAST(doc_id % 256 AS VARCHAR) || '.' ||"
+        " CAST((doc_id // 7) % 256 AS VARCHAR) || '.'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 0 THEN ' Card 4111111111111111 on file.'"
+        " ELSE '' END"
+    )
+
+
+def _pii_density_sql() -> str:
+    cnt = {
+        "em": PII_EMAIL_RE,
+        "ph": PII_PHONE_RE,
+        "ip": PII_IPV4_RE,
+        "cd": PII_CARD_RE,
+    }
+    cols = ", ".join(
+        "len(regexp_extract_all(t, '" + pat + "')) AS " + k
+        for k, pat in cnt.items()
+    )
+    return (
+        "WITH p AS (SELECT source, " + _pii_wrap_sql() + " AS t FROM documents),\n"
+        "    c AS (SELECT source, length(t) AS ln, " + cols + " FROM p)\n"
+        "    SELECT source,\n"
+        "           CAST(count(*) AS BIGINT) AS n_docs,\n"
+        "           CAST(sum(CASE WHEN em + ph + ip + cd > 0 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS docs_with_pii,\n"
+        "           CAST(sum(em) AS BIGINT) AS n_emails,\n"
+        "           CAST(sum(ph) AS BIGINT) AS n_phones,\n"
+        "           CAST(sum(ip) AS BIGINT) AS n_ips,\n"
+        "           CAST(sum(cd) AS BIGINT) AS n_cards,\n"
+        "           round(sum(em + ph + ip + cd) * 10000.0 / sum(ln), 6)"
+        " AS pii_per_10kchars\n"
+        "    FROM c GROUP BY source"
+    )
+
+
+@register("pii_density", _pii_density_sql())
+def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source typed PII density (emails / phones / IPv4s / card
+    numbers per 10k chars, plus affected-doc counts) — the compliance
+    profile that decides whether a source needs redaction before
+    training. One scan, four regexp_count kernels inside whole-stage
+    codegen, then a tiny per-source hash agg: at 100 TB this is
+    scan-bound and embarrassingly parallel. PII occurrences are
+    synthesized deterministically per doc_id (the testdata corpus is
+    PII-free); the patterns and counts are the real operator."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" Contact user"),
+                did.cast("string"),
+                F.lit("@example.com for details."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" Call 415-555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" now."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" Logged in from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                (F.floor(did / 7).cast("long") % 256).cast("string"),
+                F.lit("."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" Card 4111111111111111 on file.")).otherwise(
+            F.lit("")
+        ),
+    )
+    base = docs.select("source", t.alias("t"))
+    em = F.regexp_count("t", F.lit(PII_EMAIL_RE))
+    ph = F.regexp_count("t", F.lit(PII_PHONE_RE))
+    ip = F.regexp_count("t", F.lit(PII_IPV4_RE))
+    cd = F.regexp_count("t", F.lit(PII_CARD_RE))
+    tot = em + ph + ip + cd
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(tot > 0, 1).otherwise(0)).cast("long").alias("docs_with_pii"),
+        F.sum(em).cast("long").alias("n_emails"),
+        F.sum(ph).cast("long").alias("n_phones"),
+        F.sum(ip).cast("long").alias("n_ips"),
+        F.sum(cd).cast("long").alias("n_cards"),
+        F.round(F.sum(tot) * 10000.0 / F.sum(F.length("t")), 6).alias(
+            "pii_per_10kchars"
+        ),
+    )

@@ -511,3 +511,27 @@ def test_boilerplate_purge_broadcasts_frequent_lines(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_density_single_shuffle(spark):
+    """pii_density docstring: four regexp_count kernels in one scan,
+    then a per-source hash agg — exactly one exchange, no explode."""
+    from milan_telecom_etl__spark.registry_text import q_pii_density
+
+    plan = _plan(q_pii_density(spark, SF))
+    assert plan.count("Exchange") <= 2  # partial->final agg pair
+    assert "Generate" not in plan
+    assert "FileScan" in plan
+
+
+def test_rrf_probe_side_broadcasts(spark):
+    """rrf_hybrid_retrieval docstring: probe token/vector tables
+    broadcast (no cartesian product; the only nested loop is the
+    bounded broadcast dense leg)."""
+    from milan_telecom_etl__spark.registry_similarity import (
+        q_rrf_hybrid_retrieval,
+    )
+
+    plan = _plan(q_rrf_hybrid_retrieval(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

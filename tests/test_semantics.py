@@ -1795,3 +1795,57 @@ def test_boilerplate_line_purge_cross_doc(spark):
         kept = r["clean_text"].split("\n")
         assert r["n_boiler"] == 3 and len(kept) == 2
         assert kept[0].startswith(f"solo{i}x0") and kept[1].startswith(f"solo{i}x12")
+
+
+def test_pii_density_typed_counts(spark):
+    """Crafted ids hit known pattern classes: doc 0 trips all four
+    synthesis rules (email/phone/ip/card), doc 1 none, doc 3 email
+    only — the per-source profile must count each class exactly."""
+    import os
+    import tempfile
+
+    import __spark_entry__ as entrymod
+
+    QUERIES = entrymod.queries()
+    rows = [
+        (0, "alpha beta gamma", "s0"),
+        (1, "delta epsilon", "s1"),
+        (3, "zeta eta theta", "s1"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["source"]: r for r in QUERIES["pii_density"](spark, d).collect()}
+    s0, s1 = got["s0"], got["s1"]
+    assert (s0["n_emails"], s0["n_phones"], s0["n_ips"], s0["n_cards"]) == (1, 1, 1, 1)
+    assert s0["docs_with_pii"] == 1 and s0["n_docs"] == 1
+    assert (s1["n_emails"], s1["n_phones"], s1["n_ips"], s1["n_cards"]) == (1, 0, 0, 0)
+    assert s1["docs_with_pii"] == 1 and s1["n_docs"] == 2
+    assert s1["pii_per_10kchars"] > 0
+
+
+def test_rrf_fusion_properties(spark):
+    """Fusion invariants on the real corpus: every emitted row was
+    retrieved by at least one leg; rrf_score reproduces the
+    Σ 1/(60+rank) formula from the emitted leg ranks; per-probe ranks
+    are 1..k with scores non-increasing."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["rrf_hybrid_retrieval"](spark, SF).collect()
+    assert {r["probe_id"] for r in rows} == {1, 3, 5}
+    by_probe = {}
+    for r in rows:
+        by_probe.setdefault(r["probe_id"], []).append(r)
+        assert r["lex_rk"] > 0 or r["dense_rk"] > 0
+        want = (1.0 / (60 + r["lex_rk"]) if r["lex_rk"] else 0.0) + (
+            1.0 / (60 + r["dense_rk"]) if r["dense_rk"] else 0.0
+        )
+        assert abs(r["rrf_score"] - round(want, 6)) < 1e-9
+    for rs in by_probe.values():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["rrf_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # fusion actually mixes: at least one row retrieved by both legs
+        assert any(r["lex_rk"] > 0 and r["dense_rk"] > 0 for r in rs)
