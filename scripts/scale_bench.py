@@ -46,6 +46,7 @@ def main() -> None:
     entrymod.queries()["top_cells"](spark, small).count()  # JVM warmup
 
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+    force_noop = os.environ.get("SPARK_GRAFT_SCALE_FORCE", "") == "noop"
     results: dict[str, dict] = {}
     for name, fn in qs.items():
         rec: dict = {}
@@ -59,7 +60,20 @@ def main() -> None:
                 spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 try:
-                    n = fn(spark, sf_dir).count()
+                    # default protocol: count() — comparable round-over-
+                    # round, but Catalyst prunes columns the count does
+                    # not need, so pure-projection entries measure only
+                    # their scan (the dedup_index_compaction gotcha,
+                    # SCALE.md). FORCE=noop materializes EVERY column
+                    # through the noop sink — the honest cost of
+                    # map-only operators, recorded as a separate
+                    # artifact, never merged into count()-protocol runs.
+                    if force_noop:
+                        df = fn(spark, sf_dir)
+                        df.write.format("noop").mode("overwrite").save()
+                        n = -1
+                    else:
+                        n = fn(spark, sf_dir).count()
                     walls.append(round(time.perf_counter() - t0, 3))
                     rec[f"{label}_rows"] = n
                 except Exception as e:
@@ -87,6 +101,7 @@ def main() -> None:
         ["git", "rev-parse", "HEAD"], capture_output=True, text=True
     ).stdout.strip()
     payload = {
+        "protocol": "noop-materialize-all-columns" if force_noop else "count",
         "small_dir": small,
         "big_dir": big,
         "data_growth_x": growth,
