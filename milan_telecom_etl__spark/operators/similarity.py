@@ -818,3 +818,74 @@ def rrf_hybrid_retrieval(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (DPR / SimCLR
+    data prep): for each query vector, the top-k most cosine-similar
+    vectors of a DIFFERENT label — the negatives that actually move a
+    contrastive loss — plus the query's best same-label cosine
+    (`pos_best`) and the margin against it. A negative with small or
+    negative margin is the "harder than the positive" case batch
+    construction wants first.
+
+    Plan: broadcast(bounded query set) nested-loop over the corpus —
+    the corpus is never shuffled for scoring; ONE window pass per
+    query partition derives pos_best (conditional max) and the
+    negative ranks together. Query-count, not corpus-size, bounds the
+    partition fan-in; at 100 TB mining runs over query batches, each
+    batch this exact plan. Deterministic: 6dp cosines, ties by id.
+    """
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    part = Window.partitionBy("query_id")
+    pos_best = F.max(
+        F.when(F.col("neighbor_label") == F.col("query_label"), F.col("cos_sim"))
+    ).over(part)
+    negs = (
+        scored.withColumn("pos_best", pos_best)
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                part.orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+            ),
+        )
+        .filter(F.col("rk") <= k)
+    )
+    return negs.select(
+        "query_id",
+        "query_label",
+        F.col("neighbor_id").alias("neg_id"),
+        F.col("neighbor_label").alias("neg_label"),
+        "cos_sim",
+        F.col("rk").cast("int").alias("rk"),
+        "pos_best",
+        F.round(F.col("pos_best") - F.col("cos_sim"), 6).alias("margin"),
+    )

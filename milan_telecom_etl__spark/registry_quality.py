@@ -1074,3 +1074,336 @@ def q_boilerplate_line_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import boilerplate_line_purge
 
     return boilerplate_line_purge(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, Appendix A1.2)
+# ---------------------------------------------------------------------------
+
+_REP_MULT = 1_000_000_000_000  # count-major packing for "coverage of the top gram"
+
+# (n, ok-predicate as exact integer cross-multiplication). Thresholds
+# from Table A1: top n-gram char fraction <= .20/.18/.16 for n=2/3/4;
+# duplicate n-gram char fraction <= .15/.14/.13/.12/.11/.10 for n=5..10.
+_TOP_GATES = [(2, 5, 1), (3, 50, 9), (4, 25, 4)]  # ok iff a*cov <= b*total
+_DUP_GATES = [(5, 20, 3), (6, 50, 7), (7, 100, 13), (8, 25, 3), (9, 100, 11), (10, 10, 1)]
+
+
+def _gopher_rep_sql() -> str:
+    top_cols = ",\n           ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN top_cov END), 0) AS top{n}_cov"
+        for n, _, _ in _TOP_GATES
+    )
+    dup_cols = ",\n           ".join(
+        f"coalesce(max(CASE WHEN n = {n} THEN dup_cov END), 0) AS dup{n}_cov"
+        for n, _, _ in _DUP_GATES
+    )
+    gates = [
+        "10 * n_dup_lines <= 3 * n_lines AS dup_line_ok",
+        "5 * dup_line_chars <= line_chars AS dup_line_char_ok",
+    ]
+    gates += [f"{a} * top{n}_cov <= {b} * total_chars AS top{n}_ok" for n, a, b in _TOP_GATES]
+    gates += [f"{a} * dup{n}_cov <= {b} * total_chars AS dup{n}_ok" for n, a, b in _DUP_GATES]
+    conds = [g.split(" AS ")[0] for g in gates]
+    passes = "\n             AND ".join(f"({c})" for c in conds)
+    ns = ", ".join(str(n) for n, _, _ in _TOP_GATES + _DUP_GATES)
+    fin_top = ", ".join(
+        f"CAST(coalesce(top{n}_cov, 0) AS BIGINT) AS top{n}_cov" for n, _, _ in _TOP_GATES
+    )
+    fin_dup = ", ".join(
+        f"CAST(coalesce(dup{n}_cov, 0) AS BIGINT) AS dup{n}_cov" for n, _, _ in _DUP_GATES
+    )
+    sel_top = ", ".join(f"top{n}_cov" for n, _, _ in _TOP_GATES)
+    sel_dup = ", ".join(f"dup{n}_cov" for n, _, _ in _DUP_GATES)
+    gates_sql = ",\n           ".join(gates)
+    return f"""
+    WITH {_synth_lines_cte()},
+    lst AS (
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS n_dup_lines,
+             CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+                  AS BIGINT) AS line_chars,
+             CAST(coalesce(list_sum(list_transform(lines, l -> length(l))), 0)
+                  - coalesce(list_sum(list_transform(list_distinct(lines),
+                                                     l -> length(l))), 0)
+                  AS BIGINT) AS dup_line_chars
+      FROM ln
+    ),
+    w AS (
+      SELECT doc_id,
+             list_filter(list_transform(regexp_split_to_array(text, '\\s+'),
+                                        x -> lower(x)), x -> x <> '') AS ws
+      FROM documents
+    ),
+    wc AS (
+      SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(coalesce(list_sum(list_transform(ws, x -> length(x))), 0)
+                  + greatest(len(ws) - 1, 0) AS BIGINT) AS total_chars
+      FROM w
+    ),
+    ng AS (
+      SELECT doc_id,
+             unnest(flatten(list_transform([{ns}], n ->
+               list_transform(range(0, greatest(len(ws) - n + 1, 0)),
+                 i -> {{'n': n, 'gram': array_to_string(ws[i+1:i+n], ' ')}})))) AS e
+      FROM wc
+    ),
+    cnt AS (
+      SELECT doc_id, struct_extract(e, 'n') AS n,
+             struct_extract(e, 'gram') AS gram, count(*) AS c
+      FROM ng GROUP BY 1, 2, 3
+    ),
+    pern AS (
+      SELECT doc_id, n,
+             max(c * {_REP_MULT} + c * length(gram)) % {_REP_MULT} AS top_cov,
+             sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END) AS dup_cov
+      FROM cnt GROUP BY doc_id, n
+    ),
+    piv AS (
+      SELECT doc_id,
+           {top_cols},
+           {dup_cols}
+      FROM pern GROUP BY doc_id
+    ),
+    fin AS (
+      SELECT wc.doc_id, n_words, total_chars, n_lines, n_dup_lines,
+             line_chars, dup_line_chars,
+             {fin_top},
+             {fin_dup}
+      FROM wc JOIN lst ON wc.doc_id = lst.doc_id
+              LEFT JOIN piv ON wc.doc_id = piv.doc_id
+    )
+    SELECT doc_id, n_words, total_chars, n_lines, n_dup_lines,
+           line_chars, dup_line_chars,
+           {sel_top},
+           {sel_dup},
+           {gates_sql},
+           {passes} AS passes
+    FROM fin
+    """
+
+
+@register("gopher_repetition_flags", _gopher_rep_sql())
+def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Gopher repetition battery (Rae et al. 2021 A1.2) — the
+    other half of the published curation filter set, complementing
+    `gopher_quality_flags` (A1.1): duplicate-line fraction <= 0.30,
+    duplicate-line CHARACTER fraction <= 0.20, top word-n-gram
+    character coverage <= {0.20, 0.18, 0.16} for n = 2/3/4, and
+    all-duplicate-n-gram character coverage <= {0.15 .. 0.10} for
+    n = 5..10. A doc failing any gate is repetitive boilerplate.
+
+    Conventions (documented because the paper leaves them open; both
+    engines implement exactly these): words are lower-cased whitespace
+    tokens; an n-gram's character coverage is occurrences x length of
+    the space-joined gram, and duplicate coverage sums that over grams
+    occurring >= 2 times (overlaps may double-count — the comparison is
+    a gate, not a measure); the "top" gram is the most frequent with
+    ties broken by larger coverage, packed order-preservingly as
+    c * 1e12 + coverage (coverage < 1e12 by construction: c and gram
+    length are both bounded by doc length). Line grain is the shared
+    deterministic synthesis (operators.text.synth_lines). Every gate is
+    EXACT INTEGER cross-multiplication — no float boundary.
+
+    Scale shape: the line stats are pure higher-order folds (map-only,
+    zero shuffle). The n-gram side tags each gram with its n and
+    explodes ONCE (9 grains in one pass), then two hash aggregations on
+    (doc_id, n, gram) -> (doc_id, n) -> doc_id — uniform doc-grain
+    keys, partial aggregation map-side, no join wider than the corpus
+    itself. At 100 TB this is the proven shingle-table shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import synth_lines
+
+    lines = F.col("lines")
+    line_len = lambda arr: F.aggregate(
+        F.transform(arr, lambda l: F.length(l).cast("long")), F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    lst = synth_lines(docs).select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("long").alias("n_dup_lines"),
+        line_len(lines).alias("line_chars"),
+        (line_len(lines) - line_len(F.array_distinct(lines))).alias("dup_line_chars"),
+    )
+
+    ws = F.filter(
+        F.transform(F.split(F.col("text"), r"\s+"), lambda x: F.lower(x)),
+        lambda x: x != F.lit(""),
+    )
+    wc = docs.select(
+        "doc_id",
+        ws.alias("ws"),
+        F.size(ws).cast("long").alias("n_words"),
+        (line_len(ws) + F.greatest(F.size(ws) - 1, F.lit(0))).alias("total_chars"),
+    )
+
+    ns = F.array(*[F.lit(n) for n, _, _ in _TOP_GATES + _DUP_GATES])
+    wsc = F.col("ws")
+    entries = F.flatten(
+        F.transform(
+            ns,
+            lambda n: F.transform(
+                F.filter(
+                    F.sequence(F.lit(0), F.greatest(F.size(wsc) - n, F.lit(0))),
+                    lambda i: i <= F.size(wsc) - n,
+                ),
+                lambda i: F.struct(
+                    n.alias("n"), F.array_join(F.slice(wsc, i + 1, n), " ").alias("gram")
+                ),
+            ),
+        )
+    )
+    ng = wc.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.n").alias("n"), F.col("e.gram").alias("gram")
+    )
+    cnt = ng.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    cov = F.col("c") * F.length(F.col("gram")).cast("long")
+    pern = cnt.groupBy("doc_id", "n").agg(
+        (F.max(F.col("c") * F.lit(_REP_MULT) + cov) % F.lit(_REP_MULT)).alias("top_cov"),
+        F.sum(F.when(F.col("c") >= 2, cov).otherwise(F.lit(0).cast("long"))).alias("dup_cov"),
+    )
+    piv = pern.groupBy("doc_id").agg(
+        *[
+            F.coalesce(F.max(F.when(F.col("n") == n, F.col("top_cov"))), F.lit(0))
+            .cast("long")
+            .alias(f"top{n}_cov")
+            for n, _, _ in _TOP_GATES
+        ],
+        *[
+            F.coalesce(F.max(F.when(F.col("n") == n, F.col("dup_cov"))), F.lit(0))
+            .cast("long")
+            .alias(f"dup{n}_cov")
+            for n, _, _ in _DUP_GATES
+        ],
+    )
+
+    fin = (
+        wc.drop("ws")
+        .join(lst, "doc_id")
+        .join(piv, "doc_id", "left")
+        .select(
+            "doc_id", "n_words", "total_chars", "n_lines", "n_dup_lines",
+            "line_chars", "dup_line_chars",
+            *[
+                F.coalesce(F.col(f"top{n}_cov"), F.lit(0)).cast("long").alias(f"top{n}_cov")
+                for n, _, _ in _TOP_GATES
+            ],
+            *[
+                F.coalesce(F.col(f"dup{n}_cov"), F.lit(0)).cast("long").alias(f"dup{n}_cov")
+                for n, _, _ in _DUP_GATES
+            ],
+        )
+    )
+    dup_line_ok = 10 * F.col("n_dup_lines") <= 3 * F.col("n_lines")
+    dup_line_char_ok = 5 * F.col("dup_line_chars") <= F.col("line_chars")
+    top_oks = [
+        (F.lit(a) * F.col(f"top{n}_cov") <= F.lit(b) * F.col("total_chars"))
+        for n, a, b in _TOP_GATES
+    ]
+    dup_oks = [
+        (F.lit(a) * F.col(f"dup{n}_cov") <= F.lit(b) * F.col("total_chars"))
+        for n, a, b in _DUP_GATES
+    ]
+    all_ok = dup_line_ok & dup_line_char_ok
+    for c in top_oks + dup_oks:
+        all_ok = all_ok & c
+    return fin.select(
+        "*",
+        dup_line_ok.alias("dup_line_ok"),
+        dup_line_char_ok.alias("dup_line_char_ok"),
+        *[c.alias(f"top{n}_ok") for (n, _, _), c in zip(_TOP_GATES, top_oks)],
+        *[c.alias(f"dup{n}_ok") for (n, _, _), c in zip(_DUP_GATES, dup_oks)],
+        all_ok.alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-level filtering (RefinedWeb §3.1 / C4: the filter that runs BEFORE
+# text extraction). The corpus carries no URLs, so — like html_strip's
+# crawl wrapper and synth_lines — each doc gets a deterministic URL
+# synthesized identically on both engines: registrable name and TLD
+# keyed off doc_id (37/5 residues, so domains repeat across docs and
+# domain-level decisions are meaningful), path slugged from the doc's
+# first three words, with spam keywords / tracking queries injected on
+# fixed residues. The RULES are the real operator; only the URL column
+# is a stand-in for a crawl's metadata.
+# ---------------------------------------------------------------------------
+
+URL_TLDS = ["com", "org", "net", "info", "biz"]
+URL_BLOCKED_HOSTS = ["site3", "site8", "site21"]
+URL_KEYWORD_RE = r"(casino|porn|xxx|pills|download=exe)"
+
+
+def _url_filter_sql() -> str:
+    tlds = ", ".join(f"'{t}'" for t in URL_TLDS)
+    blocked = ", ".join(f"'{h}'" for h in URL_BLOCKED_HOSTS)
+    return f"""
+    WITH u AS (
+      SELECT doc_id,
+             'site' || CAST(doc_id % 37 AS VARCHAR) AS host,
+             ([{tlds}])[CAST(doc_id % 5 AS INT) + 1] AS tld,
+             regexp_replace(lower(array_to_string(
+               (string_split(text, ' '))[1:3], ' ')), '[^a-z0-9]+', '-', 'g')
+               AS slug
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, host, tld, host || '.' || tld AS domain,
+             'https://' || host || '.' || tld || '/'
+               || (CASE WHEN doc_id % 13 = 0 THEN 'casino-bonus/' ELSE '' END)
+               || slug
+               || (CASE WHEN doc_id % 17 = 0 THEN '?download=exe' ELSE '' END)
+               AS url
+      FROM u
+    )
+    SELECT doc_id, url, domain, tld,
+           host IN ({blocked}) AS blocked_domain,
+           regexp_matches(url, '{URL_KEYWORD_RE}') AS keyword_hit,
+           NOT (host IN ({blocked})
+                OR regexp_matches(url, '{URL_KEYWORD_RE}')) AS allowed
+    FROM f
+    """
+
+
+@register("url_filter_flags", _url_filter_sql())
+def q_url_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level curation filter (the stage RefinedWeb/C4 run before
+    any text processing): registrable-name blocklist membership plus a
+    spam-keyword scan over the full URL (path and query included —
+    'casino', 'download=exe', ...). Map-only string/regex projection,
+    zero shuffle; at 100 TB the blocklist broadcasts (here it is a
+    literal IN-list) and the whole filter is scan-bound. `allowed` is
+    the pushdown predicate ingest applies before fetching bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    host = F.concat(F.lit("site"), (doc_id % 37).cast("string"))
+    tld = F.element_at(
+        F.array(*[F.lit(t) for t in URL_TLDS]), (doc_id % 5).cast("int") + 1
+    )
+    slug = F.regexp_replace(
+        F.lower(F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")),
+        "[^a-z0-9]+",
+        "-",
+    )
+    domain = F.concat(host, F.lit("."), tld)
+    url = F.concat(
+        F.lit("https://"),
+        domain,
+        F.lit("/"),
+        F.when(doc_id % 13 == 0, F.lit("casino-bonus/")).otherwise(F.lit("")),
+        slug,
+        F.when(doc_id % 17 == 0, F.lit("?download=exe")).otherwise(F.lit("")),
+    )
+    blocked = host.isin(URL_BLOCKED_HOSTS)
+    keyword = url.rlike(URL_KEYWORD_RE)
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        domain.alias("domain"),
+        tld.alias("tld"),
+        blocked.alias("blocked_domain"),
+        keyword.alias("keyword_hit"),
+        (~(blocked | keyword)).alias("allowed"),
+    )

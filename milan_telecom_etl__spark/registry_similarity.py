@@ -1552,3 +1552,41 @@ def q_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         load_table(spark, sf_dir, "embeddings"),
     )
+
+
+def _hard_neg_sql(n_queries: int = 8, k: int = 5) -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+    s AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             {_cos("q.embedding", "c.embedding")} AS cos_sim
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {n_queries}
+    ),
+    wb AS (
+      SELECT *,
+             max(CASE WHEN neighbor_label = query_label THEN cos_sim END)
+               OVER (PARTITION BY query_id) AS pos_best
+      FROM s
+    ),
+    n AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+      FROM wb WHERE neighbor_label <> query_label
+    )
+    SELECT query_id, query_label, neighbor_id AS neg_id,
+           neighbor_label AS neg_label, cos_sim, CAST(rk AS INT) AS rk,
+           pos_best, round(pos_best - cos_sim, 6) AS margin
+    FROM n WHERE rk <= {k}
+    """
+
+
+@register("hard_negative_mining", _hard_neg_sql())
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: per query, the top-5 most similar
+    WRONG-label vectors, with the best positive cosine and the margin
+    against it. The mining shape behind DPR-style retriever and
+    embedding-model training data. See operators/similarity.
+    hard_negatives for the single-window-pass plan notes."""
+    return S.hard_negatives(load_table(spark, sf_dir, "embeddings"))

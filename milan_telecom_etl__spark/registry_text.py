@@ -2644,3 +2644,101 @@ def q_pii_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pii_per_10kchars"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair candidates — the first iteration of tokenizer training
+# (Sennrich et al. 2016): count adjacent symbol pairs across the corpus
+# vocabulary, weighted by word frequency. The most frequent pair is the
+# first merge a BPE trainer would perform; the ranked table is the
+# corpus-statistics input tokenizer training at scale starts from.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 50
+BPE_EOW = "</w>"
+
+
+@register(
+    "bpe_merge_candidates",
+    f"""
+    WITH wf AS (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    pr AS (
+      SELECT freq,
+             unnest(list_concat(
+               list_transform(range(1, greatest(length(w), 1)),
+                 i -> {{'a': w[i:i], 'b': w[i+1:i+1]}}),
+               [{{'a': w[length(w):length(w)], 'b': '{BPE_EOW}'}}])) AS p
+      FROM wf
+    ),
+    agg AS (
+      SELECT struct_extract(p, 'a') AS left_sym,
+             struct_extract(p, 'b') AS right_sym,
+             CAST(sum(freq) AS BIGINT) AS pair_count
+      FROM pr GROUP BY 1, 2
+      ORDER BY pair_count DESC, left_sym, right_sym
+      LIMIT {BPE_TOP_PAIRS}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, left_sym,
+                                   right_sym) AS BIGINT) AS merge_rank,
+           left_sym, right_sym, pair_count
+    FROM agg
+    """,
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent symbol pairs for the first BPE merge (Sennrich
+    2016 §3.2), with the classic end-of-word symbol so terminal pairs
+    ('s' + </w>) compete with interior ones. Deterministic rank:
+    count desc, then pair lexicographic.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (word
+    hash-agg with map-side partials — the same shrink tokenizer
+    trainers exploit), so pair expansion runs over distinct words x
+    avg_word_len, orders of magnitude smaller than the corpus; the
+    pair agg output is bounded by |alphabet|^2. Final top-50 plans as
+    TakeOrderedAndProject. No Python, no join, two uniform hash aggs."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = F.col("w")
+    inner = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.length(w) - 1, F.lit(1))),
+            lambda i: i <= F.length(w) - 1,
+        ),
+        lambda i: F.struct(
+            F.substring(w, i, 1).alias("a"), F.substring(w, i + 1, 1).alias("b")
+        ),
+    )
+    terminal = F.array(
+        F.struct(
+            F.substring(w, F.length(w), 1).alias("a"), F.lit(BPE_EOW).alias("b")
+        )
+    )
+    pairs = (
+        wf.select("freq", F.explode(F.concat(inner, terminal)).alias("p"))
+        .groupBy(F.col("p.a").alias("left_sym"), F.col("p.b").alias("right_sym"))
+        .agg(F.sum("freq").cast("long").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(BPE_TOP_PAIRS)
+    )
+    from pyspark.sql import Window
+
+    rank_w = Window.orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+    return pairs.select(
+        F.row_number().over(rank_w).cast("long").alias("merge_rank"),
+        "left_sym",
+        "right_sym",
+        "pair_count",
+    )

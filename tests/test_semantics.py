@@ -1849,3 +1849,151 @@ def test_rrf_fusion_properties(spark):
         assert scores == sorted(scores, reverse=True)
         # fusion actually mixes: at least one row retrieved by both legs
         assert any(r["lex_rk"] > 0 and r["dense_rk"] > 0 for r in rs)
+
+
+def test_gopher_repetition_consistency(spark):
+    """passes == AND of all repetition flags; flags are total; the
+    synthetic corpus exercises the top-n-gram gates (templated text is
+    exactly the 2/3/4-gram repetition Gopher targets) while the
+    duplicate-line and duplicate-5..10-gram gates stay open (crafted
+    docs below close them)."""
+    from milan_telecom_etl__spark.registry_quality import q_gopher_repetition_flags
+
+    rows = q_gopher_repetition_flags(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    gates = (
+        ["dup_line_ok", "dup_line_char_ok"]
+        + [f"top{n}_ok" for n in (2, 3, 4)]
+        + [f"dup{n}_ok" for n in range(5, 11)]
+    )
+    for r in rows:
+        flags = [r[g] for g in gates]
+        assert all(f is not None for f in flags)
+        assert r["passes"] == all(flags)
+        assert (r["dup_line_chars"] > 0) == (r["n_dup_lines"] > 0)
+        assert r["total_chars"] > 0
+    assert any(not r["top4_ok"] for r in rows), "templated corpus should trip top4"
+    for g in ["dup_line_ok"] + [f"dup{n}_ok" for n in range(5, 11)]:
+        assert all(r[g] for r in rows), f"{g} unexpectedly closed on the corpus"
+
+
+def test_gopher_repetition_crafted(spark):
+    """A word repeated wall-to-wall trips every n-gram gate; a doc
+    whose 12-word chunks are identical trips the duplicate-line gates;
+    varied natural text passes everything."""
+    import os
+    import tempfile
+
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    natural = (
+        "The quick brown fox jumps over one lazy dog while seventeen "
+        "other animals watch from behind the old wooden fence near the "
+        "river bank and wonder what strange business brings everyone "
+        "together on such a bright cold morning in early spring weather"
+    )
+    spam = " ".join(["spam"] * 200)
+    # doc 2: every 12-word chunk identical -> synthesized lines repeat
+    # (punctuation rule only yields two variants, so 12 chunks -> >=10
+    # redundant lines out of 15)
+    chunk = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    repeated_lines = " ".join([chunk] * 12)
+    rows = [(0, natural), (1, spam), (2, repeated_lines)]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in QUERIES["gopher_repetition_flags"](spark, d).collect()}
+
+    assert got[0]["passes"], "varied natural text must clear every gate"
+    for n in (2, 3, 4):
+        assert not got[1][f"top{n}_ok"], f"all-spam doc must trip top{n}"
+    for n in range(5, 11):
+        assert not got[1][f"dup{n}_ok"], f"all-spam doc must trip dup{n}"
+    assert not got[1]["passes"]
+    assert not got[2]["dup_line_ok"], "identical chunks must trip the line gate"
+    assert not got[2]["dup_line_char_ok"]
+    assert got[2]["n_dup_lines"] >= 10 - 1  # 12 chunks, 2 punctuation variants
+
+
+def test_hard_negatives_semantics(spark):
+    """Negatives never share the query's label; ranks are dense per
+    query; pos_best equals the exact best same-label cosine; margin
+    can be negative (that's the point of mining)."""
+    from milan_telecom_etl__spark.operators.similarity import (
+        cosine_knn_bruteforce,
+        hard_negatives,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    rows = hard_negatives(emb).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r["neg_label"] != r["query_label"]
+        assert r["margin"] is not None
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rks = sorted(r["rk"] for r in rs)
+        assert rks == list(range(1, len(rks) + 1))
+        sims = [r["cos_sim"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert sims == sorted(sims, reverse=True)
+    # pos_best cross-check against the unrestricted exact top-k scorer:
+    # the best same-label cosine among ALL neighbors
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    exact = cosine_knn_bruteforce(emb, n_queries=8, k=10**6).collect()
+    best_pos = {}
+    for r in exact:
+        if labels[r["neighbor_id"]] == labels[r["query_id"]]:
+            cur = best_pos.get(r["query_id"])
+            if cur is None or r["cos_sim"] > cur:
+                best_pos[r["query_id"]] = r["cos_sim"]
+    for r in rows:
+        assert abs(r["pos_best"] - best_pos[r["query_id"]]) < 1e-9
+
+
+def test_bpe_merge_candidates_semantics(spark):
+    """Rank 1 is the corpus's most frequent adjacent pair; counts are
+    non-increasing by rank; every word contributes exactly one
+    end-of-word pair (sum of </w>-pair counts == total word count)."""
+    import os
+    import tempfile
+
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    rows = [(0, "low low low lower lowest"), (1, "low lower newest newest")]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    got = QUERIES["bpe_merge_candidates"](spark, d).collect()
+    counts = {(r["left_sym"], r["right_sym"]): r["pair_count"] for r in got}
+    # 9 words total: low x4, lower x2, lowest x1, newest x2
+    assert counts[("l", "o")] == 7  # low + lower + lowest
+    assert counts[("o", "w")] == 7
+    assert counts[("w", "</w>")] == 4  # exactly the four bare 'low'
+    assert counts[("e", "s")] == 3  # lowest + newest x2
+    ordered = sorted(got, key=lambda r: r["merge_rank"])
+    pcs = [r["pair_count"] for r in ordered]
+    assert pcs == sorted(pcs, reverse=True)
+    eow_total = sum(v for (a, b), v in counts.items() if b == "</w>")
+    assert eow_total == 9
+
+
+def test_url_filter_flags_rules(spark):
+    """Blocklist hits exactly the site3/8/21 hosts; keyword rule fires
+    on the injected residues; allowed == neither rule fired."""
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    rows = QUERIES["url_filter_flags"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        host = r["domain"].split(".")[0]
+        assert r["blocked_domain"] == (host in ("site3", "site8", "site21"))
+        assert r["url"].startswith("https://" + r["domain"] + "/")
+        if r["doc_id"] % 13 == 0 or r["doc_id"] % 17 == 0:
+            assert r["keyword_hit"], r["url"]
+        assert r["allowed"] == (not r["blocked_domain"] and not r["keyword_hit"])
+    assert any(r["blocked_domain"] for r in rows)
+    assert any(r["keyword_hit"] for r in rows)
+    assert any(r["allowed"] for r in rows)
