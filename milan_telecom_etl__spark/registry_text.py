@@ -2742,3 +2742,163 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "right_sym",
         "pair_count",
     )
+
+
+# ---------------------------------------------------------------------------
+# T5 span corruption — training-example synthesis (Raffel et al. 2020
+# §3.1.4): mask ~15% of tokens in mean-length-3 spans, replace each
+# span with a sentinel in the input and emit the spans behind their
+# sentinels as the target. Span placement is DETERMINISTIC (stratified
+# md5 draw) so both engines synthesize identical examples: the token
+# stream splits into n_spans equal strata and each span lands at
+# md5('t5:'||doc_id||':'||i) % (stratum - 2) inside its stratum —
+# non-overlapping and ordered by construction.
+# ---------------------------------------------------------------------------
+
+T5_SPAN_LEN = 3  # mean noise-span length used as the fixed span length
+
+
+def _t5_sql() -> str:
+    h = "(('0x' || substr(md5('t5:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15))::BIGINT)"
+    idx = "least((i-1)//st, ns-1)"
+    s_at = f"starts[{idx}+1]"
+    return f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks, len(toks) AS nw,
+             CASE WHEN len(toks) >= {T5_SPAN_LEN}
+                  THEN greatest(1, least(len(toks) // 20,
+                                         len(toks) // {T5_SPAN_LEN}))
+                  ELSE 0 END AS ns
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, toks, nw, ns,
+             CASE WHEN ns > 0 THEN nw // ns ELSE 0 END AS st,
+             CASE WHEN ns > 0 THEN
+               list_transform(range(0, ns),
+                 i -> i * (nw // ns) + ({h} % ((nw // ns) - {T5_SPAN_LEN - 1})))
+             ELSE []::BIGINT[] END AS starts
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(nw AS BIGINT) AS n_words,
+           CAST(ns AS BIGINT) AS n_spans,
+           CASE WHEN ns = 0 THEN array_to_string(toks, ' ')
+           ELSE array_to_string(list_filter(list_transform(toks, (t, i) ->
+             CASE WHEN (i-1) >= {s_at} AND (i-1) < {s_at} + {T5_SPAN_LEN}
+                  THEN (CASE WHEN (i-1) = {s_at}
+                        THEN '<extra_id_' || CAST({idx} AS VARCHAR) || '>'
+                        ELSE NULL END)
+                  ELSE t END), x -> x IS NOT NULL), ' ')
+           END AS input_text,
+           CASE WHEN ns = 0 THEN ''
+           ELSE array_to_string(list_transform(range(0, ns), i ->
+                  '<extra_id_' || CAST(i AS VARCHAR) || '> '
+                  || array_to_string(toks[starts[i+1]+1 : starts[i+1]+{T5_SPAN_LEN}], ' ')),
+                ' ')
+                || ' <extra_id_' || CAST(ns AS VARCHAR) || '>'
+           END AS target_text
+    FROM s
+    """
+
+
+@register("t5_span_corruption", _t5_sql())
+def q_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption example synthesis (the T5 / UL2 denoising
+    objective): per doc, ~15% of tokens masked in fixed-length-3
+    spans; input carries <extra_id_k> sentinels, target carries the
+    masked spans behind their sentinels plus the closing sentinel.
+    Stratified deterministic placement (one md5 draw per span inside
+    its stratum) keeps spans non-overlapping, ordered, and identical
+    across engines and runs — reproducible pretraining examples.
+
+    Scale shape: pure per-row higher-order projection — tokenize,
+    place, mask, and reassemble all happen inside one codegen'd map
+    over the corpus; zero shuffle, zero Python, embarrassingly
+    parallel at any scale. Docs shorter than one span pass through
+    uncorrupted (n_spans = 0, empty target)."""
+    docs = load_table(spark, sf_dir, "documents")
+    L = T5_SPAN_LEN
+    toks = F.split(F.col("text"), " ")
+    nw = F.size(toks)
+    ns = (
+        F.when(
+            nw >= L,
+            F.greatest(F.lit(1), F.least(F.floor(nw / 20), F.floor(nw / L))),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    base = docs.select("doc_id", toks.alias("toks"), nw.alias("nw"), ns.alias("ns"))
+    nw, ns = F.col("nw"), F.col("ns")
+    st = F.when(ns > 0, F.floor(nw / ns)).otherwise(F.lit(0)).cast("long")
+    draw = lambda i: D._md5_int60(
+        F.concat(
+            F.lit("t5:"), F.col("doc_id").cast("string"), F.lit(":"), i.cast("string")
+        )
+    )
+    starts = F.when(
+        ns > 0,
+        F.transform(
+            F.sequence(F.lit(0), ns - 1),
+            lambda i: i.cast("long") * F.floor(nw / ns).cast("long")
+            + draw(i) % (F.floor(nw / ns).cast("long") - F.lit(L - 1)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    base = base.withColumn("st", st).withColumn("starts", starts)
+
+    def span_idx(j):
+        return F.least(F.floor(j.cast("long") / F.col("st")), (F.col("ns") - 1).cast("long"))
+
+    def start_at(j):
+        return F.element_at(F.col("starts"), (span_idx(j) + 1).cast("int"))
+
+    masked = F.transform(
+        F.col("toks"),
+        lambda t, j: F.when(
+            (j.cast("long") >= start_at(j)) & (j.cast("long") < start_at(j) + L),
+            F.when(
+                j.cast("long") == start_at(j),
+                F.concat(F.lit("<extra_id_"), span_idx(j).cast("string"), F.lit(">")),
+            ).otherwise(F.lit(None).cast("string")),
+        ).otherwise(t),
+    )
+    input_text = F.when(
+        F.col("ns") == 0, F.array_join(F.col("toks"), " ")
+    ).otherwise(F.array_join(F.filter(masked, lambda x: x.isNotNull()), " "))
+    target_text = F.when(F.col("ns") == 0, F.lit("")).otherwise(
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("ns") - 1),
+                    lambda i: F.concat(
+                        F.lit("<extra_id_"),
+                        i.cast("long").cast("string"),
+                        F.lit("> "),
+                        F.array_join(
+                            F.slice(
+                                F.col("toks"),
+                                (F.element_at(F.col("starts"), (i + 1).cast("int")) + 1).cast(
+                                    "int"
+                                ),
+                                L,
+                            ),
+                            " ",
+                        ),
+                    ),
+                ),
+                " ",
+            ),
+            F.lit(" <extra_id_"),
+            F.col("ns").cast("string"),
+            F.lit(">"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.col("nw").cast("long").alias("n_words"),
+        F.col("ns").cast("long").alias("n_spans"),
+        input_text.alias("input_text"),
+        target_text.alias("target_text"),
+    )

@@ -1961,6 +1961,8 @@ def test_bpe_merge_candidates_semantics(spark):
 
     from milan_telecom_etl__spark.queries_registry import QUERIES
 
+    from milan_telecom_etl__spark import registry_text  # noqa: F401 (registers)
+
     rows = [(0, "low low low lower lowest"), (1, "low lower newest newest")]
     d = tempfile.mkdtemp()
     spark.createDataFrame(rows, "doc_id long, text string").write.mode(
@@ -1983,6 +1985,7 @@ def test_bpe_merge_candidates_semantics(spark):
 def test_url_filter_flags_rules(spark):
     """Blocklist hits exactly the site3/8/21 hosts; keyword rule fires
     on the injected residues; allowed == neither rule fired."""
+    from milan_telecom_etl__spark import registry_quality  # noqa: F401 (registers)
     from milan_telecom_etl__spark.queries_registry import QUERIES
 
     rows = QUERIES["url_filter_flags"](spark, "/root/testdata/sf0.001").collect()
@@ -1997,3 +2000,37 @@ def test_url_filter_flags_rules(spark):
     assert any(r["blocked_domain"] for r in rows)
     assert any(r["keyword_hit"] for r in rows)
     assert any(r["allowed"] for r in rows)
+
+
+def test_t5_span_corruption_reconstructs(spark):
+    """The denoising-objective contract: splicing each target span
+    back over its sentinel in the input reconstructs the original
+    text exactly; corruption budget ~15% in 3-token spans; short docs
+    pass through uncorrupted."""
+    import re
+
+    from milan_telecom_etl__spark import registry_text  # noqa: F401 (registers)
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    docs = {r["doc_id"]: r["text"] for r in
+            load_table(spark, SF, "documents").collect()}
+    rows = QUERIES["t5_span_corruption"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        orig = docs[r["doc_id"]]
+        if r["n_spans"] == 0:
+            assert r["input_text"] == orig and r["target_text"] == ""
+            continue
+        # parse target: <extra_id_k> span tokens ... <extra_id_ns>
+        parts = re.split(r"<extra_id_(\d+)>", r["target_text"])
+        spans = {}
+        for k, chunk in zip(parts[1::2], parts[2::2]):
+            spans[int(k)] = chunk.strip()
+        assert int(max(spans)) == r["n_spans"] and spans[r["n_spans"]] == ""
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r["input_text"]
+        )
+        assert rebuilt == orig, r["doc_id"]
+        n_masked = sum(len(s.split()) for k, s in spans.items() if k < r["n_spans"])
+        assert n_masked == 3 * r["n_spans"]
+        assert n_masked <= max(3, int(r["n_words"] * 0.15) + 3)
