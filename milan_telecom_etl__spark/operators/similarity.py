@@ -889,3 +889,87 @@ def hard_negatives(
         "pos_best",
         F.round(F.col("pos_best") - F.col("cos_sim"), 6).alias("margin"),
     )
+
+
+def bitext_margin_mining(
+    embeddings: DataFrame,
+    n_tables: int = 6,
+    k: int = 4,
+    min_cos: float = 0.1,
+    min_margin: float = 1.05,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019; the
+    CCMatrix/LASER alignment shape): between two corpus halves (label
+    parity is the documented stand-in for the two languages), keep for
+    each source vector its best target by MARGIN — cosine divided by
+    the mean of both endpoints' top-k candidate cosines — rather than
+    raw cosine, which kills the hub vectors that are "near everything"
+    and would flood absolute-threshold mining.
+
+    Scale shape: candidates come from the shared auto-plane multi-table
+    sign-LSH index (plane count derived from corpus size keeps
+    E[bucket] bounded, so the cross-side bucket join stays ~linear);
+    the k-NN averages in the margin denominator are computed over the
+    SAME candidate set (the standard large-scale approximation —
+    exact denominators would need the full similarity matrix). One
+    bucketed join + two bounded windows; the corpus is never
+    cross-joined. Candidates floor at cos >= 0.1, so denominators are
+    strictly positive. Deterministic: 6dp cosines and margins, ties by
+    partner id."""
+    n_planes = auto_n_planes(embeddings.count())
+    parity = F.col(label_col) % 2
+    src_b = multi_table_buckets(
+        embeddings.filter(parity == 0), n_tables, n_planes, dim, vec_col, id_col
+    )
+    tgt_b = multi_table_buckets(
+        embeddings.filter(parity == 1), n_tables, n_planes, dim, vec_col, id_col
+    )
+    cand = (
+        src_b.alias("x")
+        .join(tgt_b.alias("y"), ["table_id", "bucket"])
+        .select(
+            F.col("x.vec_id").alias("src_id"),
+            F.col("y.vec_id").alias("tgt_id"),
+            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cos)
+        .distinct()
+        .persist()
+    )
+    # top-k means in exact integer micro-units: float avg() is
+    # summation-order-dependent at the last ulp, which flips the 6th
+    # decimal across engines; an integer sum is order-free, and the
+    # double it deterministically divides into is bit-identical.
+    ci = F.round(F.col("cos_sim") * 1000000).cast("long")
+    wx = Window.partitionBy("src_id").orderBy(F.desc("cos_sim"), F.asc("tgt_id"))
+    dx = (
+        cand.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= k)
+        .groupBy("src_id")
+        .agg((F.sum(ci) / (F.count(F.lit(1)) * 1000000.0)).alias("ax"))
+    )
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("cos_sim"), F.asc("src_id"))
+    dy = (
+        cand.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= k)
+        .groupBy("tgt_id")
+        .agg((F.sum(ci) / (F.count(F.lit(1)) * 1000000.0)).alias("ay"))
+    )
+    m = (
+        cand.join(dx, "src_id")
+        .join(dy, "tgt_id")
+        .withColumn(
+            "margin",
+            F.round(F.col("cos_sim") * 2.0 / (F.col("ax") + F.col("ay")), 6),
+        )
+    )
+    wbest = Window.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    return (
+        m.withColumn("rk", F.row_number().over(wbest))
+        .filter((F.col("rk") == 1) & (F.col("margin") >= min_margin))
+        .select("src_id", "tgt_id", "cos_sim", "margin")
+    )

@@ -1590,3 +1590,70 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-model training data. See operators/similarity.
     hard_negatives for the single-window-pass plan notes."""
     return S.hard_negatives(load_table(spark, sf_dir, "embeddings"))
+
+
+def _bitext_sql(
+    n_tables: int = 6, k: int = 4, min_cos: float = 0.1, min_margin: float = 1.05
+) -> str:
+    tables = ", ".join(f"({t})" for t in range(n_tables))
+    w = (
+        "(((('0x' || substr(md5((t.table_id * cfg.np + pp) || ':' || (i - 1)),"
+        " 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
+    )
+    pair_cos = (
+        "round(list_sum(list_transform(range(1, 65), i -> "
+        "x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)) / (x.nrm * y.nrm), 6)"
+    )
+    return f"""
+    WITH n AS (SELECT count(*) AS cnt FROM embeddings),
+    cfg AS (SELECT CASE WHEN cnt <= 128 THEN 1
+                        ELSE greatest(1, CAST(ceil(log2(cnt / 128.0)) AS INT))
+                   END AS np FROM n),
+    b AS (
+      SELECT e.vec_id, e.embedding, e.label % 2 AS side,
+             sqrt(list_sum(list_transform(range(1, 65), i ->
+               e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm,
+             t.table_id,
+             array_to_string(
+               list_transform(range(0, cfg.np), pp ->
+                 CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                   e.embedding[i]::DOUBLE * {w})) >= 0
+                 THEN '1' ELSE '0' END),
+               '') AS bucket
+      FROM embeddings e, cfg, (VALUES {tables}) t(table_id)),
+    cand AS (
+      SELECT DISTINCT x.vec_id AS src_id, y.vec_id AS tgt_id,
+             {pair_cos} AS cos_sim
+      FROM b x JOIN b y ON x.table_id = y.table_id AND x.bucket = y.bucket
+      WHERE x.side = 0 AND y.side = 1 AND {pair_cos} >= {min_cos}),
+    dx AS (SELECT src_id,
+                  sum(CAST(round(cos_sim * 1000000) AS BIGINT))
+                    / (count(*) * 1000000.0) AS ax FROM (
+      SELECT src_id, cos_sim, row_number() OVER (
+        PARTITION BY src_id ORDER BY cos_sim DESC, tgt_id) AS rk FROM cand)
+      WHERE rk <= {k} GROUP BY src_id),
+    dy AS (SELECT tgt_id,
+                  sum(CAST(round(cos_sim * 1000000) AS BIGINT))
+                    / (count(*) * 1000000.0) AS ay FROM (
+      SELECT tgt_id, cos_sim, row_number() OVER (
+        PARTITION BY tgt_id ORDER BY cos_sim DESC, src_id) AS rk FROM cand)
+      WHERE rk <= {k} GROUP BY tgt_id),
+    m AS (SELECT c.src_id, c.tgt_id, c.cos_sim,
+                 round(c.cos_sim * 2.0 / (dx.ax + dy.ay), 6) AS margin
+          FROM cand c JOIN dx ON c.src_id = dx.src_id
+                      JOIN dy ON c.tgt_id = dy.tgt_id)
+    SELECT src_id, tgt_id, cos_sim, margin FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk FROM m)
+    WHERE rk = 1 AND margin >= {min_margin}
+    """
+
+
+@register("bitext_mining", _bitext_sql())
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based cross-corpus alignment (Artetxe & Schwenk 2019):
+    best target per source by margin score over auto-plane LSH
+    candidates, with the top-4 candidate-cosine means as the hub
+    penalty. See operators/similarity.bitext_margin_mining for plan
+    notes."""
+    return S.bitext_margin_mining(load_table(spark, sf_dir, "embeddings"))

@@ -2034,3 +2034,22 @@ def test_t5_span_corruption_reconstructs(spark):
         n_masked = sum(len(s.split()) for k, s in spans.items() if k < r["n_spans"])
         assert n_masked == 3 * r["n_spans"]
         assert n_masked <= max(3, int(r["n_words"] * 0.15) + 3)
+
+
+def test_bitext_mining_contract(spark):
+    """One best target per source, sides are label-parity-disjoint,
+    every kept pair clears the cosine floor and the margin bar."""
+    from milan_telecom_etl__spark.operators.similarity import bitext_margin_mining
+
+    emb = load_table(spark, SF, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    rows = bitext_margin_mining(emb).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["src_id"] not in seen
+        seen.add(r["src_id"])
+        assert labels[r["src_id"]] % 2 == 0
+        assert labels[r["tgt_id"]] % 2 == 1
+        assert r["cos_sim"] >= 0.1
+        assert r["margin"] >= 1.05
