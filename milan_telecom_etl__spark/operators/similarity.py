@@ -973,3 +973,115 @@ def bitext_margin_mining(
         .filter((F.col("rk") == 1) & (F.col("margin") >= min_margin))
         .select("src_id", "tgt_id", "cos_sim", "margin")
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    n_queries: int = 4,
+    pool: int = 20,
+    k: int = 5,
+    lam_tenths: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998)
+    — the diversity pass RAG pipelines run on retrieval results: from
+    each query's top-`pool` cosine candidates, pick `k` one at a time
+    by mmr = (lam*rel - (1-lam)*max_sim_to_already_picked), so the
+    final k are relevant AND mutually diverse.
+
+    The selection loop is inherently sequential in k but k is a small
+    constant: the plan UNROLLS the k steps (each step a bounded
+    penalty join + per-query argmax window), everything keyed by
+    query_id — at scale with millions of queries every step is an
+    embarrassingly parallel shuffle on the query key; only depth, not
+    width, grows with k. The candidate pool and its pairwise-cosine
+    table are n_queries x pool(^2) rows — bounded by construction.
+    lam is carried as integer tenths ((7*rel - 3*pen)/10.0) so both
+    engines promote the same way; scores are 6dp-rounded with id
+    tie-breaks."""
+    q = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("doc_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            "cv",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("rel"),
+        )
+    )
+    wpool = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    pool_df = (
+        scored.withColumn("rk", F.row_number().over(wpool))
+        .filter(F.col("rk") <= pool)
+        .select("query_id", "doc_id", "rel", "cv")
+        .persist()
+    )
+    a, b = pool_df.alias("a"), pool_df.alias("b")
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            "query_id",
+            F.col("a.doc_id").alias("a_doc"),
+            F.col("b.doc_id").alias("b_doc"),
+            F.round(cosine(F.col("a.cv"), F.col("b.cv")), 6).alias("pc"),
+        )
+        .persist()
+    )
+    lam, lam1 = lam_tenths, 10 - lam_tenths
+
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
+    pick = (
+        pool_df.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            "rel",
+            F.round(F.lit(lam) * F.col("rel") / 10.0, 6).alias("mmr"),
+            F.lit(1).cast("int").alias("step"),
+        )
+    )
+    picks = [pick]
+    selected = pick.select("query_id", "doc_id")
+    wm = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("doc_id"))
+    for step in range(2, k + 1):
+        pen = (
+            pairs.join(
+                selected.withColumnRenamed("doc_id", "b_doc"), ["query_id", "b_doc"]
+            )
+            .groupBy("query_id", F.col("a_doc").alias("doc_id"))
+            .agg(F.max("pc").alias("pen"))
+        )
+        cand = (
+            pool_df.join(selected, ["query_id", "doc_id"], "left_anti")
+            .join(pen, ["query_id", "doc_id"])
+            .select(
+                "query_id",
+                "doc_id",
+                "rel",
+                F.round(
+                    (F.lit(lam) * F.col("rel") - F.lit(lam1) * F.col("pen")) / 10.0, 6
+                ).alias("mmr"),
+            )
+        )
+        pick = (
+            cand.withColumn("rk", F.row_number().over(wm))
+            .filter(F.col("rk") == 1)
+            .select(
+                "query_id", "doc_id", "rel", "mmr", F.lit(step).cast("int").alias("step")
+            )
+        )
+        picks.append(pick)
+        selected = selected.unionByName(pick.select("query_id", "doc_id"))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select("query_id", "step", "doc_id", "rel", F.col("mmr").alias("mmr_score"))

@@ -1657,3 +1657,73 @@ def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     penalty. See operators/similarity.bitext_margin_mining for plan
     notes."""
     return S.bitext_margin_mining(load_table(spark, sf_dir, "embeddings"))
+
+
+def _mmr_sql(n_queries: int = 4, pool: int = 20, k: int = 5, lam: int = 7) -> str:
+    lam1 = 10 - lam
+    steps = []
+    for i in range(2, k + 1):
+        steps.append(f"""
+    pen{i} AS (
+      SELECT pr.query_id, pr.a_doc AS doc_id, max(pr.pc) AS pen
+      FROM pairs pr JOIN sel{i-1} s
+        ON pr.query_id = s.query_id AND pr.b_doc = s.doc_id
+      GROUP BY pr.query_id, pr.a_doc),
+    cand{i} AS (
+      SELECT p.query_id, p.doc_id, p.rel,
+             round(({lam} * p.rel - {lam1} * pn.pen) / 10.0, 6) AS mmr
+      FROM pool p
+      JOIN pen{i} pn ON pn.query_id = p.query_id AND pn.doc_id = p.doc_id
+      LEFT JOIN sel{i-1} sx
+        ON sx.query_id = p.query_id AND sx.doc_id = p.doc_id
+      WHERE sx.doc_id IS NULL),
+    p{i} AS (
+      SELECT query_id, doc_id, rel, mmr, {i} AS step FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY mmr DESC, doc_id) AS rk
+        FROM cand{i}) WHERE rk = 1),
+    sel{i} AS (SELECT query_id, doc_id FROM sel{i-1}
+               UNION ALL SELECT query_id, doc_id FROM p{i})""")
+    unions = " UNION ALL ".join(
+        f"SELECT query_id, step, doc_id, rel, mmr FROM p{i}" for i in range(1, k + 1)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id, c.embedding AS cv,
+             {_cos("q.embedding", "c.embedding")} AS rel
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {n_queries}
+    ),
+    pool AS (
+      SELECT query_id, doc_id, rel, cv FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+        FROM scored) WHERE rk <= {pool}
+    ),
+    pairs AS (
+      SELECT a.query_id, a.doc_id AS a_doc, b.doc_id AS b_doc,
+             {_cos("a.cv", "b.cv")} AS pc
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.doc_id <> b.doc_id
+    ),
+    p1 AS (
+      SELECT query_id, doc_id, rel, round({lam} * rel / 10.0, 6) AS mmr,
+             1 AS step
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rk
+            FROM pool) WHERE rk = 1),
+    sel1 AS (SELECT query_id, doc_id FROM p1),{",".join(steps)}
+    SELECT query_id, CAST(step AS INT) AS step, doc_id, rel,
+           mmr AS mmr_score
+    FROM ({unions})
+    """
+
+
+@register("mmr_diversification", _mmr_sql())
+def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-rank over each query's top-20
+    cosine pool: 5 sequential picks trading relevance against maximum
+    similarity to what's already picked (lambda = 0.7). See
+    operators/similarity.mmr_rerank for the unrolled-plan scale notes."""
+    return S.mmr_rerank(load_table(spark, sf_dir, "embeddings"))

@@ -2053,3 +2053,49 @@ def test_bitext_mining_contract(spark):
         assert labels[r["tgt_id"]] % 2 == 1
         assert r["cos_sim"] >= 0.1
         assert r["margin"] >= 1.05
+
+
+def test_mmr_rerank_diversifies(spark):
+    """Step 1 is the raw-relevance argmax; every later pick scores
+    mmr <= its predecessor... no — mmr need not be monotone, but each
+    pick must (a) come from the query's top-20 pool, (b) never repeat,
+    and (c) beat every unpicked pool candidate on the SAME step's mmr
+    — verified by recomputing the greedy selection in numpy."""
+    import numpy as np
+
+    from milan_telecom_etl__spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, SF, "embeddings")
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    rows = mmr_rerank(emb).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+
+    def cos(a, b):
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    for qid, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["step"])
+        assert [r["step"] for r in rs] == [1, 2, 3, 4, 5]
+        qv = vecs[qid]
+        rel = {d: cos(qv, v) for d, v in vecs.items() if d != qid}
+        pool = sorted(rel, key=lambda d: (-rel[d], d))[:20]
+        picked = []
+        for r in rs:
+            assert r["doc_id"] in pool and r["doc_id"] not in picked
+            if picked:
+                best, best_key = None, None
+                for d in pool:
+                    if d in picked:
+                        continue
+                    pen = max(cos(vecs[d], vecs[s]) for s in picked)
+                    key = (-round((7 * rel[d] - 3 * pen) / 10.0, 6), d)
+                    if best_key is None or key < best_key:
+                        best, best_key = d, key
+                assert r["doc_id"] == best, (qid, r["step"])
+            else:
+                assert r["doc_id"] == pool[0]
+            picked.append(r["doc_id"])
