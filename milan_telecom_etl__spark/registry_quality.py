@@ -1407,3 +1407,160 @@ def q_url_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyword.alias("keyword_hit"),
         (~(blocked | keyword)).alias("allowed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality classifier as ONE aggregation pass — the GPT-3 curation
+# pattern (Brown et al. 2020 A.2): label curated-vs-crawl sources,
+# train a linear probe on cheap surface features, score every doc.
+# Training IS an aggregation: OLS needs only the Gram sufficient
+# statistics (X'X, X'y), which partial-aggregate map-side; the 3x3
+# solve is Cramer's rule evaluated EXACTLY in wide-integer arithmetic
+# (DECIMAL(38,0) on Spark, HUGEINT in DuckDB), so both engines derive
+# bit-identical coefficients with zero float accumulation anywhere.
+# ---------------------------------------------------------------------------
+
+PROBE_POS_SOURCES = 5  # sources src0..src4 are the "curated" class
+
+
+def _det3(m: list[list[str]]) -> str:
+    """3x3 determinant as an expression string over entry strings."""
+    def d2(a, b, c, d):
+        return f"(({a}) * ({d}) - ({b}) * ({c}))"
+
+    return (
+        f"(({m[0][0]}) * {d2(m[1][1], m[1][2], m[2][1], m[2][2])}"
+        f" - ({m[0][1]}) * {d2(m[1][0], m[1][2], m[2][0], m[2][2])}"
+        f" + ({m[0][2]}) * {d2(m[1][0], m[1][1], m[2][0], m[2][1])})"
+    )
+
+
+def _probe_sql() -> str:
+    h = lambda s: f"CAST({s} AS HUGEINT)"
+    A = [[h("n"), h("s1"), h("s2")], [h("s1"), h("s11"), h("s12")], [h("s2"), h("s12"), h("s22")]]
+    b = [h("sy"), h("s1y"), h("s2y")]
+    rep = lambda i: [[b[r] if c == i else A[r][c] for c in range(3)] for r in range(3)]
+    dd, d0, d1, d2_ = _det3(A), _det3(rep(0)), _det3(rep(1)), _det3(rep(2))
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN CAST(substr(source, 4) AS INT) < {PROBE_POS_SOURCES}
+                  THEN 1 ELSE 0 END AS y,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS x1,
+             (1000 * len(list_distinct(list_filter(string_split(text, ' '),
+                                                   w -> w <> ''))))
+               // len(list_filter(string_split(text, ' '), w -> w <> '')) AS x2
+      FROM documents
+    ),
+    s AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(y * x1) AS s1y, sum(y * x2) AS s2y
+      FROM f
+    ),
+    m AS (
+      SELECT {dd} AS dd, {d0} AS d0, {d1} AS d1, {d2_} AS d2 FROM s
+    )
+    SELECT f.doc_id, CAST(f.y AS INT) AS y,
+           CAST(f.x1 AS BIGINT) AS x1, CAST(f.x2 AS BIGINT) AS x2,
+           round(CAST(m.d0 + m.d1 * CAST(f.x1 AS HUGEINT)
+                      + m.d2 * CAST(f.x2 AS HUGEINT) AS DOUBLE)
+                 / CAST(m.dd AS DOUBLE), 6) AS score,
+           2 * (m.d0 + m.d1 * CAST(f.x1 AS HUGEINT)
+                + m.d2 * CAST(f.x2 AS HUGEINT)) >= m.dd AS predicted,
+           round(CAST(m.d0 AS DOUBLE) / CAST(m.dd AS DOUBLE), 9) AS b0,
+           round(CAST(m.d1 AS DOUBLE) / CAST(m.dd AS DOUBLE), 9) AS b1,
+           round(CAST(m.d2 AS DOUBLE) / CAST(m.dd AS DOUBLE), 9) AS b2
+    FROM f, m
+    """
+
+
+@register("quality_linear_probe", _probe_sql())
+def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality probe trained in one pass: y = source in the
+    curated set (src0..src4 — the weak label GPT-3-style curation
+    uses), features x1 = word count, x2 = lexical diversity in
+    integer permille. OLS over [1, x1, x2] via the Gram sufficient
+    statistics: nine integer sums (map-side partial aggregation — at
+    100 TB "training" ships 9 numbers per partition), then Cramer's
+    rule on the 3x3 normal equations evaluated in EXACT wide-integer
+    arithmetic — no float accumulation order anywhere, so
+    coefficients, scores, and the decision flag (an integer
+    cross-multiplication against the positive Gram determinant) are
+    reproducible to the bit. Scoring broadcasts the 1-row model back
+    over the corpus.
+
+    Magnitude note: det terms are O(n * Sxx^2); BIGINT sums with
+    DECIMAL(38)/HUGEINT products hold to ~1e38 (n ~ 1e9 docs at these
+    feature scales). Past that, standardize features first — the
+    documented posture, same statistics, and the reason the features
+    are integer-bounded here. Requires a full-rank feature matrix
+    (det > 0 for any corpus whose word counts are not all identical);
+    a singular Gram raises divide-by-zero rather than emitting a
+    silent garbage model."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    x1 = F.size(ws).cast("long")
+    x2 = F.floor((1000 * F.size(F.array_distinct(ws))) / F.size(ws)).cast("long")
+    y = (
+        F.when(
+            F.substring(F.col("source"), 4, 10).cast("int") < PROBE_POS_SOURCES, 1
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    f = docs.select("doc_id", y.alias("y"), x1.alias("x1"), x2.alias("x2"))
+    s = f.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x1")).alias("s1y"),
+        F.sum(F.col("y") * F.col("x2")).alias("s2y"),
+    )
+    dec = lambda name: F.col(name).cast("decimal(38,0)")
+
+    def det3(m):
+        def d2(a, b, c, d):
+            return a * d - b * c
+
+        return (
+            m[0][0] * d2(m[1][1], m[1][2], m[2][1], m[2][2])
+            - m[0][1] * d2(m[1][0], m[1][2], m[2][0], m[2][2])
+            + m[0][2] * d2(m[1][0], m[1][1], m[2][0], m[2][1])
+        )
+
+    A = [
+        [dec("n"), dec("s1"), dec("s2")],
+        [dec("s1"), dec("s11"), dec("s12")],
+        [dec("s2"), dec("s12"), dec("s22")],
+    ]
+    bv = [dec("sy"), dec("s1y"), dec("s2y")]
+    rep = lambda i: [
+        [bv[r] if c == i else A[r][c] for c in range(3)] for r in range(3)
+    ]
+    model = s.select(
+        det3(A).alias("dd"),
+        det3(rep(0)).alias("d0"),
+        det3(rep(1)).alias("d1"),
+        det3(rep(2)).alias("d2"),
+    )
+    num = (
+        F.col("d0")
+        + F.col("d1") * F.col("x1").cast("decimal(38,0)")
+        + F.col("d2") * F.col("x2").cast("decimal(38,0)")
+    )
+    return f.crossJoin(F.broadcast(model)).select(
+        "doc_id",
+        F.col("y").cast("int").alias("y"),
+        "x1",
+        "x2",
+        F.round(num.cast("double") / F.col("dd").cast("double"), 6).alias("score"),
+        (2 * num >= F.col("dd")).alias("predicted"),
+        F.round(F.col("d0").cast("double") / F.col("dd").cast("double"), 9).alias("b0"),
+        F.round(F.col("d1").cast("double") / F.col("dd").cast("double"), 9).alias("b1"),
+        F.round(F.col("d2").cast("double") / F.col("dd").cast("double"), 9).alias("b2"),
+    )

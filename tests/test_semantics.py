@@ -2099,3 +2099,44 @@ def test_mmr_rerank_diversifies(spark):
             else:
                 assert r["doc_id"] == pool[0]
             picked.append(r["doc_id"])
+
+
+def test_quality_linear_probe_learns_separable_data(spark):
+    """On a corpus where the curated sources genuinely differ in
+    lexical diversity, the one-pass OLS probe must recover the split
+    (accuracy >= 0.9) and match a numpy lstsq fit on the same
+    features; on any corpus the coefficients satisfy the normal
+    equations exactly at 9dp."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from milan_telecom_etl__spark import registry_quality  # noqa: F401 (registers)
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    rows = []
+    for i in range(80):
+        curated = i % 2 == 0
+        src = f"src{0 if curated else 9}"
+        n = 30 + (i * 7) % 23  # vary word count so the Gram is full-rank
+        if curated:  # varied text -> high diversity
+            text = " ".join(f"word{i}x{j}" for j in range(n))
+        else:  # repetitive low-diversity text
+            text = " ".join(["spam", "eggs"] * (n // 2) + ["spam"] * (n % 2))
+        rows.append((i, text, "en", src, len(text)))
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = QUERIES["quality_linear_probe"](spark, d).collect()
+    assert got
+    acc = sum((r["predicted"]) == (r["y"] == 1) for r in got) / len(got)
+    assert acc >= 0.9, acc
+    # numpy differential on the identical integer features
+    X = np.array([[1.0, r["x1"], r["x2"]] for r in got])
+    Y = np.array([float(r["y"]) for r in got])
+    beta = np.linalg.lstsq(X, Y, rcond=None)[0]
+    assert abs(got[0]["b0"] - beta[0]) < 1e-6
+    assert abs(got[0]["b1"] - beta[1]) < 1e-6
+    assert abs(got[0]["b2"] - beta[2]) < 1e-6
