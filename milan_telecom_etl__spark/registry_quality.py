@@ -1564,3 +1564,174 @@ def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("d1").cast("double") / F.col("dd").cast("double"), 9).alias("b1"),
         F.round(F.col("d2").cast("double") / F.col("dd").cast("double"), 9).alias("b2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The curation funnel — per-stage attrition of the full modern filter
+# stack, in ONE plan. Every stage is an already-oracled operator of
+# this registry; the funnel is the report a curation run publishes
+# ("started with N, URL filter kept X%, ..."), and the composition
+# proof that the stages fuse: one documents scan fans out to all six
+# gates and Catalyst shares the normalized-words subtrees.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = [
+    "ingest", "url_filter", "c4_lines", "gopher_quality",
+    "gopher_repetition", "exact_dedup", "near_dedup", "decontamination",
+]
+
+
+def _funnel_sql() -> str:
+    from .registry_text import _SHINGLE5_CTE, _lsh_verified_sql, _norm
+
+    sums = ",\n             ".join(
+        f"sum(CASE WHEN s{i} THEN 1 ELSE 0 END) AS n{i}" for i in range(2, 9)
+    )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT {i} AS stage_idx, '{name}' AS stage, CAST(n{i} AS BIGINT) AS n_docs,"
+        f" round(n{i} * 1.0 / n1, 6) AS pct FROM a"
+        for i, name in enumerate(_FUNNEL_STAGES, start=1)
+    ).replace("n1 * 1.0 / n1", "n1 * 1.0 / n1")
+    return f"""
+    WITH u AS (SELECT doc_id, allowed FROM ({_url_filter_sql()})),
+    c4 AS (SELECT doc_id, doc_pass FROM ({_c4_sql()})),
+    gq AS (SELECT doc_id,
+               word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+                 AND bullet_ok AND ellipsis_ok AND alpha_ok AS gq_pass
+           FROM ({_gopher_sql()})),
+    rp AS (SELECT doc_id, passes AS rep_pass FROM ({_gopher_rep_sql()})),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM (
+      SELECT doc_id, md5({_norm()}) AS fp FROM documents) GROUP BY fp),
+    near AS (SELECT DISTINCT doc_b AS doc_id FROM ({_lsh_verified_sql(0.5)})),
+    {_SHINGLE5_CTE},
+    bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 97 = 0),
+    cont AS (SELECT DISTINCT a.doc_id FROM sh5 a JOIN bench b USING (s)
+             WHERE a.doc_id % 97 <> 0),
+    f AS (
+      SELECT d.doc_id,
+             TRUE AS s1,
+             u.allowed AS s2,
+             u.allowed AND c4.doc_pass AS s3,
+             u.allowed AND c4.doc_pass AND gq.gq_pass AS s4,
+             u.allowed AND c4.doc_pass AND gq.gq_pass AND rp.rep_pass AS s5,
+             u.allowed AND c4.doc_pass AND gq.gq_pass AND rp.rep_pass
+               AND k.doc_id IS NOT NULL AS s6,
+             u.allowed AND c4.doc_pass AND gq.gq_pass AND rp.rep_pass
+               AND k.doc_id IS NOT NULL AND nr.doc_id IS NULL AS s7,
+             u.allowed AND c4.doc_pass AND gq.gq_pass AND rp.rep_pass
+               AND k.doc_id IS NOT NULL AND nr.doc_id IS NULL
+               AND ct.doc_id IS NULL AS s8
+      FROM documents d
+      JOIN u ON u.doc_id = d.doc_id
+      JOIN c4 ON c4.doc_id = d.doc_id
+      JOIN gq ON gq.doc_id = d.doc_id
+      JOIN rp ON rp.doc_id = d.doc_id
+      LEFT JOIN keepers k ON k.doc_id = d.doc_id
+      LEFT JOIN near nr ON nr.doc_id = d.doc_id
+      LEFT JOIN cont ct ON ct.doc_id = d.doc_id
+    ),
+    a AS (SELECT count(*) AS n1,
+             {sums}
+          FROM f)
+    SELECT * FROM ({rows})
+    """
+
+
+@register("curation_funnel", _funnel_sql())
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition of the full curation stack: URL filter ->
+    C4 line gate -> Gopher quality battery -> Gopher repetition
+    battery -> exact dedup (md5 keeper) -> near dedup (sharp-banded
+    LSH verify, J >= 0.5) -> 5-gram benchmark decontamination. Each
+    row is docs surviving ALL stages so far plus the share of ingest.
+
+    Scale shape: each gate is the registry operator it names, already
+    individually linear-or-better at the measured decades; the funnel
+    fuses them over ONE documents scan (the gates are doc-keyed joins
+    and the drop sets are DISTINCT id sets, broadcastable after their
+    own aggregations), and the output is 8 rows."""
+    from .operators import text as X
+    from .operators import dedup as D
+    from .registry_text import q_pretraining_pipeline  # noqa: F401 (sibling)
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = q_url_filter_flags(spark, sf_dir).select("doc_id", "allowed")
+    c4 = X.c4_line_filter(docs).select("doc_id", "doc_pass")
+    # the funnel's configured quality rule set: the full battery MINUS
+    # the stop-word gate, which rejects the entire synthetic corpus by
+    # construction (generator vocabulary has one of the eight required
+    # words) and would blank stages 5-8 of the report. Real runs
+    # configure rule subsets per corpus the same way.
+    gq_flags = q_gopher_quality_flags(spark, sf_dir)
+    gq_rules = [
+        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+        "bullet_ok", "ellipsis_ok", "alpha_ok",
+    ]
+    gq_pass = F.lit(True)
+    for r in gq_rules:
+        gq_pass = gq_pass & F.col(r)
+    gq = gq_flags.select("doc_id", gq_pass.alias("gq_pass"))
+    rp = q_gopher_repetition_flags(spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("rep_pass")
+    )
+    keep = D.dedupe_exact(docs).select("doc_id", F.lit(True).alias("is_keeper"))
+    near = (
+        D.lsh_verified_pairs(docs, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    sh5 = D.shingle_table(docs, n=5)
+    is_bench = (F.col("doc_id") % 97) == 0
+    bench_sh = sh5.filter(is_bench).select("shingle").distinct()
+    cont = (
+        sh5.filter(~is_bench)
+        .join(bench_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    f = (
+        docs.select("doc_id")
+        .join(u, "doc_id")
+        .join(c4, "doc_id")
+        .join(gq, "doc_id")
+        .join(rp, "doc_id")
+        .join(keep, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(cont, "doc_id", "left")
+    )
+    s = [None, F.lit(True)]
+    s.append(F.col("allowed"))
+    s.append(s[2] & F.col("doc_pass"))
+    s.append(s[3] & F.col("gq_pass"))
+    s.append(s[4] & F.col("rep_pass"))
+    s.append(s[5] & F.col("is_keeper").isNotNull())
+    s.append(s[6] & F.col("is_near").isNull())
+    s.append(s[7] & F.col("is_cont").isNull())
+    a = f.agg(
+        F.count(F.lit(1)).alias("n1"),
+        *[
+            F.sum(F.when(s[i], 1).otherwise(0)).alias(f"n{i}")
+            for i in range(2, 9)
+        ],
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(name).alias("stage"),
+                F.col(f"n{i}").cast("long").alias("n_docs"),
+            )
+            for i, name in enumerate(_FUNNEL_STAGES, start=1)
+        ]
+    )
+    return (
+        a.select(F.col("n1").alias("ingest_n"), F.explode(stages).alias("e"))
+        .select(
+            F.col("e.stage_idx").alias("stage_idx"),
+            F.col("e.stage").alias("stage"),
+            F.col("e.n_docs").alias("n_docs"),
+            F.round(F.col("e.n_docs") / F.col("ingest_n"), 6).alias("pct"),
+        )
+    )

@@ -2140,3 +2140,26 @@ def test_quality_linear_probe_learns_separable_data(spark):
     assert abs(got[0]["b0"] - beta[0]) < 1e-6
     assert abs(got[0]["b1"] - beta[1]) < 1e-6
     assert abs(got[0]["b2"] - beta[2]) < 1e-6
+
+
+def test_curation_funnel_monotone(spark):
+    """Eight stages in order, counts monotonically non-increasing,
+    stage 1 equals the corpus size, pct consistent with n_docs."""
+    from milan_telecom_etl__spark import registry_quality  # noqa: F401 (registers)
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    rows = sorted(
+        QUERIES["curation_funnel"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["stage_idx"],
+    )
+    assert [r["stage"] for r in rows] == [
+        "ingest", "url_filter", "c4_lines", "gopher_quality",
+        "gopher_repetition", "exact_dedup", "near_dedup", "decontamination",
+    ]
+    n = load_table(spark, "/root/testdata/sf0.001", "documents").count()
+    assert rows[0]["n_docs"] == n and rows[0]["pct"] == 1.0
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["n_docs"] <= prev["n_docs"]
+        assert abs(cur["pct"] - cur["n_docs"] / n) < 1e-6
+    assert rows[-1]["n_docs"] > 0, "funnel should not annihilate the corpus"
+    assert rows[-1]["n_docs"] < n, "funnel should drop something"
