@@ -535,3 +535,27 @@ def test_rrf_probe_side_broadcasts(spark):
     plan = _plan(q_rrf_hybrid_retrieval(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_t5_and_url_filter_plans_are_map_only(spark):
+    """t5_span_corruption and url_filter_flags docstrings: pure
+    per-row projections — zero Exchange, zero Generate; synthesizing
+    training examples / URL verdicts over 100 TB must stay map-only."""
+    from milan_telecom_etl__spark.registry_quality import q_url_filter_flags
+    from milan_telecom_etl__spark.registry_text import q_t5_span_corruption
+
+    for fn in (q_t5_span_corruption, q_url_filter_flags):
+        plan = _plan(fn(spark, SF))
+        assert "Exchange" not in plan, fn.__name__
+        assert "Generate" not in plan, fn.__name__
+        assert "FileScan" in plan, fn.__name__
+
+
+def test_hard_negatives_broadcasts_queries(spark):
+    """hard_negatives docstring: the bounded query set broadcasts; the
+    corpus is never shuffled for scoring (the only Exchange feeds the
+    per-query window)."""
+    from milan_telecom_etl__spark.registry_similarity import q_hard_negative_mining
+
+    plan = _plan(q_hard_negative_mining(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
