@@ -251,10 +251,14 @@ C4_MIN_LINE_WORDS = 5
 C4_MIN_KEPT_LINES = 3
 
 
-def synth_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, lines array<string>): the deterministic line synthesis
-    shared by c4_line_filter / boilerplate_line_purge and their DuckDB
-    oracles. Pure per-row HOF projection — no shuffle, no Python."""
+def synth_lines(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, *extra_cols, lines array<string>): the deterministic
+    line synthesis shared by c4_line_filter / boilerplate_line_purge
+    and their DuckDB oracles. Pure per-row HOF projection — no
+    shuffle, no Python. `extra_cols` pass through untouched (the
+    streaming curation gate chains flag frames on one projection)."""
     ws = F.split(F.col(text_col), " ")
     n_chunks = F.floor((F.size(ws) + F.lit(LINE_CHUNK_WORDS - 1)) / F.lit(LINE_CHUNK_WORDS)).cast(
         "int"
@@ -274,7 +278,7 @@ def synth_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.array(F.lit(FOOTER_LINE))
         ),
     )
-    return docs.select("doc_id", lines.alias("lines"))
+    return docs.select("doc_id", *extra_cols, lines.alias("lines"))
 
 
 def c4_keep_line(line: Column) -> Column:
@@ -290,22 +294,26 @@ def c4_keep_line(line: Column) -> Column:
     )
 
 
-def c4_line_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def c4_line_filter(
+    docs: DataFrame, text_col: str = "text", extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """C4 line-level cleaning: per-doc (n_lines, n_kept, kept_ratio,
     doc_pass, clean_text). One narrow map over the corpus — at 100 TB
     this is scan-bound with zero shuffle: the line split, the rule
     evaluation, and the reassembly are a single higher-order projection
-    per row."""
-    ln = synth_lines(docs, text_col)
+    per row. `extra_cols` pass through (streaming composition hook)."""
+    ln = synth_lines(docs, text_col, extra_cols)
     kept = F.filter(F.col("lines"), c4_keep_line)
     out = ln.select(
         "doc_id",
+        *extra_cols,
         F.size("lines").cast("long").alias("n_lines"),
         F.size(kept).cast("long").alias("n_kept"),
         kept.alias("_kept"),
     )
     return out.select(
         "doc_id",
+        *extra_cols,
         "n_lines",
         "n_kept",
         F.round(F.col("n_kept") / F.col("n_lines"), 6).alias("kept_ratio"),

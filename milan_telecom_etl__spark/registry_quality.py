@@ -823,6 +823,15 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     required words) — that is the rule correctly identifying
     non-natural text, pinned in tests along with a crafted natural-
     English doc that clears all gates."""
+    return gopher_flag_frame(load_table(spark, sf_dir, "documents"))
+
+
+def gopher_flag_frame(
+    docs: DataFrame, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The A1.1 battery as a reusable single-projection frame —
+    streaming-safe (no agg/shuffle); `extra_cols` pass through for
+    composition (the streaming curation gate chains it on a stream)."""
     txt = F.col("text")
     ws = F.filter(F.split(txt, r"\s+"), lambda x: x != F.lit(""))
     lines = F.filter(F.split(txt, "\n"), lambda l: F.trim(l) != F.lit(""))
@@ -831,8 +840,9 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.length(txt) - F.length(F.regexp_replace(txt, "…", "")))
         + F.regexp_count(txt, F.lit(r"\.\.\."))
     )
-    d = load_table(spark, sf_dir, "documents").select(
+    d = docs.select(
         "doc_id",
+        *extra_cols,
         F.size(ws).alias("n_words"),
         F.aggregate(
             F.transform(ws, lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
@@ -862,6 +872,7 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     stp_ok = F.col("n_stops") >= 2
     return d.select(
         "doc_id",
+        *extra_cols,
         F.col("n_words").cast("long").alias("n_words"),
         wc_ok.alias("word_count_ok"),
         mwl_ok.alias("mean_word_len_ok"),
@@ -1376,7 +1387,12 @@ def q_url_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle; at 100 TB the blocklist broadcasts (here it is a
     literal IN-list) and the whole filter is scan-bound. `allowed` is
     the pushdown predicate ingest applies before fetching bodies."""
-    docs = load_table(spark, sf_dir, "documents")
+    return url_flag_frame(load_table(spark, sf_dir, "documents"))
+
+
+def url_flag_frame(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The URL rule battery as a reusable single-projection frame —
+    streaming-safe; `extra_cols` pass through for composition."""
     doc_id = F.col("doc_id")
     host = F.concat(F.lit("site"), (doc_id % 37).cast("string"))
     tld = F.element_at(
@@ -1400,6 +1416,7 @@ def q_url_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword = url.rlike(URL_KEYWORD_RE)
     return docs.select(
         "doc_id",
+        *extra_cols,
         url.alias("url"),
         domain.alias("domain"),
         tld.alias("tld"),
@@ -1575,6 +1592,14 @@ def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gates and Catalyst shares the normalized-words subtrees.
 # ---------------------------------------------------------------------------
 
+# the corpus-configured Gopher rule subset (full battery minus the
+# stop-word gate, which the synthetic corpus fails wholesale by
+# construction) — shared by the funnel and the streaming curation gate.
+GOPHER_CORPUS_RULES = (
+    "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
+    "bullet_ok", "ellipsis_ok", "alpha_ok",
+)
+
 _FUNNEL_STAGES = [
     "ingest", "url_filter", "c4_lines", "gopher_quality",
     "gopher_repetition", "exact_dedup", "near_dedup", "decontamination",
@@ -1595,9 +1620,7 @@ def _funnel_sql() -> str:
     return f"""
     WITH u AS (SELECT doc_id, allowed FROM ({_url_filter_sql()})),
     c4 AS (SELECT doc_id, doc_pass FROM ({_c4_sql()})),
-    gq AS (SELECT doc_id,
-               word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
-                 AND bullet_ok AND ellipsis_ok AND alpha_ok AS gq_pass
+    gq AS (SELECT doc_id, {" AND ".join(GOPHER_CORPUS_RULES)} AS gq_pass
            FROM ({_gopher_sql()})),
     rp AS (SELECT doc_id, passes AS rep_pass FROM ({_gopher_rep_sql()})),
     keepers AS (SELECT min(doc_id) AS doc_id FROM (
@@ -1663,12 +1686,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # words) and would blank stages 5-8 of the report. Real runs
     # configure rule subsets per corpus the same way.
     gq_flags = q_gopher_quality_flags(spark, sf_dir)
-    gq_rules = [
-        "word_count_ok", "mean_word_len_ok", "symbol_ratio_ok",
-        "bullet_ok", "ellipsis_ok", "alpha_ok",
-    ]
     gq_pass = F.lit(True)
-    for r in gq_rules:
+    for r in GOPHER_CORPUS_RULES:
         gq_pass = gq_pass & F.col(r)
     gq = gq_flags.select("doc_id", gq_pass.alias("gq_pass"))
     rp = q_gopher_repetition_flags(spark, sf_dir).select(

@@ -521,3 +521,62 @@ def q_streaming_dsir_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.round(weight, 6).alias("weight"))
     )
     return _drain(stream, "append")
+
+
+def _stream_gate_sql() -> str:
+    from .registry_quality import (
+        GOPHER_CORPUS_RULES,
+        _c4_sql,
+        _gopher_sql,
+        _url_filter_sql,
+    )
+
+    gq_and = " AND ".join(GOPHER_CORPUS_RULES)
+    return f"""
+    WITH u AS (SELECT doc_id, allowed FROM ({_url_filter_sql()})),
+    c4 AS (SELECT doc_id, doc_pass FROM ({_c4_sql()})),
+    gq AS (SELECT doc_id, {gq_and} AS quality_pass FROM ({_gopher_sql()}))
+    SELECT u.doc_id, u.allowed AS url_allowed, c4.doc_pass AS c4_pass,
+           gq.quality_pass,
+           u.allowed AND c4.doc_pass AND gq.quality_pass AS admitted
+    FROM u JOIN c4 ON c4.doc_id = u.doc_id JOIN gq ON gq.doc_id = u.doc_id
+    """
+
+
+@register("streaming_curation_gate_batch", _stream_gate_sql())
+def q_streaming_curation_gate_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-time curation — the admit/drop verdict computed AT INGEST
+    (before paying storage), the production use of the map-only gate
+    family: each arriving doc flows through the URL filter, the C4
+    line gate, and the Gopher quality battery (corpus-configured rule
+    subset, see GOPHER_CORPUS_RULES) as ONE chained streaming
+    projection. No joins, no aggregation, no watermark, zero state
+    stores — append mode at any throughput; the flag frames are the
+    SAME code the batch entries run (url_flag_frame /
+    gopher_flag_frame / c4_line_filter with pass-through columns), so
+    batch and stream verdicts cannot drift."""
+    from .operators.text import c4_line_filter
+    from .registry_quality import (
+        GOPHER_CORPUS_RULES,
+        gopher_flag_frame,
+        url_flag_frame,
+    )
+
+    st = url_flag_frame(_stream_documents(spark, sf_dir), extra_cols=("text",))
+    st = st.select("doc_id", "text", F.col("allowed").alias("url_allowed"))
+    st = gopher_flag_frame(st, extra_cols=("text", "url_allowed"))
+    qp = F.lit(True)
+    for r in GOPHER_CORPUS_RULES:
+        qp = qp & F.col(r)
+    st = st.select("doc_id", "text", "url_allowed", qp.alias("quality_pass"))
+    st = c4_line_filter(st, extra_cols=("url_allowed", "quality_pass"))
+    out = st.select(
+        "doc_id",
+        "url_allowed",
+        F.col("doc_pass").alias("c4_pass"),
+        "quality_pass",
+        (F.col("url_allowed") & F.col("doc_pass") & F.col("quality_pass")).alias(
+            "admitted"
+        ),
+    )
+    return _drain(out, "append")

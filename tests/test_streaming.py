@@ -177,3 +177,47 @@ def test_stream_merge_sink_upserts_versioned_table(spark, tmp_path_factory):
     assert got2 == {(1, "a"), (2, "B"), (3, "c")}
     # time travel: version 1 is still the pre-merge snapshot
     assert {(r["k"], r["v"]) for r in read_versioned(spark, tbl, 1).collect()} == got1
+
+
+def test_streaming_curation_gate_matches_batch(spark):
+    """The streamed admit/drop verdicts equal the batch composition of
+    the same flag frames — the cannot-drift claim in the docstring."""
+    from pyspark.sql import functions as F
+
+    from milan_telecom_etl__spark.operators.text import c4_line_filter
+    from milan_telecom_etl__spark.registry_quality import (
+        GOPHER_CORPUS_RULES,
+        gopher_flag_frame,
+        url_flag_frame,
+    )
+    from milan_telecom_etl__spark.registry_streaming import (
+        q_streaming_curation_gate_batch,
+    )
+    from milan_telecom_etl__spark.sources.parquet import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["doc_id"]: r for r in q_streaming_curation_gate_batch(spark, sf).collect()}
+    docs = load_table(spark, sf, "documents")
+    u = url_flag_frame(docs).select("doc_id", F.col("allowed").alias("url_allowed"))
+    gq = gopher_flag_frame(docs)
+    qp = F.lit(True)
+    for r in GOPHER_CORPUS_RULES:
+        qp = qp & F.col(r)
+    gq = gq.select("doc_id", qp.alias("quality_pass"))
+    c4 = c4_line_filter(docs).select("doc_id", F.col("doc_pass").alias("c4_pass"))
+    batch = {
+        r["doc_id"]: r
+        for r in u.join(gq, "doc_id").join(c4, "doc_id").collect()
+    }
+    assert set(got) == set(batch) and got
+    n_admitted = 0
+    for d, r in got.items():
+        b = batch[d]
+        assert r["url_allowed"] == b["url_allowed"]
+        assert r["c4_pass"] == b["c4_pass"]
+        assert r["quality_pass"] == b["quality_pass"]
+        assert r["admitted"] == (
+            b["url_allowed"] and b["c4_pass"] and b["quality_pass"]
+        )
+        n_admitted += r["admitted"]
+    assert 0 < n_admitted < len(got), "gate should admit some and drop some"
