@@ -922,19 +922,32 @@ def bitext_margin_mining(
     partner id."""
     n_planes = auto_n_planes(embeddings.count())
     parity = F.col(label_col) % 2
-    src_b = multi_table_buckets(
-        embeddings.filter(parity == 0), n_tables, n_planes, dim, vec_col, id_col
-    )
-    tgt_b = multi_table_buckets(
-        embeddings.filter(parity == 1), n_tables, n_planes, dim, vec_col, id_col
-    )
+    # norm once per VECTOR behind the repartition barrier (the
+    # embedding_near_dups discipline) — pair scoring is one fold, not
+    # three; same expression order as the oracle's precomputed nrm.
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
+
+    def _side(pred):
+        return (
+            multi_table_buckets(
+                embeddings.filter(pred), n_tables, n_planes, dim, vec_col, id_col
+            )
+            .withColumn("norm", l2_norm(F.col("v")))
+            .repartition(n_parts, F.col("table_id"), F.col("bucket"))
+        )
+
+    src_b, tgt_b = _side(parity == 0), _side(parity == 1)
     cand = (
         src_b.alias("x")
         .join(tgt_b.alias("y"), ["table_id", "bucket"])
         .select(
             F.col("x.vec_id").alias("src_id"),
             F.col("y.vec_id").alias("tgt_id"),
-            F.round(cosine(F.col("x.v"), F.col("y.v")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.norm") * F.col("y.norm")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= min_cos)
         .distinct()
