@@ -1754,3 +1754,51 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("e.n_docs") / F.col("ingest_n"), 6).alias("pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — the release-readiness check structured training
+# data needs (Sweeney 2002): every quasi-identifier combination must be
+# shared by >= k records or it re-identifies. One hash aggregation on
+# the QI tuple; the corpus-wide k (the minimum group size) broadcasts
+# back from a 1-row aggregate.
+# ---------------------------------------------------------------------------
+
+K_ANON_THRESHOLD = 5
+
+
+@register(
+    "k_anonymity_audit",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS group_n
+      FROM customer GROUP BY 1, 2
+    ),
+    k AS (SELECT min(group_n) AS k_anonymity FROM g)
+    SELECT g.c_nationkey, g.c_mktsegment,
+           CAST(g.group_n AS BIGINT) AS group_n,
+           CAST(k.k_anonymity AS BIGINT) AS k_anonymity,
+           g.group_n < {K_ANON_THRESHOLD} AS risky
+    FROM g, k
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity over the (nation, market-segment) quasi-identifier:
+    per-group population, the dataset's k (min group size), and the
+    re-identification flag for groups under k=5 — the audit a
+    structured-data release runs before training. One uniform hash
+    agg + a broadcast 1-row minimum; at 100 TB the QI cardinality
+    (|nations| x |segments|) bounds everything after the first
+    map-side partial aggregation."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_n")
+    )
+    k = g.agg(F.min("group_n").alias("k_anonymity"))
+    return g.crossJoin(F.broadcast(k)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_n").cast("long").alias("group_n"),
+        F.col("k_anonymity").cast("long").alias("k_anonymity"),
+        (F.col("group_n") < K_ANON_THRESHOLD).alias("risky"),
+    )

@@ -1727,3 +1727,95 @@ def q_mmr_diversification(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity to what's already picked (lambda = 0.7). See
     operators/similarity.mmr_rerank for the unrolled-plan scale notes."""
     return S.mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+_MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def _matryoshka_sql(n_queries: int = 5, k: int = 5) -> str:
+    def top_cte(d):
+        cos = (
+            f"round(list_sum(list_transform(range(1, {d} + 1), i -> "
+            "q.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / "
+            f"(sqrt(list_sum(list_transform(range(1, {d} + 1), i -> "
+            "q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE))) * "
+            f"sqrt(list_sum(list_transform(range(1, {d} + 1), i -> "
+            "c.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)))), 6)"
+        )
+        return f"""
+    t{d} AS (
+      SELECT {d} AS dim, query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {cos} DESC, c.vec_id) AS rk
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {n_queries}
+      ) WHERE rk <= {k})"""
+
+    ctes = ",".join(top_cte(d) for d in _MATRYOSHKA_DIMS)
+    unions = " UNION ALL ".join(
+        f"SELECT dim, query_id, neighbor_id FROM t{d}" for d in _MATRYOSHKA_DIMS
+    )
+    full = _MATRYOSHKA_DIMS[-1]
+    return f"""
+    WITH {ctes},
+    alltop AS ({unions})
+    SELECT a.dim, a.query_id,
+           round(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / {k}, 6) AS recall_at_{k}
+    FROM alltop a
+    LEFT JOIN t{full} f ON f.query_id = a.query_id
+                       AND f.neighbor_id = a.neighbor_id
+    GROUP BY a.dim, a.query_id
+    """
+
+
+@register("matryoshka_eval", _matryoshka_sql())
+def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation sweep (Kusupati et al. 2022): exact
+    cosine top-5 computed over the first 8/16/32/64 dimensions, scored
+    as recall against the full-width ranking — the measurement behind
+    'can we store/search 8x fewer dimensions'. Each tier is the
+    brute-force broadcast scorer over a PREFIX SLICE of the vector
+    (prefix truncation is the MRL contract), so the sweep costs four
+    bounded nested-loop passes and the recall join touches only
+    n_queries x k rows per tier. At 100 TB the same sweep runs on a
+    deterministic sample — the eval, not the index, is what this
+    prices."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 5
+    tops = []
+    for d in _MATRYOSHKA_DIMS:
+        sliced = emb.select(
+            "vec_id", F.slice(S._as_double(F.col("embedding")), 1, d).alias("v")
+        )
+        q = sliced.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        c = sliced.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(S.cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+            )
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        tops.append(
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select(F.lit(d).alias("dim"), "query_id", "neighbor_id")
+        )
+    alltop = tops[0]
+    for t in tops[1:]:
+        alltop = alltop.unionByName(t)
+    full = tops[-1].select("query_id", "neighbor_id").withColumn("hit", F.lit(1))
+    return (
+        alltop.join(full, ["query_id", "neighbor_id"], "left")
+        .groupBy("dim", "query_id")
+        .agg(F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / k, 6).alias(f"recall_at_{k}"))
+    )

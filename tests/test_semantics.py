@@ -2163,3 +2163,36 @@ def test_curation_funnel_monotone(spark):
         assert abs(cur["pct"] - cur["n_docs"] / n) < 1e-6
     assert rows[-1]["n_docs"] > 0, "funnel should not annihilate the corpus"
     assert rows[-1]["n_docs"] < n, "funnel should drop something"
+
+
+def test_k_anonymity_audit_semantics(spark):
+    """k equals the true minimum group size; risky flags exactly the
+    sub-threshold groups; group sizes sum to the table size."""
+    from milan_telecom_etl__spark import registry_quality  # noqa: F401 (registers)
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["k_anonymity_audit"](spark, sf).collect()
+    assert rows
+    k = min(r["group_n"] for r in rows)
+    total = load_table(spark, sf, "customer").count()
+    assert sum(r["group_n"] for r in rows) == total
+    for r in rows:
+        assert r["k_anonymity"] == k
+        assert r["risky"] == (r["group_n"] < 5)
+
+
+def test_matryoshka_full_dim_recall_is_one(spark):
+    """The full-width tier scores recall 1.0 against itself; every
+    recall is in [0, 1]; all four tiers report for every query."""
+    from milan_telecom_etl__spark import registry_similarity  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    rows = QUERIES["matryoshka_eval"](spark, "/root/testdata/sf0.001").collect()
+    by_dim = {}
+    for r in rows:
+        assert 0.0 <= r["recall_at_5"] <= 1.0
+        by_dim.setdefault(r["dim"], []).append(r["recall_at_5"])
+    assert set(by_dim) == {8, 16, 32, 64}
+    assert all(v == 1.0 for v in by_dim[64])
+    assert len(set(len(v) for v in by_dim.values())) == 1
