@@ -1098,3 +1098,53 @@ def mmr_rerank(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out.select("query_id", "step", "doc_id", "rel", F.col("mmr").alias("mmr_score"))
+
+
+def incremental_embedding_dedup(
+    embeddings: DataFrame,
+    new_max_id: int = 100,
+    threshold: float = 0.4,
+    n_tables: int = 6,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-side incremental dedup — the daily-crawl shape of
+    embedding_near_dups, mirroring dedup.incremental_near_dups on the
+    vector column: vectors with id < new_max_id are the arriving batch
+    (constant-size by contract), everything else the standing index.
+    The batch's bucket rows BROADCAST; the corpus-side bucketed table
+    streams through the broadcast-hash join — the corpus is never
+    shuffled and never self-joined, and plane count derives from the
+    INDEX size (the thing that grows). Within the batch, keep-first;
+    against the index any collision counts. Output: (new_vec, dup_of,
+    cos_sim, in_index) — the batch's drop list is DISTINCT new_vec."""
+    corpus_n = embeddings.filter(F.col(id_col) >= new_max_id).count()
+    n_planes = auto_n_planes(corpus_n)
+    b = multi_table_buckets(embeddings, n_tables, n_planes, dim, vec_col, id_col)
+    b = b.withColumn("norm", l2_norm(F.col("v")))
+    batch = b.filter(F.col("vec_id") < new_max_id).select(
+        "table_id",
+        "bucket",
+        F.col("vec_id").alias("new_vec"),
+        F.col("v").alias("nv"),
+        F.col("norm").alias("nnorm"),
+    )
+    cand = (
+        b.join(F.broadcast(batch), ["table_id", "bucket"])
+        .filter(
+            (F.col("vec_id") >= new_max_id) | (F.col("vec_id") < F.col("new_vec"))
+        )
+        .select(
+            "new_vec",
+            F.col("vec_id").alias("dup_of"),
+            F.round(
+                dot(F.col("nv"), F.col("v")) / (F.col("nnorm") * F.col("norm")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+    return cand.select(
+        "new_vec", "dup_of", "cos_sim", (F.col("dup_of") >= new_max_id).alias("in_index")
+    )

@@ -1819,3 +1819,154 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim", "query_id")
         .agg(F.round(F.sum(F.coalesce(F.col("hit"), F.lit(0))) / k, 6).alias(f"recall_at_{k}"))
     )
+
+
+def _inc_emb_sql(
+    new_max_id: int = 100, threshold: float = 0.4, n_tables: int = 6
+) -> str:
+    tables = ", ".join(f"({t})" for t in range(n_tables))
+    w = (
+        "(((('0x' || substr(md5((t.table_id * cfg.np + pp) || ':' || (i - 1)),"
+        " 1, 15))::BIGINT % 2001) - 1000) / 1000.0)"
+    )
+    pair_cos = (
+        "round(list_sum(list_transform(range(1, 65), i -> "
+        "n.embedding[i]::DOUBLE * c.embedding[i]::DOUBLE)) / (n.nrm * c.nrm), 6)"
+    )
+    return f"""
+    WITH nn AS (SELECT count(*) AS cnt FROM embeddings
+                WHERE vec_id >= {new_max_id}),
+    cfg AS (SELECT CASE WHEN cnt <= 128 THEN 1
+                        ELSE greatest(1, CAST(ceil(log2(cnt / 128.0)) AS INT))
+                   END AS np FROM nn),
+    b AS (
+      SELECT e.vec_id, e.embedding,
+             sqrt(list_sum(list_transform(range(1, 65), i ->
+               e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) AS nrm,
+             t.table_id,
+             array_to_string(
+               list_transform(range(0, cfg.np), pp ->
+                 CASE WHEN list_sum(list_transform(range(1, 65), i ->
+                   e.embedding[i]::DOUBLE * {w})) >= 0
+                 THEN '1' ELSE '0' END),
+               '') AS bucket
+      FROM embeddings e, cfg, (VALUES {tables}) t(table_id))
+    SELECT DISTINCT n.vec_id AS new_vec, c.vec_id AS dup_of,
+           {pair_cos} AS cos_sim,
+           c.vec_id >= {new_max_id} AS in_index
+    FROM b n JOIN b c ON n.table_id = c.table_id AND n.bucket = c.bucket
+    WHERE n.vec_id < {new_max_id}
+      AND (c.vec_id >= {new_max_id} OR c.vec_id < n.vec_id)
+      AND {pair_cos} >= {threshold}
+    """
+
+
+@register("incremental_embedding_dedup", _inc_emb_sql())
+def q_incremental_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arriving vectors (vec_id < 100) probe the standing embedding
+    index: broadcast batch buckets, corpus streams, plane count
+    derived from the index size. See operators/similarity.
+    incremental_embedding_dedup for plan notes."""
+    return S.incremental_embedding_dedup(load_table(spark, sf_dir, "embeddings"))
+
+
+def _emb_health_sql() -> str:
+    nrm = (
+        "sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE)))"
+    )
+    nonfin = (
+        "len(list_filter(e.embedding, x -> isnan(x::DOUBLE)"
+        " OR abs(x::DOUBLE) >= 'infinity'::DOUBLE))"
+    )
+    nzero = "len(list_filter(e.embedding, x -> x::DOUBLE = 0.0))"
+    return f"""
+    WITH v AS (
+      SELECT e.vec_id, len(e.embedding) AS dim,
+             {nzero} AS n_zero, {nonfin} AS n_nonfinite,
+             {nrm} AS nrm
+      FROM embeddings e
+    ),
+    m AS (
+      SELECT vec_id, dim, n_zero, n_nonfinite,
+             CASE WHEN n_nonfinite > 0 OR n_zero = dim THEN 0
+                  ELSE CAST(round(nrm * 1000000) AS BIGINT) END AS norm_micro,
+             (n_nonfinite > 0 OR n_zero = dim) AS degenerate
+      FROM v
+    ),
+    s AS (
+      SELECT count(*) FILTER (WHERE NOT degenerate) AS n_ok,
+             sum(CASE WHEN degenerate THEN 0 ELSE norm_micro END) AS sum_micro
+      FROM m
+    )
+    SELECT m.vec_id,
+           round(m.norm_micro / 1000000.0, 6) AS norm,
+           CAST(m.n_zero AS BIGINT) AS n_zero,
+           CAST(m.n_nonfinite AS BIGINT) AS n_nonfinite,
+           m.degenerate,
+           NOT m.degenerate AND 2 * s.n_ok * m.norm_micro < s.sum_micro
+             AS low_norm,
+           NOT m.degenerate AND s.n_ok * m.norm_micro > 2 * s.sum_micro
+             AS high_norm,
+           NOT (m.degenerate
+                OR (2 * s.n_ok * m.norm_micro < s.sum_micro)
+                OR (s.n_ok * m.norm_micro > 2 * s.sum_micro)) AS healthy
+    FROM m, s
+    """
+
+
+@register("embedding_health_audit", _emb_health_sql())
+def q_embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-vector screening before ANN indexing — the audit an
+    embedding pipeline runs on model output: per vector, the L2 norm,
+    zero-dimension count, non-finite count; degenerate flags (any
+    NaN/inf, or all-zero); and norm outliers against the corpus mean
+    (below half / above double). The mean is exact-integer (norms
+    quantized to micro-units, integer sum, cross-multiplied
+    comparisons — no float accumulation), degenerate vectors excluded
+    from it so one NaN batch cannot mask itself. One projection + a
+    broadcast 1-row aggregate; map-only at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = S._as_double(F.col("embedding"))
+    inf = F.lit(float("inf"))
+    nonfin = F.size(F.filter(v, lambda x: F.isnan(x) | (F.abs(x) >= inf)))
+    nzero = F.size(F.filter(v, lambda x: x == 0.0))
+    base = emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        nzero.alias("n_zero"),
+        nonfin.alias("n_nonfinite"),
+        S.l2_norm(v).alias("nrm"),
+    )
+    degenerate = (F.col("n_nonfinite") > 0) | (F.col("n_zero") == F.col("dim"))
+    m = base.select(
+        "vec_id",
+        "n_zero",
+        "n_nonfinite",
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.round(F.col("nrm") * 1000000).cast("long"))
+        .alias("norm_micro"),
+        degenerate.alias("degenerate"),
+    )
+    s = m.agg(
+        F.sum(F.when(F.col("degenerate"), 0).otherwise(1)).alias("n_ok"),
+        F.sum(F.when(F.col("degenerate"), 0).otherwise(F.col("norm_micro"))).alias(
+            "sum_micro"
+        ),
+    )
+    j = m.crossJoin(F.broadcast(s))
+    low = ~F.col("degenerate") & (
+        2 * F.col("n_ok") * F.col("norm_micro") < F.col("sum_micro")
+    )
+    high = ~F.col("degenerate") & (
+        F.col("n_ok") * F.col("norm_micro") > 2 * F.col("sum_micro")
+    )
+    return j.select(
+        "vec_id",
+        F.round(F.col("norm_micro") / 1000000.0, 6).alias("norm"),
+        F.col("n_zero").cast("long").alias("n_zero"),
+        F.col("n_nonfinite").cast("long").alias("n_nonfinite"),
+        "degenerate",
+        low.alias("low_norm"),
+        high.alias("high_norm"),
+        (~(F.col("degenerate") | low | high)).alias("healthy"),
+    )

@@ -2196,3 +2196,56 @@ def test_matryoshka_full_dim_recall_is_one(spark):
     assert set(by_dim) == {8, 16, 32, 64}
     assert all(v == 1.0 for v in by_dim[64])
     assert len(set(len(v) for v in by_dim.values())) == 1
+
+
+def test_embedding_health_audit_flags(spark):
+    """Crafted pathologies each trip exactly their flag: a NaN vector
+    and an all-zero vector are degenerate (and excluded from the
+    mean), a tiny vector is low_norm, a huge one high_norm, normal
+    unit vectors stay healthy."""
+    import os
+    import tempfile
+
+    from milan_telecom_etl__spark import registry_similarity  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    dim = 8
+    unit = [0.5, 0.5, 0.5, 0.5, 0.0, 0.0, 0.0, 0.0]  # norm 1
+    rows = [(i, unit, 0) for i in range(10)]
+    rows.append((10, [float("nan")] + [0.1] * (dim - 1), 0))
+    rows.append((11, [0.0] * dim, 0))
+    rows.append((12, [0.01] + [0.0] * (dim - 1), 0))  # norm 0.01 << mean/2
+    rows.append((13, [9.0] + [0.0] * (dim - 1), 0))  # norm 9 >> 2*mean
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    got = {r["vec_id"]: r for r in QUERIES["embedding_health_audit"](spark, d).collect()}
+    assert got[10]["degenerate"] and got[10]["n_nonfinite"] == 1
+    assert got[11]["degenerate"] and got[11]["n_zero"] == dim
+    assert got[12]["low_norm"] and not got[12]["degenerate"]
+    assert got[13]["high_norm"] and not got[13]["degenerate"]
+    for i in range(10):
+        assert got[i]["healthy"], i
+    for v in (10, 11, 12, 13):
+        assert not got[v]["healthy"]
+
+
+def test_incremental_embedding_dedup_contract(spark):
+    """Probe hits are batch-side only; in_index is exactly the
+    dup_of >= 100 predicate; every batch-internal hit keeps first;
+    every emitted pair clears the threshold and appears in the full
+    near-dup set when both ends share a bucket."""
+    from milan_telecom_etl__spark.operators.similarity import (
+        incremental_embedding_dedup,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    rows = incremental_embedding_dedup(emb).collect()
+    assert rows, "planted near-dups should give at least one probe hit"
+    for r in rows:
+        assert r["new_vec"] < 100
+        assert r["in_index"] == (r["dup_of"] >= 100)
+        if not r["in_index"]:
+            assert r["dup_of"] < r["new_vec"]
+        assert r["cos_sim"] >= 0.4
