@@ -2902,3 +2902,142 @@ def q_t5_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_text.alias("input_text"),
         target_text.alias("target_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Memorization attribution — given a generated snippet, which training
+# doc did it come from? The winnowing fingerprint index answers it
+# position-robustly (any shared run of >= w+2 words shares a
+# fingerprint), which is exactly the memorization-audit query run
+# against emitted model text.
+# ---------------------------------------------------------------------------
+
+_ATTR_PROBE_IDS = (1, 3, 5)  # constant probe set — corpus growth must not grow it
+_ATTR_SNIPPET = (11, 30)  # 1-based inclusive word range the "generation" quotes
+
+
+def _winnow_fps_cte(src: str, idc: str, pre: str) -> str:
+    """CTE text for the (id, fingerprint) relation over src(idc, ws) —
+    the same trigram-hash + w=4 window-min selection as
+    winnowing_fingerprints."""
+    return f"""
+    {pre}sh AS (
+      SELECT {idc}, CAST(u.i AS BIGINT) AS pos,
+             ('0x' || substr(md5(u.s), 1, 15))::BIGINT AS h
+      FROM (SELECT {idc},
+              unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                i -> struct_pack(i := i,
+                  s := array_to_string(list_slice(ws, i, i + 2), ' ')))) AS u
+            FROM {src})),
+    {pre}wm AS (
+      SELECT {idc}, pos,
+             min(h) OVER (PARTITION BY {idc} ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+             count(*) OVER (PARTITION BY {idc}) AS n
+      FROM {pre}sh),
+    {pre}fps AS (SELECT DISTINCT {idc}, fp FROM {pre}wm
+                 WHERE pos <= n - {_WINNOW_W} + 1)"""
+
+
+def _attribution_sql(k: int = 3) -> str:
+    ids = ", ".join(str(i) for i in _ATTR_PROBE_IDS)
+    a, b = _ATTR_SNIPPET
+    return f"""
+    WITH docs AS (SELECT doc_id, {_norm()} AS t FROM documents),
+    words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs),
+    {_winnow_fps_cte("words", "doc_id", "c")},
+    pw AS (SELECT doc_id AS probe_id, list_slice(ws, {a}, {b}) AS ws
+           FROM words WHERE doc_id IN ({ids})),
+    {_winnow_fps_cte("pw", "probe_id", "p")},
+    j AS (
+      SELECT p.probe_id, c.doc_id, count(*) AS n_shared
+      FROM pfps p JOIN cfps c ON p.fp = c.fp
+      GROUP BY 1, 2)
+    SELECT probe_id, doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(rk AS INT) AS rk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY probe_id ORDER BY n_shared DESC, doc_id) AS rk
+          FROM j)
+    WHERE rk <= {k}
+    """
+
+
+def _winnow_fp_set(words: DataFrame, id_col: str, words_col: str) -> DataFrame:
+    """(id_col, fp): the winnowing fingerprint relation — shared by the
+    attribution probe and corpus sides."""
+    from pyspark.sql.window import Window
+
+    k = F.greatest(F.size(words_col) - F.lit(2), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words_col, i, 3), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = words.select(id_col, F.posexplode(grams).alias("pos0", "s")).select(
+        id_col,
+        (F.col("pos0") + 1).alias("pos"),
+        D._md5_int60(F.col("s")).alias("h"),
+    )
+    w_min = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, _WINNOW_W - 1)
+    )
+    w_all = Window.partitionBy(id_col)
+    return (
+        sh.select(
+            id_col,
+            "pos",
+            F.min("h").over(w_min).alias("fp"),
+            F.count(F.lit(1)).over(w_all).alias("n"),
+        )
+        .filter(F.col("pos") <= F.col("n") - _WINNOW_W + 1)
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+@register("memorization_attribution", _attribution_sql())
+def q_memorization_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute a 'generated' snippet back to its training doc: a
+    constant probe set (docs 1/3/5; words 11-30 stand in for emitted
+    model text) fingerprints with the SAME winnowing selection as the
+    corpus index, and shared-fingerprint counts rank candidate source
+    docs (top-3 per probe). The source doc must rank first — pinned in
+    pytest — and near-dups of it surface next, which is the audit's
+    point.
+
+    Scale shape: the corpus fingerprint relation is the standing
+    winnowing index (a stored artifact in production; fraction of
+    full-shingle size); the probe side is constant-cardinality by
+    contract, so the fp equality join broadcasts the probe set and the
+    corpus is never self-joined. No floats anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = D._words_df(docs)
+    cfps = _winnow_fp_set(words, "doc_id", "__words")
+    a, b = _ATTR_SNIPPET
+    pw = words.filter(F.col("doc_id").isin(*_ATTR_PROBE_IDS)).select(
+        F.col("doc_id").alias("probe_id"),
+        F.slice("__words", a, b - a + 1).alias("pws"),
+    )
+    pfps = _winnow_fp_set(pw, "probe_id", "pws").withColumnRenamed("fp", "pfp")
+    j = (
+        cfps.join(F.broadcast(pfps), F.col("fp") == F.col("pfp"))
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("n_shared"), F.asc("doc_id"))
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "probe_id",
+            "doc_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -2249,3 +2249,23 @@ def test_incremental_embedding_dedup_contract(spark):
         if not r["in_index"]:
             assert r["dup_of"] < r["new_vec"]
         assert r["cos_sim"] >= 0.4
+
+
+def test_memorization_attribution_finds_the_source(spark):
+    """The snippet's own source doc ranks first for every probe and
+    dominates the runner-up; ranks are dense from 1."""
+    from milan_telecom_etl__spark import registry_text  # noqa: F401 (registers)
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    rows = QUERIES["memorization_attribution"](spark, SF).collect()
+    assert rows
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["probe_id"], []).append(r)
+    assert set(by_p) == {1, 3, 5}
+    for p, rs in by_p.items():
+        rs = sorted(rs, key=lambda r: r["rk"])
+        assert rs[0]["doc_id"] == p, f"probe {p} misattributed to {rs[0]['doc_id']}"
+        if len(rs) > 1:
+            assert rs[0]["n_shared"] > rs[1]["n_shared"]
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
