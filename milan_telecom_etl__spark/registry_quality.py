@@ -1290,10 +1290,14 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
 
+    # both frames are corpus-grain (one row per doc) — never broadcast
+    # them: Spark's static size estimate under the HOF projections is
+    # low enough that it tried (and at sf1 with a default-memory
+    # driver, OOMed) a broadcast build of the whole line-stats frame.
     fin = (
         wc.drop("ws")
-        .join(lst, "doc_id")
-        .join(piv, "doc_id", "left")
+        .join(lst.hint("merge"), "doc_id")
+        .join(piv.hint("merge"), "doc_id", "left")
         .select(
             "doc_id", "n_words", "total_chars", "n_lines", "n_dup_lines",
             "line_chars", "dup_line_chars",
@@ -1710,15 +1714,25 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_cont", F.lit(True))
     )
+    # every flag frame and the exact-dedup keeper set are CORPUS-GRAIN
+    # (one row per doc / per distinct content) — at any real scale none
+    # of them is broadcastable, and Spark's size estimate under the
+    # regex-heavy projections is unreliable enough that it tried (and
+    # OOMed) a broadcast at sf1. Pin the doc-keyed joins to
+    # shuffle-merge; only the near/cont DROP sets (bounded by actual
+    # duplicates/contamination) stay optimizer-chosen.
     f = (
         docs.select("doc_id")
-        .join(u, "doc_id")
-        .join(c4, "doc_id")
-        .join(gq, "doc_id")
-        .join(rp, "doc_id")
-        .join(keep, "doc_id", "left")
-        .join(near, "doc_id", "left")
-        .join(cont, "doc_id", "left")
+        .join(u.hint("merge"), "doc_id")
+        .join(c4.hint("merge"), "doc_id")
+        .join(gq.hint("merge"), "doc_id")
+        .join(rp.hint("merge"), "doc_id")
+        .join(keep.hint("merge"), "doc_id", "left")
+        # the drop sets are bounded by the actual duplicate /
+        # contamination RATE — which replicated scale data drives to
+        # corpus-grain, so they get the same no-broadcast pin
+        .join(near.hint("merge"), "doc_id", "left")
+        .join(cont.hint("merge"), "doc_id", "left")
     )
     s = [None, F.lit(True)]
     s.append(F.col("allowed"))

@@ -3041,3 +3041,109 @@ def q_memorization_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-type routing — code vs table vs prose, the split a corpus
+# makes before choosing tokenizer, mixing weight, and quality rules.
+# Deterministic synthesized wrappers (the html_strip/pii_density
+# discipline) plant code and table shapes on fixed residues so the
+# classifier has all three classes to separate; the RULES are the
+# operator, integer-exact throughout.
+# ---------------------------------------------------------------------------
+
+CODE_WRAP_MOD = 11  # doc_id % 11 == 0 -> wrapped as a code snippet
+TABLE_WRAP_MOD = 13  # doc_id % 13 == 0 (and not code) -> wrapped as a table
+
+
+def _content_type_sql() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE
+               WHEN doc_id % {CODE_WRAP_MOD} = 0 THEN
+                 'def f_' || CAST(doc_id AS VARCHAR) || '(x) {{' || chr(10)
+                 || '  return {{"k": [' || text || ']}};' || chr(10) || '}}'
+               WHEN doc_id % {TABLE_WRAP_MOD} = 0 THEN
+                 'col_a | col_b | col_c' || chr(10)
+                 || replace(text, ' ', ' | ')
+               ELSE text
+             END AS t
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, length(t) AS n_chars,
+             len(regexp_extract_all(t, '[{{}};=()\\[\\]]')) AS n_code,
+             len(regexp_extract_all(t, '\\|')) AS n_pipe,
+             len(regexp_extract_all(t, '[A-Za-z]+')) AS n_words
+      FROM w
+    ),
+    k AS (
+      SELECT doc_id, source, n_chars, n_code, n_pipe,
+             CASE
+               WHEN 50 * n_code >= n_chars THEN 'code'
+               WHEN 20 * n_pipe >= n_words THEN 'table'
+               ELSE 'prose'
+             END AS content_type
+      FROM c
+    )
+    SELECT source, content_type,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM k GROUP BY source, content_type
+    """
+
+
+@register("content_type_profile", _content_type_sql())
+def q_content_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source content-type mix (code / table / prose) by
+    integer-exact surface rules: code when structural characters
+    ({};=()[]) reach 2% of chars, table when pipe separators reach 5%
+    of words, else prose. The routing decision upstream of tokenizer
+    choice and mixing weights. One map-only projection + a tiny
+    (source x 3)-row aggregation; the code/table wrappers are planted
+    deterministically on fixed doc_id residues (see module comment) so
+    all three classes exist on the synthetic corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    doc_id = F.col("doc_id")
+    t = (
+        F.when(
+            doc_id % CODE_WRAP_MOD == 0,
+            F.concat(
+                F.lit("def f_"),
+                doc_id.cast("string"),
+                F.lit("(x) {\n  return {\"k\": ["),
+                F.col("text"),
+                F.lit("]};\n}"),
+            ),
+        )
+        .when(
+            doc_id % TABLE_WRAP_MOD == 0,
+            F.concat(
+                F.lit("col_a | col_b | col_c\n"),
+                F.regexp_replace(F.col("text"), " ", " | "),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    c = docs.select(
+        "doc_id",
+        "source",
+        F.length(t).alias("n_chars"),
+        F.regexp_count(t, F.lit(r"[{};=()\[\]]")).alias("n_code"),
+        F.regexp_count(t, F.lit(r"\|")).alias("n_pipe"),
+        F.regexp_count(t, F.lit("[A-Za-z]+")).alias("n_words"),
+    )
+    ct = (
+        F.when(50 * F.col("n_code") >= F.col("n_chars"), F.lit("code"))
+        .when(20 * F.col("n_pipe") >= F.col("n_words"), F.lit("table"))
+        .otherwise(F.lit("prose"))
+    )
+    return (
+        c.select("source", ct.alias("content_type"), "n_chars")
+        .groupBy("source", "content_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
