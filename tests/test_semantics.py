@@ -2269,3 +2269,36 @@ def test_memorization_attribution_finds_the_source(spark):
         if len(rs) > 1:
             assert rs[0]["n_shared"] > rs[1]["n_shared"]
         assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_content_type_profile_classes(spark):
+    """All three classes present; per-source doc counts sum to the
+    corpus; a crafted pure-code doc classifies code and a pipe table
+    classifies table."""
+    import os
+    import tempfile
+
+    from milan_telecom_etl__spark import registry_text  # noqa: F401 (registers)
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["content_type_profile"](spark, sf).collect()
+    kinds = {r["content_type"] for r in rows}
+    assert kinds == {"code", "table", "prose"}
+    n = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+
+    crafted = [
+        (2, "x = 1; y = {2}; f(x)[y];", "en", "s", 24),  # not %11/%13: raw rules
+        (7, "a | b | c | d | e | f", "en", "s", 21),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        crafted, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r["source"], r["content_type"]): r["n_docs"]
+        for r in QUERIES["content_type_profile"](spark, d).collect()
+    }
+    assert got.get(("s", "code")) == 1
+    assert got.get(("s", "table")) == 1
