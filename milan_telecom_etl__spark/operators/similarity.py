@@ -1061,6 +1061,7 @@ def mmr_rerank(
             F.round(F.lit(lam) * F.col("rel") / 10.0, 6).alias("mmr"),
             F.lit(1).cast("int").alias("step"),
         )
+        .persist()  # see the step-loop persist note below
     )
     picks = [pick]
     selected = pick.select("query_id", "doc_id")
@@ -1091,6 +1092,12 @@ def mmr_rerank(
             .select(
                 "query_id", "doc_id", "rel", "mmr", F.lit(step).cast("int").alias("step")
             )
+            # each pick is n_queries rows, but step i's plan SUBTREE
+            # embeds every earlier step through the selected chain —
+            # without this persist the unrolled plan grows ~2^k and a
+            # constant ~14 s of planning/stage overhead dominates any
+            # data size. Caching each pick linearizes the tree.
+            .persist()
         )
         picks.append(pick)
         selected = selected.unionByName(pick.select("query_id", "doc_id"))
