@@ -331,3 +331,116 @@ def test_incremental_dedup_equals_full_dedup_restricted(spark, texts):
         ).collect()
     }
     assert got == expected
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "spam", "x1", "lo", "a"])
+
+
+def _write_docs(spark, tmp_path, texts):
+    import os
+
+    rows = [(i, t, "en", f"src{i % 3}", len(t)) for i, t in enumerate(texts)]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_word, min_size=1, max_size=120), min_size=1, max_size=6))
+def test_t5_span_corruption_reconstructs_any_corpus(spark, tmp_path_factory, docs):
+    """For ARBITRARY word streams, splicing each target span over its
+    sentinel in the input reconstructs the original text exactly, and
+    the span budget matches the n_spans formula."""
+    import re
+
+    from milan_telecom_etl__spark import registry_text  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    texts = [" ".join(ws) for ws in docs]
+    d = _write_docs(spark, tmp_path_factory.mktemp("t5"), texts)
+    for r in QUERIES["t5_span_corruption"](spark, d).collect():
+        orig = texts[r["doc_id"]]
+        nw = len(orig.split(" "))
+        exp_spans = max(1, min(nw // 20, nw // 3)) if nw >= 3 else 0
+        assert r["n_spans"] == exp_spans
+        if r["n_spans"] == 0:
+            assert r["input_text"] == orig and r["target_text"] == ""
+            continue
+        parts = re.split(r"<extra_id_(\d+)>", r["target_text"])
+        spans = {int(k): c.strip() for k, c in zip(parts[1::2], parts[2::2])}
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r["input_text"]
+        )
+        assert rebuilt == orig
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_word, min_size=1, max_size=30), min_size=1, max_size=5))
+def test_bpe_pair_counts_match_python_reference(spark, tmp_path_factory, docs):
+    """Every returned pair count equals an independent Python recount
+    (adjacent chars + </w>, weighted by corpus word frequency), and
+    rank 1 carries the global maximum."""
+    from collections import Counter
+
+    from milan_telecom_etl__spark import registry_text  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    import re
+
+    texts = [" ".join(ws) for ws in docs]
+    d = _write_docs(spark, tmp_path_factory.mktemp("bpe"), texts)
+    ref: Counter = Counter()
+    for t in texts:
+        for w in re.findall("[a-z]+", t.lower()):
+            syms = list(w) + ["</w>"]
+            for a, b in zip(syms, syms[1:]):
+                ref[(a, b)] += 1
+    got = QUERIES["bpe_merge_candidates"](spark, d).collect()
+    assert got
+    for r in got:
+        assert ref[(r["left_sym"], r["right_sym"])] == r["pair_count"]
+    assert max(r["pair_count"] for r in got) == max(ref.values())
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.lists(_word, min_size=1, max_size=60), min_size=1, max_size=4))
+def test_gopher_dup_line_stats_match_python_reference(spark, tmp_path_factory, docs):
+    """The shuffle-free duplicate-line folds equal an independent
+    Python replication of the synth_lines contract (12-word chunks,
+    (doc_id+i)%3 punctuation, chrome + lorem-on-%7)."""
+    from milan_telecom_etl__spark import registry_quality  # noqa: F401
+    from milan_telecom_etl__spark.operators.text import (
+        FOOTER_LINE,
+        JS_LINE,
+        LINE_CHUNK_WORDS,
+        LOREM_LINE,
+        NAV_LINE,
+    )
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    texts = [" ".join(ws) for ws in docs]
+    d = _write_docs(spark, tmp_path_factory.mktemp("rep"), texts)
+
+    def synth(doc_id, text):
+        ws = text.split(" ")
+        lines = [NAV_LINE, JS_LINE]
+        n_chunks = (len(ws) + LINE_CHUNK_WORDS - 1) // LINE_CHUNK_WORDS
+        for i in range(n_chunks):
+            chunk = " ".join(ws[i * LINE_CHUNK_WORDS:(i + 1) * LINE_CHUNK_WORDS])
+            lines.append(chunk + ("" if (doc_id + i) % 3 == 0 else "."))
+        if doc_id % 7 == 0:
+            lines.append(LOREM_LINE)
+        lines.append(FOOTER_LINE)
+        return lines
+
+    for r in QUERIES["gopher_repetition_flags"](spark, d).collect():
+        lines = synth(r["doc_id"], texts[r["doc_id"]])
+        distinct = list(dict.fromkeys(lines))
+        assert r["n_lines"] == len(lines)
+        assert r["n_dup_lines"] == len(lines) - len(distinct)
+        assert r["line_chars"] == sum(len(l) for l in lines)
+        assert r["dup_line_chars"] == (
+            sum(len(l) for l in lines) - sum(len(l) for l in distinct)
+        )
