@@ -559,3 +559,21 @@ def test_hard_negatives_broadcasts_queries(spark):
 
     plan = _plan(q_hard_negative_mining(spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_funnel_and_repetition_never_broadcast_corpus_grain_frames(spark):
+    """The r8 broadcast-OOM fix: the doc-keyed joins of curation_funnel
+    and gopher_repetition_flags are pinned to shuffle-merge because
+    every side is corpus-grain (one row per doc) — Spark's static size
+    estimate under the HOF/regex projections must not flip them back
+    to broadcast builds."""
+    from milan_telecom_etl__spark.registry_quality import (
+        q_curation_funnel,
+        q_gopher_repetition_flags,
+    )
+
+    rep = _plan(q_gopher_repetition_flags(spark, SF))
+    assert rep.count("SortMergeJoin") >= 2, "repetition frame joins lost the merge pin"
+    fun = _plan(q_curation_funnel(spark, SF))
+    # 4 flag frames + keeper/near/cont drop sets = 7 pinned joins
+    assert fun.count("SortMergeJoin") >= 7, "funnel doc-grain joins lost the merge pin"
