@@ -848,11 +848,17 @@ def hard_negatives(
         F.col(label_col).alias("query_label"),
         _as_double(F.col(vec_col)).alias("qv"),
     )
+    # a 200k x 64-float corpus is ONE parquet split — without an
+    # explicit spread, the per-pair cosine folds run on one core while
+    # 31 idle (measured flat 19 s across a 3x decade). Round-robin
+    # repartition costs one cheap shuffle and buys full parallelism at
+    # any input layout.
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
     c = embeddings.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(label_col).alias("neighbor_label"),
         _as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).repartition(n_parts)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -1018,7 +1024,7 @@ def mmr_rerank(
     )
     c = embeddings.select(
         F.col(id_col).alias("doc_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).repartition(embeddings.sparkSession.sparkContext.defaultParallelism)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("doc_id") != F.col("query_id"))
@@ -1128,8 +1134,9 @@ def incremental_embedding_dedup(
     cos_sim, in_index) — the batch's drop list is DISTINCT new_vec."""
     corpus_n = embeddings.filter(F.col(id_col) >= new_max_id).count()
     n_planes = auto_n_planes(corpus_n)
+    n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
     b = multi_table_buckets(embeddings, n_tables, n_planes, dim, vec_col, id_col)
-    b = b.withColumn("norm", l2_norm(F.col("v")))
+    b = b.withColumn("norm", l2_norm(F.col("v"))).repartition(n_parts)
     batch = b.filter(F.col("vec_id") < new_max_id).select(
         "table_id",
         "bucket",

@@ -1782,7 +1782,9 @@ def q_matryoshka_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_queries x k rows per tier. At 100 TB the same sweep runs on a
     deterministic sample — the eval, not the index, is what this
     prices."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # one parquet split would serialize all four tiers' folds
     k = 5
     tops = []
     for d in _MATRYOSHKA_DIMS:
