@@ -3147,3 +3147,103 @@ def q_content_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("n_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy filter — the cheap "is this even language" screen
+# (binary blobs, base64 runs, and aaaa-spam all have degenerate char
+# distributions). Shannon entropy over the raw character histogram,
+# with the float-summation hazard removed: each char's c*ln(c) term is
+# quantized to integer nano-units BEFORE the sum, so the aggregation
+# is exact integer arithmetic and both engines derive bit-identical
+# entropy from identical counts.
+# ---------------------------------------------------------------------------
+
+ENTROPY_MIN_BITS = 2.0
+
+
+@register(
+    "char_entropy_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, text AS t, length(text) AS n FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             coalesce(list_sum(list_transform(
+               list_distinct(list_transform(range(1, n + 1), i -> t[i:i])),
+               ch -> CAST(round(
+                 len(list_filter(list_transform(range(1, n + 1), i -> t[i:i]),
+                                 x -> x = ch))
+                 * ln(len(list_filter(list_transform(range(1, n + 1), i -> t[i:i]),
+                                      x -> x = ch)))
+                 * 1000000000) AS BIGINT))), 0) AS s_nano,
+             coalesce(len(list_distinct(list_transform(range(1, n + 1),
+                                                       i -> t[i:i]))), 0)
+               AS n_distinct_chars
+      FROM d
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE round((ln(n) - (s_nano / 1000000000.0) / n) / ln(2), 6)
+           END AS entropy_bits,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE round((ln(n) - (s_nano / 1000000000.0) / n) / ln(2), 6)
+           END >= {ENTROPY_MIN_BITS} AS entropy_ok
+    FROM c
+    """,
+)
+def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per doc (bits/char) with the
+    low-entropy garbage flag (< 2.0 bits: repeated-char spam, base64
+    runs, binary leakage). H = log2(n) - (1/n) * sum c*log2(c); the
+    per-char c*ln(c) terms quantize to integer nano-units before
+    summation, so the only float ops are on identical inputs in a
+    fixed expression order — no accumulation-order parity surface.
+
+    Plan: pure per-row HOF projection (distinct chars x count filter —
+    O(len * alphabet) per doc with text alphabets ~60 symbols), zero
+    shuffle. A pathological-alphabet corpus (CJK, binary) would flip
+    to the explode + (doc_id, char) hash-agg shape; for the text
+    corpora this screens, the map-only form wins."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n = F.length(t)
+    cs = F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), lambda i: F.substring(t, i, 1))
+    cs = F.when(n > 0, cs).otherwise(F.array().cast("array<string>"))
+    distinct = F.array_distinct(cs)
+    term = lambda ch: F.round(
+        F.size(F.filter(cs, lambda x: x == ch)).cast("double")
+        * F.log(F.size(F.filter(cs, lambda x: x == ch)).cast("double"))
+        * 1000000000
+    ).cast("long")
+    s_nano = F.coalesce(
+        F.aggregate(
+            F.transform(distinct, term), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+        F.lit(0).cast("long"),
+    )
+    base = docs.select(
+        "doc_id",
+        n.cast("long").alias("n_chars"),
+        F.size(distinct).cast("long").alias("n_distinct_chars"),
+        s_nano.alias("s_nano"),
+    )
+    h = F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
+        F.round(
+            (
+                F.log(F.col("n_chars").cast("double"))
+                - (F.col("s_nano") / 1000000000.0) / F.col("n_chars")
+            )
+            / F.log(F.lit(2.0)),
+            6,
+        )
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        "n_distinct_chars",
+        h.alias("entropy_bits"),
+        (h >= ENTROPY_MIN_BITS).alias("entropy_ok"),
+    )

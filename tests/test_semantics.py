@@ -2302,3 +2302,38 @@ def test_content_type_profile_classes(spark):
     }
     assert got.get(("s", "code")) == 1
     assert got.get(("s", "table")) == 1
+
+
+def test_char_entropy_filter_semantics(spark):
+    """Entropy matches an independent numpy computation to 1e-5;
+    repeated-char spam trips the flag, varied text passes; a
+    single-char doc scores exactly 0 bits."""
+    import math
+    import os
+    import tempfile
+    from collections import Counter
+
+    from milan_telecom_etl__spark import registry_text  # noqa: F401 (registers)
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog repeatedly today"),
+        (1, "a" * 200),
+        (2, "ababababababababababababab"),
+        (3, "x"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r["doc_id"]: r for r in QUERIES["char_entropy_filter"](spark, d).collect()}
+    for i, t in rows:
+        c = Counter(t)
+        n = len(t)
+        h = -sum(v / n * math.log2(v / n) for v in c.values())
+        assert abs(got[i]["entropy_bits"] - h) < 1e-5, (i, got[i]["entropy_bits"], h)
+    assert got[0]["entropy_ok"]
+    assert not got[1]["entropy_ok"] and got[1]["entropy_bits"] == 0.0
+    assert not got[2]["entropy_ok"] and abs(got[2]["entropy_bits"] - 1.0) < 1e-6
+    assert got[3]["entropy_bits"] == 0.0
