@@ -1816,3 +1816,146 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k_anonymity").cast("long").alias("k_anonymity"),
         (F.col("group_n") < K_ANON_THRESHOLD).alias("risky"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Held-out evaluation of the linear quality probe — the honesty check
+# on quality_linear_probe's training: a deterministic md5 75/25 split,
+# train on the 75%, report accuracy on BOTH splits. Train-vs-eval
+# accuracy gap is the overfit signal a weak-label curation classifier
+# must publish before its scores gate a corpus.
+# ---------------------------------------------------------------------------
+
+PROBE_EVAL_MOD = 4  # md5('probe:'||doc_id) % 4 == 0 -> the eval quarter
+
+
+def _probe_feats_sql() -> str:
+    return f"""
+      SELECT doc_id,
+             CASE WHEN CAST(substr(source, 4) AS INT) < {PROBE_POS_SOURCES}
+                  THEN 1 ELSE 0 END AS y,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS x1,
+             (1000 * len(list_distinct(list_filter(string_split(text, ' '),
+                                                   w -> w <> ''))))
+               // len(list_filter(string_split(text, ' '), w -> w <> '')) AS x2,
+             ('0x' || substr(md5('probe:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % {PROBE_EVAL_MOD} = 0 AS is_eval
+      FROM documents
+    """
+
+
+def _probe_eval_sql() -> str:
+    h = lambda s: f"CAST({s} AS HUGEINT)"
+    A = [[h("n"), h("s1"), h("s2")], [h("s1"), h("s11"), h("s12")], [h("s2"), h("s12"), h("s22")]]
+    b = [h("sy"), h("s1y"), h("s2y")]
+    rep = lambda i: [[b[r] if c == i else A[r][c] for c in range(3)] for r in range(3)]
+    dd, d0, d1, d2_ = _det3(A), _det3(rep(0)), _det3(rep(1)), _det3(rep(2))
+    return f"""
+    WITH f AS ({_probe_feats_sql()}),
+    s AS (
+      SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
+             sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
+             sum(y) AS sy, sum(y * x1) AS s1y, sum(y * x2) AS s2y
+      FROM f WHERE NOT is_eval
+    ),
+    m AS (SELECT {dd} AS dd, {d0} AS d0, {d1} AS d1, {d2_} AS d2 FROM s),
+    scored AS (
+      SELECT f.is_eval, f.y,
+             2 * (m.d0 + m.d1 * CAST(f.x1 AS HUGEINT)
+                  + m.d2 * CAST(f.x2 AS HUGEINT)) >= m.dd AS predicted
+      FROM f, m
+    )
+    SELECT CASE WHEN is_eval THEN 'eval' ELSE 'train' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN predicted = (y = 1) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(sum(CASE WHEN predicted = (y = 1) THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS accuracy
+    FROM scored GROUP BY is_eval
+    """
+
+
+@register("quality_probe_eval", _probe_eval_sql())
+def q_quality_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization audit for the one-pass quality probe: train the
+    exact-integer OLS on the deterministic 75% md5 split, score BOTH
+    splits with the frozen model, report per-split accuracy. Same Gram
+    sufficient-statistics shape as quality_linear_probe (9 integer
+    sums over the train split, Cramer in wide-integer, 1-row model
+    broadcast) plus one (2-row) aggregation — the train/eval accuracy
+    gap is the overfit signal the weak-label classifier publishes
+    before its scores gate anything."""
+    from .operators.dedup import _md5_int60
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    x1 = F.size(ws).cast("long")
+    x2 = F.floor((1000 * F.size(F.array_distinct(ws))) / F.size(ws)).cast("long")
+    y = (
+        F.when(
+            F.substring(F.col("source"), 4, 10).cast("int") < PROBE_POS_SOURCES, 1
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    is_eval = (
+        _md5_int60(F.concat(F.lit("probe:"), F.col("doc_id").cast("string")))
+        % PROBE_EVAL_MOD
+        == 0
+    )
+    f = docs.select(
+        "doc_id", y.alias("y"), x1.alias("x1"), x2.alias("x2"), is_eval.alias("is_eval")
+    )
+    s = f.filter(~F.col("is_eval")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("x1")).alias("s1y"),
+        F.sum(F.col("y") * F.col("x2")).alias("s2y"),
+    )
+    dec = lambda name: F.col(name).cast("decimal(38,0)")
+
+    def det3(m):
+        def d2(a, b, c, d):
+            return a * d - b * c
+
+        return (
+            m[0][0] * d2(m[1][1], m[1][2], m[2][1], m[2][2])
+            - m[0][1] * d2(m[1][0], m[1][2], m[2][0], m[2][2])
+            + m[0][2] * d2(m[1][0], m[1][1], m[2][0], m[2][1])
+        )
+
+    A = [
+        [dec("n"), dec("s1"), dec("s2")],
+        [dec("s1"), dec("s11"), dec("s12")],
+        [dec("s2"), dec("s12"), dec("s22")],
+    ]
+    bv = [dec("sy"), dec("s1y"), dec("s2y")]
+    rep = lambda i: [
+        [bv[r] if c == i else A[r][c] for c in range(3)] for r in range(3)
+    ]
+    model = s.select(
+        det3(A).alias("dd"),
+        det3(rep(0)).alias("d0"),
+        det3(rep(1)).alias("d1"),
+        det3(rep(2)).alias("d2"),
+    )
+    num = (
+        F.col("d0")
+        + F.col("d1") * F.col("x1").cast("decimal(38,0)")
+        + F.col("d2") * F.col("x2").cast("decimal(38,0)")
+    )
+    scored = f.crossJoin(F.broadcast(model)).select(
+        "is_eval", "y", (2 * num >= F.col("dd")).alias("predicted")
+    )
+    correct = F.when(F.col("predicted") == (F.col("y") == 1), 1).otherwise(0)
+    return scored.groupBy("is_eval").agg(
+        F.when(F.col("is_eval"), F.lit("eval")).otherwise(F.lit("train")).alias("split"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("accuracy"),
+    ).drop("is_eval")

@@ -2337,3 +2337,21 @@ def test_char_entropy_filter_semantics(spark):
     assert not got[1]["entropy_ok"] and got[1]["entropy_bits"] == 0.0
     assert not got[2]["entropy_ok"] and abs(got[2]["entropy_bits"] - 1.0) < 1e-6
     assert got[3]["entropy_bits"] == 0.0
+
+
+def test_quality_probe_eval_splits(spark):
+    """Two rows (train/eval), counts sum to the corpus, accuracy
+    consistent with n_correct/n_docs, and the split is the md5 rule."""
+    from milan_telecom_etl__spark import registry_quality  # noqa: F401 (registers)
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["split"]: r for r in QUERIES["quality_probe_eval"](spark, sf).collect()}
+    assert set(rows) == {"train", "eval"}
+    n = load_table(spark, sf, "documents").count()
+    assert rows["train"]["n_docs"] + rows["eval"]["n_docs"] == n
+    for r in rows.values():
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        assert abs(r["accuracy"] - r["n_correct"] / r["n_docs"]) < 1e-6
+    # the eval quarter should be roughly a quarter (md5-uniform)
+    assert 0.1 < rows["eval"]["n_docs"] / n < 0.45
