@@ -3168,20 +3168,28 @@ ENTROPY_MIN_BITS = 2.0
     WITH d AS (
       SELECT doc_id, text AS t, length(text) AS n FROM documents
     ),
+    srt AS (
+      SELECT doc_id, n,
+             list_sort(list_transform(range(1, n + 1), i -> t[i:i])) AS se
+      FROM d
+    ),
+    runs AS (
+      SELECT doc_id, n,
+             list_filter(range(1, n + 1),
+               i -> CASE WHEN i = n THEN true ELSE se[i+1] <> se[i] END) AS ends
+      FROM srt
+    ),
     c AS (
       SELECT doc_id, n,
-             coalesce(list_sum(list_transform(
-               list_distinct(list_transform(range(1, n + 1), i -> t[i:i])),
-               ch -> CAST(round(
-                 len(list_filter(list_transform(range(1, n + 1), i -> t[i:i]),
-                                 x -> x = ch))
-                 * ln(len(list_filter(list_transform(range(1, n + 1), i -> t[i:i]),
-                                      x -> x = ch)))
-                 * 1000000000) AS BIGINT))), 0) AS s_nano,
-             coalesce(len(list_distinct(list_transform(range(1, n + 1),
-                                                       i -> t[i:i]))), 0)
-               AS n_distinct_chars
-      FROM d
+             coalesce(len(ends), 0) AS n_distinct_chars,
+             coalesce(list_sum(list_transform(range(1, len(ends) + 1), j ->
+               CAST(round(
+                 (CASE WHEN j = 1 THEN ends[1]
+                       ELSE ends[j] - ends[j-1] END)
+                 * ln(CASE WHEN j = 1 THEN ends[1]
+                           ELSE ends[j] - ends[j-1] END)
+                 * 1000000000) AS BIGINT))), 0) AS s_nano
+      FROM runs
     )
     SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
            CAST(n_distinct_chars AS BIGINT) AS n_distinct_chars,
@@ -3212,23 +3220,49 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.length(t)
     cs = F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))), lambda i: F.substring(t, i, 1))
     cs = F.when(n > 0, cs).otherwise(F.array().cast("array<string>"))
-    distinct = F.array_distinct(cs)
-    term = lambda ch: F.round(
-        F.size(F.filter(cs, lambda x: x == ch)).cast("double")
-        * F.log(F.size(F.filter(cs, lambda x: x == ch)).cast("double"))
-        * 1000000000
+    # counts via sort + run boundaries — O(n log n) per doc instead of
+    # the O(n * alphabet) per-distinct-char filter scan. Each stage
+    # binds to a COLUMN before the next references it (the shingles_of
+    # discipline): an inline array_sort referenced inside a lambda's
+    # element_at would re-sort per element access.
+    s1 = docs.select("doc_id", n.cast("long").alias("n_chars"), F.array_sort(cs).alias("se"))
+    nn = F.col("n_chars")
+    se = F.col("se")
+    ends = F.filter(
+        F.sequence(F.lit(1), F.greatest(nn, F.lit(1)).cast("int")),
+        lambda i: F.when(i == nn, F.lit(True)).otherwise(
+            (i < nn)
+            & (F.element_at(se, (i + 1).cast("int")) != F.element_at(se, i.cast("int")))
+        ),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "n_chars",
+        F.when(nn > 0, ends).otherwise(F.array().cast("array<int>")).alias("ends"),
+    )
+    endc = F.col("ends")
+
+    def run_len(j):
+        return F.when(j == 1, F.element_at(endc, 1)).otherwise(
+            F.element_at(endc, j.cast("int")) - F.element_at(endc, (j - 1).cast("int"))
+        )
+
+    term = lambda j: F.round(
+        run_len(j).cast("double") * F.log(run_len(j).cast("double")) * 1000000000
     ).cast("long")
     s_nano = F.coalesce(
         F.aggregate(
-            F.transform(distinct, term), F.lit(0).cast("long"), lambda a, x: a + x
+            F.transform(F.sequence(F.lit(1), F.greatest(F.size(endc), F.lit(1))), term),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
         ),
         F.lit(0).cast("long"),
     )
-    base = docs.select(
+    base = s2.select(
         "doc_id",
-        n.cast("long").alias("n_chars"),
-        F.size(distinct).cast("long").alias("n_distinct_chars"),
-        s_nano.alias("s_nano"),
+        "n_chars",
+        F.size(endc).cast("long").alias("n_distinct_chars"),
+        F.when(F.size(endc) > 0, s_nano).otherwise(F.lit(0).cast("long")).alias("s_nano"),
     )
     h = F.when(F.col("n_chars") == 0, F.lit(0.0)).otherwise(
         F.round(
