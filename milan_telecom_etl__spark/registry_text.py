@@ -3281,3 +3281,100 @@ def q_char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("entropy_bits"),
         (h >= ENTROPY_MIN_BITS).alias("entropy_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source redundancy report — the curation decision input that says
+# WHICH sources are mirror-heavy: within-source exact-copy rate,
+# cross-source exact-copy exposure, and near-dup drop rate per source.
+# ---------------------------------------------------------------------------
+
+
+def _dedup_rate_sql() -> str:
+    return f"""
+    WITH fp AS (SELECT doc_id, source, md5({_norm()}) AS f FROM documents),
+    within AS (
+      SELECT source, count(*) AS n_docs,
+             count(*) - count(DISTINCT f) AS n_exact_within
+      FROM fp GROUP BY source
+    ),
+    multi AS (
+      SELECT f FROM fp GROUP BY f HAVING count(DISTINCT source) > 1
+    ),
+    cross_e AS (
+      SELECT source, count(*) AS n_cross_exact
+      FROM fp WHERE f IN (SELECT f FROM multi) GROUP BY source
+    ),
+    near AS (
+      SELECT d.source, count(DISTINCT v.doc_b) AS n_near_drop
+      FROM (SELECT DISTINCT doc_b FROM ({_lsh_verified_sql(0.5)})) v
+      JOIN documents d ON d.doc_id = v.doc_b
+      GROUP BY d.source
+    )
+    SELECT w.source,
+           CAST(w.n_docs AS BIGINT) AS n_docs,
+           CAST(w.n_exact_within AS BIGINT) AS n_exact_within,
+           CAST(coalesce(c.n_cross_exact, 0) AS BIGINT) AS n_cross_exact,
+           CAST(coalesce(n.n_near_drop, 0) AS BIGINT) AS n_near_drop,
+           round(w.n_exact_within * 1.0 / w.n_docs, 6) AS exact_rate,
+           round(coalesce(n.n_near_drop, 0) * 1.0 / w.n_docs, 6) AS near_rate
+    FROM within w
+    LEFT JOIN cross_e c ON c.source = w.source
+    LEFT JOIN near n ON n.source = w.source
+    """
+
+
+@register("dedup_rate_report", _dedup_rate_sql())
+def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources are redundant: per source, the within-source
+    exact-copy count (docs minus distinct fingerprints), the
+    cross-source exact exposure (docs whose content also appears under
+    another source — re-crawls and mirrors), and the near-dup drop
+    count (sharp-banded verify chain, J >= 0.5). The rates are what a
+    mixing/curation pass reads before deciding to down-weight or drop
+    a source. Shapes: one fingerprint hash-agg, one multi-source
+    fingerprint semi-join (the multi set is bounded by actual
+    cross-source duplication), and the standing near-dup drop set
+    joined back to sources — all source-grain outputs."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import normalize_text
+
+    fp = docs.select("doc_id", "source", F.md5(normalize_text("text")).alias("f"))
+    within = fp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("f")).alias("n_exact_within"),
+    )
+    multi = (
+        fp.groupBy("f")
+        .agg(F.countDistinct("source").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .select("f")
+    )
+    cross_e = (
+        fp.join(multi, "f", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_cross_exact"))
+    )
+    near = (
+        D.lsh_verified_pairs(docs, threshold=0.5)
+        .select("doc_b")
+        .distinct()
+        .join(docs.select(F.col("doc_id").alias("doc_b"), "source"), "doc_b")
+        .groupBy("source")
+        .agg(F.countDistinct("doc_b").alias("n_near_drop"))
+    )
+    return (
+        within.join(cross_e, "source", "left")
+        .join(near, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_exact_within").cast("long").alias("n_exact_within"),
+            F.coalesce(F.col("n_cross_exact"), F.lit(0)).cast("long").alias("n_cross_exact"),
+            F.coalesce(F.col("n_near_drop"), F.lit(0)).cast("long").alias("n_near_drop"),
+            F.round(F.col("n_exact_within") / F.col("n_docs"), 6).alias("exact_rate"),
+            F.round(
+                F.coalesce(F.col("n_near_drop"), F.lit(0)) / F.col("n_docs"), 6
+            ).alias("near_rate"),
+        )
+    )

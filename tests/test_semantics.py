@@ -2355,3 +2355,27 @@ def test_quality_probe_eval_splits(spark):
         assert abs(r["accuracy"] - r["n_correct"] / r["n_docs"]) < 1e-6
     # the eval quarter should be roughly a quarter (md5-uniform)
     assert 0.1 < rows["eval"]["n_docs"] / n < 0.45
+
+
+def test_dedup_rate_report_consistency(spark):
+    """Per-source doc counts sum to the corpus; near-drop counts equal
+    the distinct verified-pair drop side grouped by source; rates
+    consistent with the integer columns."""
+    from milan_telecom_etl__spark import registry_text  # noqa: F401 (registers)
+    from milan_telecom_etl__spark.operators.dedup import lsh_verified_pairs
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    rows = QUERIES["dedup_rate_report"](spark, sf).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    src = {r["doc_id"]: r["source"] for r in docs.select("doc_id", "source").collect()}
+    drops = {r["doc_b"] for r in lsh_verified_pairs(docs, threshold=0.5)
+             .select("doc_b").distinct().collect()}
+    per_src = {}
+    for d in drops:
+        per_src[src[d]] = per_src.get(src[d], 0) + 1
+    for r in rows:
+        assert r["n_near_drop"] == per_src.get(r["source"], 0)
+        assert abs(r["near_rate"] - r["n_near_drop"] / r["n_docs"]) < 1e-6
+        assert r["n_exact_within"] >= 0 and r["n_cross_exact"] >= 0
