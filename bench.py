@@ -117,19 +117,28 @@ def main() -> None:
     }
     with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, sort_keys=True)
-    # round-stamped sidecar too (VERDICT r3 #8): the current round is one
-    # past the newest driver CORRECTNESS artifact, so per-query timings
-    # can be diffed across rounds from git history alone
+    # round-stamped sidecar too (VERDICT r3 #8): BENCH_DETAIL_r{N}.json
+    # holds the detail of a bench run DURING round N, so per-query timings
+    # can be diffed across rounds from git history alone. The round is
+    # inferred as one past the newest driver CORRECTNESS artifact; that
+    # heuristic is wrong for a bench run AFTER the driver drops the
+    # end-of-round artifact (r8's final detail landed as _r09 — VERDICT
+    # r8 #4), so SPARK_GRAFT_ROUND overrides it explicitly.
     import glob as _glob
     import re as _re
 
-    rounds = [
-        int(m.group(1))
-        for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-        if (m := _re.search(r"r(\d+)\.json$", p))
-    ]
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round:
+        cur_round = int(env_round)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in _glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := _re.search(r"r(\d+)\.json$", p))
+        ]
+        cur_round = max(rounds, default=0) + 1
     with open(
-        os.path.join(repo, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json"), "w"
+        os.path.join(repo, f"BENCH_DETAIL_r{cur_round:02d}.json"), "w"
     ) as f:
         json.dump(detail, f, sort_keys=True)
     slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:5])
