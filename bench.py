@@ -3,9 +3,12 @@
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is timed end-to-end (plan + execute + collect-to-count),
-median of 3 repetitions (VERDICT r5 #3: min-of-2 was noise-prone); a
-warmup pass on the flagship amortizes JVM/session startup out of the
-numbers. Between queries the Spark block cache is cleared so one
+median of 3 repetitions (VERDICT r5 #3: min-of-2 was noise-prone)
+taken AFTER $SPARK_GRAFT_BENCH_WARMUP untimed warmup reps (default 1
+— steady-state protocol since r9: cold first reps sit on the
+Janino/C2 warmup curve, which made medians drift with registry size
+rather than code, VERDICT r8 #1); a warmup pass on the flagship
+additionally amortizes JVM/session startup out of the numbers. Between queries the Spark block cache is cleared so one
 entry's persisted intermediates (shingle/bigram tables) can't steal
 executor memory from — and so flatter the reps of — unrelated queries
 (VERDICT r5 #3 drift hypothesis). Sidecars are stamped with the git
@@ -25,6 +28,7 @@ import time
 from milan_telecom_etl__spark.session import get_spark
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
 
 
 def _git_sha(repo: str) -> str:
@@ -73,6 +77,15 @@ def main() -> None:
             # same within-query protocol r1-r5 measured, so means stay
             # comparable round-over-round
             spark.catalog.clearCache()
+            # untimed warmup rep(s): a cold first run sits on the
+            # Janino-compile + C2-JIT warmup curve, which made r7→r8
+            # medians drift with REGISTRY SIZE, not code (PLANS.md r9:
+            # the five "drifted" entries ran FASTER mid-sweep than
+            # isolated — cross-entry warm-JIT subsidy). Discarding the
+            # warmup measures steady state; budgets re-baselined with
+            # this protocol (r8 verdict #1).
+            for _ in range(WARMUP):
+                fn(spark, sf_dir).count()
             for _ in range(REPS):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).count()
@@ -107,12 +120,27 @@ def main() -> None:
         )
         spark.stop()
         return
+    # JVM pressure telemetry (PLANS.md r8 drift root cause): code-cache /
+    # metaspace occupancy after the sweep, so BENCH_DETAIL records whether
+    # the generated-class footprint fits the reserved JIT cache.
+    jvm_pools: dict[str, float] = {}
+    try:
+        beans = spark._jvm.java.lang.management.ManagementFactory.getMemoryPoolMXBeans()
+        for p in beans:
+            n = p.getName()
+            if "Code" in n or "Metaspace" in n:
+                jvm_pools[n] = round(p.getUsage().getUsed() / 1e6, 1)
+    except Exception:
+        pass
+
     detail = {
         "sf": sf,
         "queries": timings,
+        "jvm_pools_mb": jvm_pools,
         "git_sha": _git_sha(repo),
         "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "reps": REPS,
+        "warmup": WARMUP,
         "stat": "median",
     }
     with open(os.path.join(repo, "BENCH_DETAIL.json"), "w") as f:

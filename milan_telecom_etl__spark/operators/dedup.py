@@ -20,6 +20,16 @@ Design for 100 TB:
 
 All hashing is md5-derived (engine-stable) so DuckDB oracles reproduce
 values exactly. No Python UDFs.
+
+Caching contract: several operators persist() shared subtrees (shingle
+tables, words frames, standing indexes) and intentionally do NOT
+unpersist before returning — the returned DataFrame is lazy and still
+references them. Callers running many operators in one session must
+release them between calls (`spark.catalog.clearCache()`), which is
+exactly what the repo's bench/gate harnesses do per query. Library
+callers embedding a single operator in a longer pipeline should
+instead unpersist via `spark.catalog.clearCache()` once the pipeline's
+terminal action has run.
 """
 
 from __future__ import annotations
@@ -40,6 +50,25 @@ MERSENNE_31 = 2_147_483_647
 # contribution to 10⁶ candidate rows while being far above the df of
 # any content-bearing shingle (validated by the crafted-skew test).
 DEFAULT_MAX_SHINGLE_DF = 1000
+
+# ---------------------------------------------------------------------------
+# Named LSH banding presets (ADVICE r8): candidate-collision probability
+# is P(J) = 1 - (1 - J^band_size)^(num_hashes/band_size), so the scheme
+# choice IS a recall/precision dial at the Jaccard threshold. The r8
+# default moved the verify chain (lsh_verified_pairs, near_dup_clusters,
+# incremental_near_dups, containment_pairs) from 16/2 to 64/4 — sharper
+# candidates, far fewer false positives to verify, but recall exactly AT
+# the J=0.5 midpoint drops ~0.90 -> ~0.64. Callers for whom borderline-J
+# recall matters should opt into BANDING_HIGH_RECALL explicitly:
+#   lsh_verified_pairs(docs, **BANDING_HIGH_RECALL)
+# ---------------------------------------------------------------------------
+
+#: Default since r8: precision-first. P(0.5)=0.64, P(0.7)=0.99.
+BANDING_SHARP = {"num_hashes": 64, "band_size": 4}
+#: Pre-r8 default: recall-first, noisier candidates. P(0.5)=0.90.
+BANDING_LEGACY_RECALL = {"num_hashes": 16, "band_size": 2}
+#: Recommended where borderline-J recall matters. P(0.5)=0.88, P(0.7)=1.0.
+BANDING_HIGH_RECALL = {"num_hashes": 128, "band_size": 4}
 
 
 def _md5_int60(c: Column) -> Column:
@@ -601,6 +630,48 @@ def incremental_near_dups(
     )
 
 
+def containment_probe_candidates(
+    shingles: DataFrame,
+    m_probes: int = 8,
+) -> DataFrame:
+    """Asymmetric containment candidates (ADVICE r8): probe each doc's
+    `m_probes` smallest-hash shingles against the full shingle inverted
+    index. If containment_small(A,B) = c, each of A's probe shingles is
+    in B w.p. ≈ c, so a pair at containment c is missed w.p. ≤ (1-c)^m
+    — recall is EXACTLY 1.0 for full containment (every shingle of A is
+    in B, in particular the probe shingles) and ≥ 1 - 0.2^8 ≈ 1-2.6e-6
+    at the 0.8 default threshold. This is the "sign only the small
+    side" scheme: every doc is signed with m shingles as a potential
+    containee, while as a container it is only ever the streamed index
+    side — no symmetric banding, so the Jaccard collision law (which
+    made high-containment/low-Jaccard pairs invisible to MinHash-LSH)
+    does not apply.
+
+    Scale: probe side is m rows per doc (a top-m window on the shingle
+    hash); the join fans each probe shingle out to its document
+    frequency, which `max_shingle_df` caps upstream — candidate volume
+    is O(n_docs * m * avg_df), linear in the corpus."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(_md5_int60(F.col("shingle")))
+    probes = (
+        shingles.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m_probes)
+        .select(F.col("doc_id").alias("p_doc"), "shingle")
+    )
+    return (
+        probes.join(
+            shingles.select(F.col("doc_id").alias("o_doc"), "shingle"), "shingle"
+        )
+        .filter(F.col("p_doc") != F.col("o_doc"))
+        .select(
+            F.least("p_doc", "o_doc").alias("doc_a"),
+            F.greatest("p_doc", "o_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -609,25 +680,39 @@ def containment_pairs(
     band_size: int = 4,
     threshold: float = 0.8,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    method: str = "asymmetric",
+    m_probes: int = 8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Containment near-dup pairs — the doc-IN-doc case Jaccard
     misses: a 100-shingle doc fully embedded in a 10,000-shingle doc
     has containment_small = 1.0 but Jaccard ≈ 0.01 (quotes, boilerplate
-    wrappers, concatenated shards). Same two-stage shape as
-    lsh_verified_pairs (banded MinHash candidates → exact shingle
-    intersection), but the verify stage scores BOTH directed
-    containments n_common/|A| and n_common/|B| and keeps pairs whose
-    max clears the threshold.
+    wrappers, concatenated shards). Two stages: a candidate generator,
+    then the exact-shingle-intersection verify scoring BOTH directed
+    containments n_common/|A| and n_common/|B|, keeping pairs whose max
+    clears the threshold.
 
-    Honest recall note: MinHash banding collides by JACCARD, so a
-    high-containment/low-Jaccard pair only surfaces when the size gap
-    is moderate; true asymmetric search at scale signs the SMALL side
-    only (or uses OPH containment sketches) — this operator's contract
-    is the verified scoring, and the candidate generator is swappable.
+    The candidate stage is pluggable (ADVICE r8): pass `candidates`
+    ((doc_a < doc_b) pairs from an external index), or pick `method`:
+    - "asymmetric" (default): `containment_probe_candidates` — signs
+      only the small side (m smallest-hash shingles probe the inverted
+      index), so the motivating containment-1.0/Jaccard-0.01 case is
+      found with recall 1.0; see its docstring for the recall law.
+    - "lsh": symmetric banded MinHash (the r8 default, kept as the
+      diagnostic twin) — collides by JACCARD (~J^band_size per band),
+      so high-containment/low-Jaccard pairs only surface when the size
+      gap is moderate.
     """
     words = _words_df(docs, text_col).persist()
-    cands = minhash_lsh_candidates(docs, text_col, n, num_hashes, band_size, words)
     sh = shingle_table(docs, text_col, n, max_shingle_df, words).persist()
+    if candidates is not None:
+        cands = candidates
+    elif method == "asymmetric":
+        cands = containment_probe_candidates(sh, m_probes)
+    elif method == "lsh":
+        cands = minhash_lsh_candidates(docs, text_col, n, num_hashes, band_size, words)
+    else:
+        raise ValueError(f"unknown containment candidate method: {method!r}")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pair_sh = cands.join(
         sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
@@ -714,7 +799,16 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     and per-bit expression trees would bloat codegen k-fold) — and the
     signature reassembles by summing the winning bits' pow2 values.
     Tokenizing + signing 100 TB is map-only; duplicates count, exactly
-    as the former explode+groupBy vote did."""
+    as the former explode+groupBy vote did.
+
+    `bits` is capped at 60: the token hash is `_md5_int60` (60-bit md5
+    prefix), so bit positions >= 60 would AND to 0 against every token
+    and silently freeze as constant all-minus votes (ADVICE r8)."""
+    if not 1 <= bits <= 60:
+        raise ValueError(
+            f"simhash bits must be in [1, 60] (token hash is 60-bit md5"
+            f" prefix; higher bits would be constant) — got {bits}"
+        )
     w = _words_df(docs, text_col)
     pow2 = F.lit([1 << b for b in range(bits)]).cast("array<bigint>")
     one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
@@ -1033,6 +1127,7 @@ def lsh_verified_pairs(
     band_size: int = 4,
     threshold: float = 0.5,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """The production two-stage near-dup pipeline: LSH banding prunes
     the pair space to candidates, then EXACT shingle Jaccard verifies
@@ -1058,8 +1153,11 @@ def lsh_verified_pairs(
     """
     # ONE normalize+split pass feeds both the minhash candidates and
     # the verify-stage shingle table — the regex pipeline is the CPU
-    # hot spot and would otherwise run twice.
-    words = _words_df(docs, text_col).persist()
+    # hot spot and would otherwise run twice. Callers composing several
+    # dedup-side consumers (curation_funnel) pass a shared persisted
+    # `words` to extend the sharing across operators.
+    if words is None:
+        words = _words_df(docs, text_col).persist()
     cands = minhash_lsh_candidates(docs, text_col, n, num_hashes, band_size, words)
     sh = shingle_table(docs, text_col, n, max_shingle_df, words).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))

@@ -9,6 +9,14 @@ No reference-repo counterpart (extension operators, like the rest of
 the LLM-pipeline surface). All hot-path expressions are built-in
 pyspark.sql.functions; hashing derives from md5 so the DuckDB oracle
 reproduces values bit-for-bit.
+
+Caching contract (ADVICE r8): operators that persist() shared subtrees
+(tokenized corpora, term tables) leave them cached — the returned
+DataFrame is lazy and still references them. Callers running many
+operators in one session release them between calls with
+`spark.catalog.clearCache()` (the bench/gate harnesses' per-query
+protocol); single-operator library callers clearCache after their
+pipeline's terminal action.
 """
 
 from __future__ import annotations

@@ -17,6 +17,14 @@ Two paths:
 No UDFs: dot products use F.zip_with/F.aggregate (codegen'd). For very
 wide vectors a Pandas-UDF matmul variant would win on constant factors;
 at 64 dims the builtin fold is competitive and keeps the plan pure.
+
+Caching contract (ADVICE r8): operators that persist() shared subtrees
+(bucket tables, filtered corpora, standing indexes) leave them cached —
+the returned DataFrame is lazy and still references them. Callers
+running many operators in one session release them between calls with
+`spark.catalog.clearCache()` (the bench/gate harnesses' per-query
+protocol); single-operator library callers clearCache after their
+pipeline's terminal action.
 """
 
 from __future__ import annotations
@@ -25,6 +33,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -1009,16 +1018,24 @@ def mmr_rerank(
     by mmr = (lam*rel - (1-lam)*max_sim_to_already_picked), so the
     final k are relevant AND mutually diverse.
 
-    The selection loop is inherently sequential in k but k is a small
-    constant: the plan UNROLLS the k steps (each step a bounded
-    penalty join + per-query argmax window), everything keyed by
-    query_id — at scale with millions of queries every step is an
-    embarrassingly parallel shuffle on the query key; only depth, not
-    width, grows with k. The candidate pool and its pairwise-cosine
-    table are n_queries x pool(^2) rows — bounded by construction.
-    lam is carried as integer tenths ((7*rel - 3*pen)/10.0) so both
-    engines promote the same way; scores are 6dp-rounded with id
-    tie-breaks."""
+    The selection loop is inherently sequential in k, and its state —
+    the scored pool (n_queries x pool rows) and its pairwise-cosine
+    table (n_queries x pool^2 rows) — is BOUNDED BY CONSTRUCTION, so
+    it qualifies for the repo's kmeans-centroid discipline (VERDICT r8
+    #3): the two distributed passes (pool scoring + pairwise cosines,
+    both JVM-side with 6dp rounds) are collected once, the k-step
+    greedy argmax runs driver-side on the already-rounded values, and
+    the n_queries x k result rows are returned as a driver-built
+    frame. The r8 shape instead UNROLLED the k steps into the plan
+    (per-step persists to keep the tree linear) and paid ~7 s of fixed
+    planning/stage overhead per run at ANY data size.
+
+    Bit-parity with the SQL oracle is preserved because every float
+    the driver touches is either (a) already rounded JVM-side (rel,
+    pc) or (b) combined with exact small-int arithmetic
+    ((7*rel - 3*pen)/10.0 — identical IEEE ops in Python and the JVM)
+    and re-rounded with BigDecimal-equivalent HALF_UP (decimal
+    module), matching Spark's and DuckDB's round()."""
     q = embeddings.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
@@ -1052,65 +1069,72 @@ def mmr_rerank(
             F.col("b.doc_id").alias("b_doc"),
             F.round(cosine(F.col("a.cv"), F.col("b.cv")), 6).alias("pc"),
         )
-        .persist()
     )
     lam, lam1 = lam_tenths, 10 - lam_tenths
 
-    w1 = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id"))
-    pick = (
-        pool_df.withColumn("rk", F.row_number().over(w1))
-        .filter(F.col("rk") == 1)
-        .select(
-            "query_id",
-            "doc_id",
-            "rel",
-            F.round(F.lit(lam) * F.col("rel") / 10.0, 6).alias("mmr"),
-            F.lit(1).cast("int").alias("step"),
+    # bounded collects (n_queries*pool and n_queries*pool^2 rows): the
+    # greedy state fits the driver by construction, so the k-step loop
+    # runs here instead of as k unrolled plan stages
+    pool_rows = [
+        (r["query_id"], r["doc_id"], r["rel"])
+        for r in pool_df.select("query_id", "doc_id", "rel").collect()
+    ]
+    pc: dict[tuple, float] = {
+        (r["query_id"], r["a_doc"], r["b_doc"]): r["pc"] for r in pairs.collect()
+    }
+    pool_df.unpersist()
+
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _round6(x: float) -> float:
+        # Spark's round(double, 6) goes through BigDecimal.valueOf(d),
+        # i.e. Double.toString's SHORTEST round-trip decimal — NOT the
+        # exact binary expansion. Python's repr() is the same shortest
+        # round-trip form, so Decimal(repr(x)) + HALF_UP reproduces the
+        # JVM (and the DuckDB oracle the JVM path already matched)
+        # bit-for-bit; Decimal(x) (exact binary) differs by 1 at the
+        # 6th decimal on .5-boundary values (caught by
+        # test_oracle_parity on mmr step scores).
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
         )
-        .persist()  # see the step-loop persist note below
+
+    by_q: dict = {}
+    for qid, did, rel in pool_rows:
+        by_q.setdefault(qid, []).append((did, rel))
+    out_rows: list[tuple] = []
+    for qid in sorted(by_q):
+        cands = by_q[qid]
+        # step 1: pure relevance argmax (desc rel, asc doc_id)
+        did, rel = max(cands, key=lambda t: (t[1], -t[0]))
+        picked = [did]
+        out_rows.append((qid, 1, did, rel, _round6(lam * rel / 10.0)))
+        for step in range(2, k + 1):
+            best = None
+            for did, rel in cands:
+                if did in picked:
+                    continue
+                pen = max(pc[(qid, did, b)] for b in picked)
+                mmr = _round6((lam * rel - lam1 * pen) / 10.0)
+                key = (-mmr, did)
+                if best is None or key < best[0]:
+                    best = (key, did, rel, mmr)
+            if best is None:
+                break
+            _, did, rel, mmr = best
+            picked.append(did)
+            out_rows.append((qid, step, did, rel, mmr))
+
+    schema = T.StructType(
+        [
+            T.StructField("query_id", pool_df.schema["query_id"].dataType),
+            T.StructField("step", T.IntegerType()),
+            T.StructField("doc_id", pool_df.schema["doc_id"].dataType),
+            T.StructField("rel", T.DoubleType()),
+            T.StructField("mmr_score", T.DoubleType()),
+        ]
     )
-    picks = [pick]
-    selected = pick.select("query_id", "doc_id")
-    wm = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("doc_id"))
-    for step in range(2, k + 1):
-        pen = (
-            pairs.join(
-                selected.withColumnRenamed("doc_id", "b_doc"), ["query_id", "b_doc"]
-            )
-            .groupBy("query_id", F.col("a_doc").alias("doc_id"))
-            .agg(F.max("pc").alias("pen"))
-        )
-        cand = (
-            pool_df.join(selected, ["query_id", "doc_id"], "left_anti")
-            .join(pen, ["query_id", "doc_id"])
-            .select(
-                "query_id",
-                "doc_id",
-                "rel",
-                F.round(
-                    (F.lit(lam) * F.col("rel") - F.lit(lam1) * F.col("pen")) / 10.0, 6
-                ).alias("mmr"),
-            )
-        )
-        pick = (
-            cand.withColumn("rk", F.row_number().over(wm))
-            .filter(F.col("rk") == 1)
-            .select(
-                "query_id", "doc_id", "rel", "mmr", F.lit(step).cast("int").alias("step")
-            )
-            # each pick is n_queries rows, but step i's plan SUBTREE
-            # embeds every earlier step through the selected chain —
-            # without this persist the unrolled plan grows ~2^k and a
-            # constant ~14 s of planning/stage overhead dominates any
-            # data size. Caching each pick linearizes the tree.
-            .persist()
-        )
-        picks.append(pick)
-        selected = selected.unionByName(pick.select("query_id", "doc_id"))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out.select("query_id", "step", "doc_id", "rel", F.col("mmr").alias("mmr_score"))
+    return embeddings.sparkSession.createDataFrame(out_rows, schema)
 
 
 def incremental_embedding_dedup(

@@ -374,3 +374,115 @@ def boilerplate_line_purge(
         F.round(F.col("n_boiler") / F.col("n_lines"), 6).alias("boiler_ratio"),
         "clean_text",
     )
+
+
+BPE_EOW = "</w>"
+
+
+def bpe_merge_rounds(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """k rounds of BPE merge training (Sennrich et al. 2016 §3.2) —
+    the iterative loop `bpe_merge_candidates` computes step 1 of:
+    each round counts adjacent symbol pairs over the (vocabulary-grain)
+    corpus weighted by word frequency, adopts the most frequent pair
+    (ties: pair lexicographic) as the round's merge rule, and rewrites
+    the vocabulary with that rule applied. Output: one row per adopted
+    merge (merge_rank, left_sym, right_sym, pair_count).
+
+    Representation: each word's symbol sequence is a WRAPPED string
+    '(a)(b)(c)' so rule application is an exact-string replace of
+    '(a)(b)' with '(ab)' — standard left-to-right non-overlapping
+    replace then has IDENTICAL semantics in the JVM and DuckDB (the
+    wrapper chars make occurrences disjoint, unlike space-joined forms
+    where consecutive matches share a separator). Greedy restart-after-
+    merge application ('aaaa' + rule (a,a) -> aa,aa; 'aaa' -> aa,a) is
+    the convention both engines implement.
+
+    Scale shape (the kmeans/MMR unrolling discipline): the corpus
+    collapses to its VOCABULARY first — one corpus-wide hash-agg with
+    map-side partials; everything after runs at vocabulary grain,
+    orders of magnitude smaller than the corpus and bounded by the
+    language, not the data size. Each round is ONE distributed
+    pair-count aggregation (uniform keys, output bounded by
+    |symbols|²) whose argmax is a 1-row bounded collect, plus one
+    map-only vocabulary rewrite; the round-r vocab persists and the
+    round-(r-1) cache is released once r materializes, so the plan
+    stays linear in k, never 2^k."""
+    wf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = F.col("w")
+    syms0 = F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.substring(w, i, 1),
+        ),
+        F.array(F.lit(BPE_EOW)),
+    )
+    seq0 = F.concat(F.lit("("), F.array_join(syms0, ")("), F.lit(")"))
+    vocab = wf.select(seq0.alias("seq"), "freq").persist()
+
+    spark = docs.sparkSession
+    merges: list[tuple] = []
+    prev = None
+    for r in range(1, k + 1):
+        syms = F.split(F.regexp_replace(F.col("seq"), r"^\(|\)$", ""), r"\)\(")
+        sy = F.col("__syms")
+        n = F.size(sy)
+        idx = F.filter(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: i <= n - 1,
+        )
+        prs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(sy, i).alias("a"),
+                F.element_at(sy, i + 1).alias("b"),
+            ),
+        )
+        best = (
+            vocab.select("freq", syms.alias("__syms"))
+            .select("freq", F.explode(prs).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()  # bounded: exactly 1 row per round
+        )
+        if prev is not None:
+            prev.unpersist()
+        prev = vocab
+        if not best:
+            break
+        a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
+        merges.append((r, a, b, cnt))
+        vocab = vocab.select(
+            F.replace(
+                F.col("seq"), F.lit(f"({a})({b})"), F.lit(f"({a}{b})")
+            ).alias("seq"),
+            "freq",
+        ).persist()
+    if prev is not None:
+        prev.unpersist()
+    vocab.unpersist()
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.LongType()),
+            T.StructField("left_sym", T.StringType()),
+            T.StructField("right_sym", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(merges, schema)

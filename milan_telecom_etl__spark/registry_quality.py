@@ -1217,13 +1217,105 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic synthesis (operators.text.synth_lines). Every gate is
     EXACT INTEGER cross-multiplication — no float boundary.
 
-    Scale shape: the line stats are pure higher-order folds (map-only,
-    zero shuffle). The n-gram side tags each gram with its n and
-    explodes ONCE (9 grains in one pass), then two hash aggregations on
-    (doc_id, n, gram) -> (doc_id, n) -> doc_id — uniform doc-grain
-    keys, partial aggregation map-side, no join wider than the corpus
-    itself. At 100 TB this is the proven shingle-table shape."""
-    docs = load_table(spark, sf_dir, "documents")
+    Scale shape (r9): the ENTIRE battery is one map-only projection —
+    zero shuffle, zero join. The per-grain top/duplicate coverages are
+    per-doc statistics, so instead of exploding 9 grains of positional
+    n-grams into a (doc_id, n, gram) hash agg (the r8 shape — honest
+    cost 74 s at sf1, the dominant term of curation_funnel), each
+    grain's gram array is array_sort'ed and a single aggregate() fold
+    counts runs (a run in a sorted array IS a distinct gram's count),
+    accumulating the count-major packed max and the duplicate coverage
+    in one pass. Flagging 100 TB is map-only, like the A1.1 battery."""
+    return gopher_repetition_flag_frame(load_table(spark, sf_dir, "documents"))
+
+
+def _hashed_grams_of(whc, wlc, n: int):
+    """Positional (non-distinct) word n-grams as struct(h, l) — h is a
+    chained xxhash64 over the window's word hashes (position-sensitive,
+    grain-seeded with n; no gram STRING is ever built — measured 20 s
+    of the battery's 66 s at sf1 was array_join string construction),
+    l is the gram's exact char length (word lengths + n-1 spaces), so
+    coverage arithmetic below is identical to the string form. Index
+    semantics match the r8 explode form. Identity is probabilistic at
+    64 bits — a chain collision merging two distinct grams' counts is
+    ~2^-64 per gram pair per doc, negligible against any corpus size.
+
+    `whc` is the bound word-hash array; `wlc` the bound word-length
+    array. The chain is UNROLLED per grain (n is a plan-time constant
+    <= 10) into flat element_at expressions — a nested aggregate()
+    inside the transform lambda measured SLOWER than the string form
+    (84 s vs 66 s at sf1: nested HOFs drop off the codegen fast path),
+    while the flat unroll stays in one codegen'd projection."""
+    k = F.size(whc) - F.lit(n - 1)
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))), lambda i: i <= k - 1
+    )
+
+    def gram_at(i):
+        h = F.lit(n).cast("long")
+        l = F.lit(n - 1).cast("long")
+        for j in range(n):
+            h = F.xxhash64(h, F.element_at(whc, i + F.lit(j + 1)))
+            l = l + F.element_at(wlc, i + F.lit(j + 1))
+        return F.struct(h.alias("h"), l.alias("l"))
+
+    return F.transform(idx, gram_at)
+
+
+def _run_stats(sorted_col):
+    """Fold a SORTED struct(h, l) gram array into struct(top_cov,
+    dup_cov): top_cov = coverage (count x gram char length) of the most
+    frequent gram (count-major packed, ties to larger coverage —
+    identical packing to the r8 hash-agg form), dup_cov = total
+    coverage of grams occurring >= 2 times. Runs of equal elements in
+    the sorted array are exactly the per-gram counts, so one linear
+    numeric pass replaces the explode + two hash aggregations."""
+    zero = F.lit(0).cast("long")
+
+    def close(acc):
+        cov = acc["run"] * acc["prev"]["l"]
+        cand = acc["run"] * F.lit(_REP_MULT) + cov
+        return (
+            F.greatest(acc["top"], cand),
+            acc["dup"] + F.when(acc["run"] >= 2, cov).otherwise(zero),
+        )
+
+    def merge(acc, x):
+        same = x == acc["prev"]
+        top2, dup2 = close(acc)
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.when(same, acc["top"]).otherwise(top2).alias("top"),
+            F.when(same, acc["dup"]).otherwise(dup2).alias("dup"),
+        )
+
+    def finish(acc):
+        top2, dup2 = close(acc)
+        nonempty = acc["run"] > 0
+        return F.struct(
+            (F.when(nonempty, top2).otherwise(zero) % F.lit(_REP_MULT)).alias("top_cov"),
+            F.when(nonempty, dup2).otherwise(zero).alias("dup_cov"),
+        )
+
+    # sentinel prev: l = -1 is unreachable (a real gram has l >= n+1),
+    # and the run=0 guard makes close() a no-op on it regardless
+    init = F.struct(
+        F.struct(zero.alias("h"), F.lit(-1).cast("long").alias("l")).alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+        zero.alias("dup"),
+    )
+    return F.aggregate(sorted_col, init, merge, finish)
+
+
+def _repetition_stats_hof(docs: DataFrame) -> DataFrame:
+    """Pure-JVM (higher-order-function) form of the A1.2 per-doc stats
+    — one map-only projection chain, zero shuffle; every HOF stage
+    binds its arrays to columns before the next stage references them
+    (the char_entropy_filter lesson — unbound inline array_sort re-runs
+    per reference). Kept as the zero-Python twin; HOF lambdas are NOT
+    whole-stage-codegen'd, so the Arrow kernel is the default."""
     from .operators.text import synth_lines
 
     lines = F.col("lines")
@@ -1231,86 +1323,188 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(arr, lambda l: F.length(l).cast("long")), F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
-    lst = synth_lines(docs).select(
+    ws = F.filter(
+        F.transform(F.split(F.col("text"), r"\s+"), lambda x: F.lower(x)),
+        lambda x: x != F.lit(""),
+    )
+    grains = [n for n, _, _ in _TOP_GATES + _DUP_GATES]
+    # stage 1: line stats + bound words array (synth_lines passes text
+    # through so lines and words ride one projection — no join)
+    s1 = synth_lines(docs, extra_cols=("text",)).select(
         "doc_id",
         F.size(lines).cast("long").alias("n_lines"),
         (F.size(lines) - F.size(F.array_distinct(lines))).cast("long").alias("n_dup_lines"),
         line_len(lines).alias("line_chars"),
         (line_len(lines) - line_len(F.array_distinct(lines))).alias("dup_line_chars"),
-    )
-
-    ws = F.filter(
-        F.transform(F.split(F.col("text"), r"\s+"), lambda x: F.lower(x)),
-        lambda x: x != F.lit(""),
-    )
-    wc = docs.select(
-        "doc_id",
         ws.alias("ws"),
-        F.size(ws).cast("long").alias("n_words"),
-        (line_len(ws) + F.greatest(F.size(ws) - 1, F.lit(0))).alias("total_chars"),
     )
-
-    ns = F.array(*[F.lit(n) for n, _, _ in _TOP_GATES + _DUP_GATES])
     wsc = F.col("ws")
-    entries = F.flatten(
-        F.transform(
-            ns,
-            lambda n: F.transform(
-                F.filter(
-                    F.sequence(F.lit(0), F.greatest(F.size(wsc) - n, F.lit(0))),
-                    lambda i: i <= F.size(wsc) - n,
-                ),
-                lambda i: F.struct(
-                    n.alias("n"), F.array_join(F.slice(wsc, i + 1, n), " ").alias("gram")
-                ),
-            ),
-        )
+    stat_cols = ["n_lines", "n_dup_lines", "line_chars", "dup_line_chars"]
+    # stage 1b: hash + length per word, once (every grain reuses them)
+    s1b = s1.select(
+        "doc_id",
+        *stat_cols,
+        F.size(wsc).cast("long").alias("n_words"),
+        (line_len(wsc) + F.greatest(F.size(wsc) - 1, F.lit(0))).alias("total_chars"),
+        F.transform(wsc, lambda x: F.xxhash64(x)).alias("wh"),
+        F.transform(wsc, lambda x: F.length(x).cast("long")).alias("wl"),
     )
-    ng = wc.select("doc_id", F.explode(entries).alias("e")).select(
-        "doc_id", F.col("e.n").alias("n"), F.col("e.gram").alias("gram")
-    )
-    cnt = ng.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
-    cov = F.col("c") * F.length(F.col("gram")).cast("long")
-    pern = cnt.groupBy("doc_id", "n").agg(
-        (F.max(F.col("c") * F.lit(_REP_MULT) + cov) % F.lit(_REP_MULT)).alias("top_cov"),
-        F.sum(F.when(F.col("c") >= 2, cov).otherwise(F.lit(0).cast("long"))).alias("dup_cov"),
-    )
-    piv = pern.groupBy("doc_id").agg(
+    whc, wlc = F.col("wh"), F.col("wl")
+    # stage 2: one SORTED hashed-gram array per grain (numeric sort)
+    s2 = s1b.select(
+        "doc_id",
+        *stat_cols,
+        "n_words",
+        "total_chars",
         *[
-            F.coalesce(F.max(F.when(F.col("n") == n, F.col("top_cov"))), F.lit(0))
-            .cast("long")
-            .alias(f"top{n}_cov")
+            F.array_sort(_hashed_grams_of(whc, wlc, n)).alias(f"g{n}")
+            for n in grains
+        ],
+    )
+    # stage 3: run-length fold per grain
+    s3 = s2.select(
+        "doc_id",
+        *stat_cols,
+        "n_words",
+        "total_chars",
+        *[_run_stats(F.col(f"g{n}")).alias(f"st{n}") for n in grains],
+    )
+    fin = s3.select(
+        "doc_id", "n_words", "total_chars", "n_lines", "n_dup_lines",
+        "line_chars", "dup_line_chars",
+        *[
+            F.col(f"st{n}.top_cov").alias(f"top{n}_cov")
             for n, _, _ in _TOP_GATES
         ],
         *[
-            F.coalesce(F.max(F.when(F.col("n") == n, F.col("dup_cov"))), F.lit(0))
-            .cast("long")
-            .alias(f"dup{n}_cov")
+            F.col(f"st{n}.dup_cov").alias(f"dup{n}_cov")
             for n, _, _ in _DUP_GATES
         ],
     )
+    return fin
 
-    # both frames are corpus-grain (one row per doc) — never broadcast
-    # them: Spark's static size estimate under the HOF projections is
-    # low enough that it tried (and at sf1 with a default-memory
-    # driver, OOMed) a broadcast build of the whole line-stats frame.
-    fin = (
-        wc.drop("ws")
-        .join(lst.hint("merge"), "doc_id")
-        .join(piv.hint("merge"), "doc_id", "left")
-        .select(
-            "doc_id", "n_words", "total_chars", "n_lines", "n_dup_lines",
-            "line_chars", "dup_line_chars",
-            *[
-                F.coalesce(F.col(f"top{n}_cov"), F.lit(0)).cast("long").alias(f"top{n}_cov")
-                for n, _, _ in _TOP_GATES
-            ],
-            *[
-                F.coalesce(F.col(f"dup{n}_cov"), F.lit(0)).cast("long").alias(f"dup{n}_cov")
-                for n, _, _ in _DUP_GATES
-            ],
-        )
+
+_REP_STATS_SCHEMA = (
+    "doc_id long, n_words long, total_chars long, n_lines long,"
+    " n_dup_lines long, line_chars long, dup_line_chars long, "
+    + ", ".join(f"top{n}_cov long" for n, _, _ in _TOP_GATES)
+    + ", "
+    + ", ".join(f"dup{n}_cov long" for n, _, _ in _DUP_GATES)
+)
+
+
+def _repetition_stats_batches(batches):
+    """Arrow kernel for the A1.2 per-doc stats — exact, not hashed:
+    words factorize to integer ids (full string identity), n-gram
+    windows view as fixed-width records, and np.unique counts runs at
+    C speed. The JVM HOF twin measured 63 s at sf1 (lambda bodies are
+    interpreted, ~9 grains x positions x docs of per-element overhead);
+    this kernel does the same arithmetic vectorized. All outputs are
+    exact integers — bit-identical to the HOF form and the oracle."""
+    import re as _re
+
+    import numpy as np
+    import pandas as pd
+
+    from .operators.text import (
+        FOOTER_LINE,
+        JS_LINE,
+        LINE_CHUNK_WORDS,
+        LOREM_LINE,
+        NAV_LINE,
     )
+
+    split_ws = _re.compile(r"\s+")
+    mult = _REP_MULT
+    top_ns = [n for n, _, _ in _TOP_GATES]
+    dup_ns = [n for n, _, _ in _DUP_GATES]
+    for pdf in batches:
+        out = {
+            "doc_id": pdf["doc_id"].astype("int64"),
+            "n_words": [], "total_chars": [], "n_lines": [],
+            "n_dup_lines": [], "line_chars": [], "dup_line_chars": [],
+        }
+        for n in top_ns:
+            out[f"top{n}_cov"] = []
+        for n in dup_ns:
+            out[f"dup{n}_cov"] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            text = text or ""
+            # line stats — the synth_lines convention, verbatim
+            lws = text.split(" ")
+            n_chunks = (len(lws) + LINE_CHUNK_WORDS - 1) // LINE_CHUNK_WORDS
+            lines = [NAV_LINE, JS_LINE]
+            for i in range(n_chunks):
+                chunk = " ".join(lws[i * LINE_CHUNK_WORDS:(i + 1) * LINE_CHUNK_WORDS])
+                lines.append(chunk + ("" if (doc_id + i) % 3 == 0 else "."))
+            if doc_id % 7 == 0:
+                lines.append(LOREM_LINE)
+            lines.append(FOOTER_LINE)
+            distinct = set(lines)
+            out["n_lines"].append(len(lines))
+            out["n_dup_lines"].append(len(lines) - len(distinct))
+            lc = sum(len(l) for l in lines)
+            out["line_chars"].append(lc)
+            out["dup_line_chars"].append(lc - sum(len(l) for l in distinct))
+            # word stats + per-grain gram stats
+            words = [w.lower() for w in split_ws.split(text) if w != ""]
+            nw = len(words)
+            wl = np.fromiter((len(w) for w in words), dtype=np.int64, count=nw)
+            out["n_words"].append(nw)
+            out["total_chars"].append(int(wl.sum()) + max(nw - 1, 0))
+            ids, _ = pd.factorize(np.asarray(words, dtype=object))
+            ids = ids.astype(np.int64)
+            cs = np.concatenate(([0], np.cumsum(wl)))
+            for n in top_ns + dup_ns:
+                key_t, key_d = f"top{n}_cov", f"dup{n}_cov"
+                if nw < n:
+                    if n in top_ns:
+                        out[key_t].append(0)
+                    else:
+                        out[key_d].append(0)
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(ids, n)
+                rec = np.ascontiguousarray(win).view(
+                    np.dtype((np.void, win.dtype.itemsize * n))
+                ).ravel()
+                uniq, first, counts = np.unique(
+                    rec, return_index=True, return_counts=True
+                )
+                glen = cs[first + n] - cs[first] + (n - 1)
+                if n in top_ns:
+                    out[key_t].append(int(np.max(counts * mult + counts * glen) % mult))
+                else:
+                    dup_mask = counts >= 2
+                    out[key_d].append(int((counts[dup_mask] * glen[dup_mask]).sum()))
+        yield pd.DataFrame(out)
+
+
+def _repetition_stats_arrow(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").mapInPandas(
+        _repetition_stats_batches, schema=_REP_STATS_SCHEMA
+    )
+
+
+def gopher_repetition_flag_frame(
+    docs: DataFrame, use_arrow: bool = False
+) -> DataFrame:
+    """Frame form of the A1.2 repetition battery over an arbitrary
+    documents frame (needs doc_id + text) — shared by the registry
+    entry and `curation_funnel` so the funnel can fan all gates out of
+    ONE persisted corpus projection (VERDICT r8 #2). Map-only either
+    way — zero shuffle, zero join. Two implementations, identical
+    values (equality-tested at sf0.01):
+
+    - default (pure-JVM HOF chain, `_repetition_stats_hof`): stays
+      DECLARATIVE, so Catalyst column-prunes the stat columns a
+      consumer doesn't read (a count-only consumer pays ~nothing); no
+      Python dependency. Honest full-consumption cost 63.5 s at sf1.
+    - `use_arrow=True` (`_repetition_stats_batches`): exact vectorized
+      kernel (factorize + fixed-width-record np.unique), 28.8 s at sf1
+      — 2.2x faster when the flags ARE all consumed, but mapInPandas
+      is an optimizer BARRIER (nothing prunes, streaming-state opaque).
+      curation_funnel opts in (it aggregates every flag)."""
+    fin = _repetition_stats_arrow(docs) if use_arrow else _repetition_stats_hof(docs)
     dup_line_ok = 10 * F.col("n_dup_lines") <= 3 * F.col("n_lines")
     dup_line_char_ok = 5 * F.col("dup_line_chars") <= F.col("line_chars")
     top_oks = [
@@ -1674,37 +1868,47 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each gate is the registry operator it names, already
     individually linear-or-better at the measured decades; the funnel
-    fuses them over ONE documents scan (the gates are doc-keyed joins
-    and the drop sets are DISTINCT id sets, broadcastable after their
-    own aggregations), and the output is 8 rows."""
+    fans every gate out of ONE persisted (doc_id, text) projection of
+    the corpus (VERDICT r8 #2 — the r8 shape re-scanned documents per
+    gate subquery, 21 parquet scans at sf0.1; at 100 TB the scan count
+    dominates, so the projection is materialized once, MEMORY_AND_DISK,
+    and each gate reads the InMemoryRelation). The drop sets are
+    DISTINCT id sets bounded by the duplicate/contamination rate, and
+    the output is 8 rows. NOTE the persist is released by the
+    registry's clearCache-per-query execution contract (bench/gate
+    harnesses call spark.catalog.clearCache() between entries)."""
     from .operators import text as X
     from .operators import dedup as D
     from .registry_text import q_pretraining_pipeline  # noqa: F401 (sibling)
 
-    docs = load_table(spark, sf_dir, "documents")
-    u = q_url_filter_flags(spark, sf_dir).select("doc_id", "allowed")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").persist()
+    u = url_flag_frame(docs).select("doc_id", "allowed")
     c4 = X.c4_line_filter(docs).select("doc_id", "doc_pass")
     # the funnel's configured quality rule set: the full battery MINUS
     # the stop-word gate, which rejects the entire synthetic corpus by
     # construction (generator vocabulary has one of the eight required
     # words) and would blank stages 5-8 of the report. Real runs
     # configure rule subsets per corpus the same way.
-    gq_flags = q_gopher_quality_flags(spark, sf_dir)
+    gq_flags = gopher_flag_frame(docs)
     gq_pass = F.lit(True)
     for r in GOPHER_CORPUS_RULES:
         gq_pass = gq_pass & F.col(r)
     gq = gq_flags.select("doc_id", gq_pass.alias("gq_pass"))
-    rp = q_gopher_repetition_flags(spark, sf_dir).select(
+    rp = gopher_repetition_flag_frame(docs, use_arrow=True).select(
         "doc_id", F.col("passes").alias("rep_pass")
     )
     keep = D.dedupe_exact(docs).select("doc_id", F.lit(True).alias("is_keeper"))
+    # one normalize+split pass feeds the LSH verify chain AND the
+    # 5-gram decontamination shingles (the regex pipeline is the
+    # dedup side's CPU hot spot)
+    words = D._words_df(docs).persist()
     near = (
-        D.lsh_verified_pairs(docs, threshold=0.5)
+        D.lsh_verified_pairs(docs, threshold=0.5, words=words)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("is_near", F.lit(True))
     )
-    sh5 = D.shingle_table(docs, n=5)
+    sh5 = D.shingle_table(docs, n=5, words=words)
     is_bench = (F.col("doc_id") % 97) == 0
     bench_sh = sh5.filter(is_bench).select("shingle").distinct()
     cont = (

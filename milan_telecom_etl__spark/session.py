@@ -46,6 +46,25 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Whole-stage-codegen cache sizing (VERDICT r8 #1): the default
+        # generated-class cache holds 100 entries; a 224-entry registry
+        # sweep compiles thousands of codegen units, so cross-entry (and
+        # even within-entry, for wide plans) eviction forces Janino
+        # recompilation and C2 re-JIT — measured as a broad +5..20% tail
+        # that grows with registry size (PLANS.md "r8 drift root cause").
+        # Static conf, so it must be set before the first session.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "4096"),
+        )
+        # The JVM's JIT code cache defaults to 240 MB; keeping thousands
+        # of generated classes hot needs headroom or the JIT flushes /
+        # stops compiling and everything degrades to interpreter speed.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize="
+            + os.environ.get("SPARK_GRAFT_CODE_CACHE", "1g"),
+        )
         # driver-local testing niceties; harmless on a cluster
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -561,19 +561,34 @@ def test_hard_negatives_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
-def test_funnel_and_repetition_never_broadcast_corpus_grain_frames(spark):
-    """The r8 broadcast-OOM fix: the doc-keyed joins of curation_funnel
-    and gopher_repetition_flags are pinned to shuffle-merge because
-    every side is corpus-grain (one row per doc) — Spark's static size
-    estimate under the HOF/regex projections must not flip them back
-    to broadcast builds."""
+def test_funnel_and_repetition_plan_shapes(spark):
+    """r9 shapes: gopher_repetition_flags is ONE map-only pass — no
+    join, no exchange of any kind (the r8 form exploded 9 n-gram
+    grains into two hash aggregations; the per-doc stats never needed
+    a shuffle). curation_funnel's doc-keyed joins stay pinned to
+    shuffle-merge (the r8 broadcast-OOM fix: every side is
+    corpus-grain and Spark's static size estimate under HOF/regex
+    projections must not flip them to broadcast builds), and the
+    corpus is scanned ONCE into a persisted projection (VERDICT r8
+    #2), not once per gate."""
     from milan_telecom_etl__spark.registry_quality import (
         q_curation_funnel,
         q_gopher_repetition_flags,
     )
 
     rep = _plan(q_gopher_repetition_flags(spark, SF))
-    assert rep.count("SortMergeJoin") >= 2, "repetition frame joins lost the merge pin"
-    fun = _plan(q_curation_funnel(spark, SF))
+    assert "Join" not in rep, "repetition battery grew a join"
+    assert "Exchange" not in rep, "repetition battery grew a shuffle"
+    fdf = q_curation_funnel(spark, SF)
+    fun = _plan(fdf)
     # 4 flag frames + keeper/near/cont drop sets = 7 pinned joins
     assert fun.count("SortMergeJoin") >= 7, "funnel doc-grain joins lost the merge pin"
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        fdf.explain("formatted")
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", buf.getvalue()))
+    assert len(scan_ids) <= 3, f"funnel re-scans documents: {sorted(scan_ids)}"

@@ -2379,3 +2379,101 @@ def test_dedup_rate_report_consistency(spark):
         assert r["n_near_drop"] == per_src.get(r["source"], 0)
         assert abs(r["near_rate"] - r["n_near_drop"] / r["n_docs"]) < 1e-6
         assert r["n_exact_within"] >= 0 and r["n_cross_exact"] >= 0
+
+
+def test_bpe_merge_rounds_hand_counted(spark):
+    """k-round BPE against a pure-python reference implementing the
+    same wrapped-replace convention (greedy left-to-right,
+    restart-after-merge), on a corpus small enough to verify the first
+    merges by eye: 'low' x3 + 'lower' x2 -> round 1 must merge the
+    most frequent adjacent pair ('l','o') with count 5."""
+    from milan_telecom_etl__spark.operators.text import BPE_EOW, bpe_merge_rounds
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower widest"), (1, "widest widest newest")],
+        "doc_id long, text string",
+    )
+
+    def ref_bpe(word_freqs, k):
+        vocab = {
+            tuple(list(w) + [BPE_EOW]): f for w, f in word_freqs.items()
+        }
+        out = []
+        for r in range(1, k + 1):
+            counts = {}
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = counts.get(
+                        (syms[i], syms[i + 1]), 0
+                    ) + f
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, a, b, c))
+            nv = {}
+            for syms, f in vocab.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                nv[tuple(ns)] = nv.get(tuple(ns), 0) + f
+            vocab = nv
+        return out
+
+    freqs = {"low": 3, "lower": 2, "widest": 3, "newest": 1}
+    expected = ref_bpe(freqs, 6)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merge_rounds(docs, k=6).orderBy("merge_rank").collect()
+    ]
+    assert got == expected
+    # round 1 by eye: 'l','o' appears in low(3) + lower(2) = 5
+    assert got[0] == (1, "l", "o", 5)
+
+
+def test_simhash_bits_guard():
+    """bits > 60 would silently freeze signature bits (the token hash
+    is a 60-bit md5 prefix) — ADVICE r8 asked for a loud failure."""
+    import pytest
+
+    from milan_telecom_etl__spark.operators.dedup import simhash
+
+    with pytest.raises(ValueError, match="60"):
+        simhash(None, bits=64)
+    with pytest.raises(ValueError):
+        simhash(None, bits=0)
+
+
+def test_containment_asymmetric_finds_doc_in_doc(spark):
+    """The motivating case of containment_pairs' own docstring: a small
+    doc FULLY embedded in a much larger one (containment 1.0, Jaccard
+    ~0.06) — invisible to symmetric Jaccard-LSH banding (collision
+    ~J^4 per band), found with certainty by the asymmetric probe
+    index (every probe shingle of the contained doc is in the
+    container)."""
+    from milan_telecom_etl__spark.operators.dedup import containment_pairs
+
+    big_words = [f"w{i}x" for i in range(500)]
+    small_words = big_words[100:130]  # 30 consecutive words => subset shingles
+    docs = spark.createDataFrame(
+        [(0, " ".join(big_words)), (1, " ".join(small_words)),
+         (2, " ".join(f"z{i}q" for i in range(200)))],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["containment_a"], r["containment_b"])
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert (0, 1) in got, "asymmetric candidates missed the contained doc"
+    ca, cb = got[(0, 1)]
+    assert max(ca, cb) == 1.0  # the small side is fully contained
+    # the lsh twin structurally misses it (kept as the diagnostic path)
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(docs, threshold=0.8, method="lsh").collect()
+    }
+    assert (0, 1) not in lsh
