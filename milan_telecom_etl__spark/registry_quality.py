@@ -1229,84 +1229,60 @@ def q_gopher_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_flag_frame(load_table(spark, sf_dir, "documents"))
 
 
-def _hashed_grams_of(whc, wlc, n: int):
-    """Positional (non-distinct) word n-grams as struct(h, l) — h is a
-    chained xxhash64 over the window's word hashes (position-sensitive,
-    grain-seeded with n; no gram STRING is ever built — measured 20 s
-    of the battery's 66 s at sf1 was array_join string construction),
-    l is the gram's exact char length (word lengths + n-1 spaces), so
-    coverage arithmetic below is identical to the string form. Index
-    semantics match the r8 explode form. Identity is probabilistic at
-    64 bits — a chain collision merging two distinct grams' counts is
-    ~2^-64 per gram pair per doc, negligible against any corpus size.
+def _grain_stats_sql(n: int) -> str:
+    """SQL expression (ONE F.expr call per grain — the Python-Column
+    form of this tree cost ~1.4 s of py4j round trips PER BUILD, which
+    dominated the entry's measured latency) computing struct(top_cov,
+    dup_cov) for word n-grams over bound arrays `wh` (per-word
+    xxhash64) and `wl` (per-word char length):
 
-    `whc` is the bound word-hash array; `wlc` the bound word-length
-    array. The chain is UNROLLED per grain (n is a plan-time constant
-    <= 10) into flat element_at expressions — a nested aggregate()
-    inside the transform lambda measured SLOWER than the string form
-    (84 s vs 66 s at sf1: nested HOFs drop off the codegen fast path),
-    while the flat unroll stays in one codegen'd projection."""
-    k = F.size(whc) - F.lit(n - 1)
-    idx = F.filter(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))), lambda i: i <= k - 1
-    )
-
-    def gram_at(i):
-        h = F.lit(n).cast("long")
-        l = F.lit(n - 1).cast("long")
-        for j in range(n):
-            h = F.xxhash64(h, F.element_at(whc, i + F.lit(j + 1)))
-            l = l + F.element_at(wlc, i + F.lit(j + 1))
-        return F.struct(h.alias("h"), l.alias("l"))
-
-    return F.transform(idx, gram_at)
-
-
-def _run_stats(sorted_col):
-    """Fold a SORTED struct(h, l) gram array into struct(top_cov,
-    dup_cov): top_cov = coverage (count x gram char length) of the most
-    frequent gram (count-major packed, ties to larger coverage —
-    identical packing to the r8 hash-agg form), dup_cov = total
-    coverage of grams occurring >= 2 times. Runs of equal elements in
-    the sorted array are exactly the per-gram counts, so one linear
-    numeric pass replaces the explode + two hash aggregations."""
-    zero = F.lit(0).cast("long")
-
-    def close(acc):
-        cov = acc["run"] * acc["prev"]["l"]
-        cand = acc["run"] * F.lit(_REP_MULT) + cov
-        return (
-            F.greatest(acc["top"], cand),
-            acc["dup"] + F.when(acc["run"] >= 2, cov).otherwise(zero),
+    - grams are struct(h, l): h = chained xxhash64 over the window's
+      word hashes (position-sensitive, grain-seeded with n; no gram
+      STRING is ever built), l = exact gram char length (word lengths
+      + n-1 spaces) so the coverage arithmetic is identical to the r8
+      string form. Identity is probabilistic at 64 bits — a chain
+      collision merging two grams' counts is ~2^-64 per pair per doc.
+      The chain is UNROLLED (n <= 10 is a plan-time constant): a
+      nested aggregate() inside the transform lambda measured SLOWER
+      than even the string form (84 s vs 66 s at sf1 — nested HOFs
+      fall off the fast path).
+    - array_sort + one linear fold counts runs (a run in a sorted
+      array IS a distinct gram's count): top_cov = coverage of the
+      most frequent gram (count-major packed, ties to larger
+      coverage — identical packing to the r8 hash-agg form), dup_cov =
+      total coverage of grams occurring >= 2 times.
+    - sentinel prev l = -1 is unreachable (a real gram has l >= n+1),
+      and the run=0 guard makes the close arithmetic a no-op on it."""
+    h = f"{n}L"
+    l_terms = [f"{n - 1}L"]
+    for j in range(1, n + 1):
+        h = f"xxhash64({h}, element_at(wh, i + {j}))"
+        l_terms.append(f"element_at(wl, i + {j})")
+    mult = f"{_REP_MULT}L"
+    close_top = f"greatest(acc.top, acc.run * {mult} + acc.run * acc.prev.l)"
+    close_dup = "acc.dup + IF(acc.run >= 2, acc.run * acc.prev.l, 0L)"
+    return f"""
+    aggregate(
+      array_sort(
+        transform(
+          filter(sequence(0, greatest(size(wh) - {n}, 0)),
+                 i -> i <= size(wh) - {n}),
+          i -> named_struct('h', {h}, 'l', {" + ".join(l_terms)})
         )
-
-    def merge(acc, x):
-        same = x == acc["prev"]
-        top2, dup2 = close(acc)
-        return F.struct(
-            x.alias("prev"),
-            F.when(same, acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
-            F.when(same, acc["top"]).otherwise(top2).alias("top"),
-            F.when(same, acc["dup"]).otherwise(dup2).alias("dup"),
-        )
-
-    def finish(acc):
-        top2, dup2 = close(acc)
-        nonempty = acc["run"] > 0
-        return F.struct(
-            (F.when(nonempty, top2).otherwise(zero) % F.lit(_REP_MULT)).alias("top_cov"),
-            F.when(nonempty, dup2).otherwise(zero).alias("dup_cov"),
-        )
-
-    # sentinel prev: l = -1 is unreachable (a real gram has l >= n+1),
-    # and the run=0 guard makes close() a no-op on it regardless
-    init = F.struct(
-        F.struct(zero.alias("h"), F.lit(-1).cast("long").alias("l")).alias("prev"),
-        zero.alias("run"),
-        zero.alias("top"),
-        zero.alias("dup"),
-    )
-    return F.aggregate(sorted_col, init, merge, finish)
+      ),
+      named_struct('prev', named_struct('h', 0L, 'l', -1L),
+                   'run', 0L, 'top', 0L, 'dup', 0L),
+      (acc, x) -> named_struct(
+        'prev', x,
+        'run', IF(x = acc.prev, acc.run + 1L, 1L),
+        'top', IF(x = acc.prev, acc.top, {close_top}),
+        'dup', IF(x = acc.prev, acc.dup, {close_dup})
+      ),
+      acc -> named_struct(
+        'top_cov', IF(acc.run > 0, {close_top}, 0L) % {mult},
+        'dup_cov', IF(acc.run > 0, {close_dup}, 0L)
+      )
+    )"""
 
 
 def _repetition_stats_hof(docs: DataFrame) -> DataFrame:
@@ -1349,25 +1325,17 @@ def _repetition_stats_hof(docs: DataFrame) -> DataFrame:
         F.transform(wsc, lambda x: F.xxhash64(x)).alias("wh"),
         F.transform(wsc, lambda x: F.length(x).cast("long")).alias("wl"),
     )
-    whc, wlc = F.col("wh"), F.col("wl")
-    # stage 2: one SORTED hashed-gram array per grain (numeric sort)
-    s2 = s1b.select(
+    # stage 2+3 fused: hashed-gram build + sort + run-length fold per
+    # grain, one F.expr each (see _grain_stats_sql for why SQL text).
+    # Each fold references its gram array exactly once, so inlining the
+    # sort is recompute-safe (the bind-before-reference discipline only
+    # matters for multiply-referenced HOF stages).
+    s3 = s1b.select(
         "doc_id",
         *stat_cols,
         "n_words",
         "total_chars",
-        *[
-            F.array_sort(_hashed_grams_of(whc, wlc, n)).alias(f"g{n}")
-            for n in grains
-        ],
-    )
-    # stage 3: run-length fold per grain
-    s3 = s2.select(
-        "doc_id",
-        *stat_cols,
-        "n_words",
-        "total_chars",
-        *[_run_stats(F.col(f"g{n}")).alias(f"st{n}") for n in grains],
+        *[F.expr(_grain_stats_sql(n)).alias(f"st{n}") for n in grains],
     )
     fin = s3.select(
         "doc_id", "n_words", "total_chars", "n_lines", "n_dup_lines",
@@ -1396,11 +1364,16 @@ _REP_STATS_SCHEMA = (
 def _repetition_stats_batches(batches):
     """Arrow kernel for the A1.2 per-doc stats — exact, not hashed:
     words factorize to integer ids (full string identity), n-gram
-    windows view as fixed-width records, and np.unique counts runs at
-    C speed. The JVM HOF twin measured 63 s at sf1 (lambda bodies are
-    interpreted, ~9 grains x positions x docs of per-element overhead);
-    this kernel does the same arithmetic vectorized. All outputs are
-    exact integers — bit-identical to the HOF form and the oracle."""
+    windows view as fixed-width (doc, ids...) records, and ONE
+    np.unique per grain PER BATCH counts every doc's grams at C speed
+    (the per-doc-loop version spent its time in 9 x n_docs small
+    np.unique calls — ~40 µs fixed cost each; batch-level records
+    amortize it). The JVM HOF twin measured 63 s at sf1 (lambda bodies
+    are interpreted); this kernel does the same arithmetic vectorized.
+    All outputs are exact integers — bit-identical to the HOF form and
+    the oracle. Word ids factorize per BATCH, windows never cross doc
+    boundaries (doc_idx prefix + same-doc mask), and gram char lengths
+    come from the global word-length cumsum (valid within a doc)."""
     import re as _re
 
     import numpy as np
@@ -1419,16 +1392,16 @@ def _repetition_stats_batches(batches):
     top_ns = [n for n, _, _ in _TOP_GATES]
     dup_ns = [n for n, _, _ in _DUP_GATES]
     for pdf in batches:
+        nb = len(pdf)
         out = {
-            "doc_id": pdf["doc_id"].astype("int64"),
-            "n_words": [], "total_chars": [], "n_lines": [],
-            "n_dup_lines": [], "line_chars": [], "dup_line_chars": [],
+            "doc_id": pdf["doc_id"].astype("int64").to_numpy(),
+            "n_lines": np.zeros(nb, np.int64),
+            "n_dup_lines": np.zeros(nb, np.int64),
+            "line_chars": np.zeros(nb, np.int64),
+            "dup_line_chars": np.zeros(nb, np.int64),
         }
-        for n in top_ns:
-            out[f"top{n}_cov"] = []
-        for n in dup_ns:
-            out[f"dup{n}_cov"] = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+        words_all: list[list[str]] = []
+        for b, (doc_id, text) in enumerate(zip(pdf["doc_id"], pdf["text"])):
             text = text or ""
             # line stats — the synth_lines convention, verbatim
             lws = text.split(" ")
@@ -1441,42 +1414,66 @@ def _repetition_stats_batches(batches):
                 lines.append(LOREM_LINE)
             lines.append(FOOTER_LINE)
             distinct = set(lines)
-            out["n_lines"].append(len(lines))
-            out["n_dup_lines"].append(len(lines) - len(distinct))
+            out["n_lines"][b] = len(lines)
+            out["n_dup_lines"][b] = len(lines) - len(distinct)
             lc = sum(len(l) for l in lines)
-            out["line_chars"].append(lc)
-            out["dup_line_chars"].append(lc - sum(len(l) for l in distinct))
-            # word stats + per-grain gram stats
-            words = [w.lower() for w in split_ws.split(text) if w != ""]
-            nw = len(words)
-            wl = np.fromiter((len(w) for w in words), dtype=np.int64, count=nw)
-            out["n_words"].append(nw)
-            out["total_chars"].append(int(wl.sum()) + max(nw - 1, 0))
-            ids, _ = pd.factorize(np.asarray(words, dtype=object))
-            ids = ids.astype(np.int64)
-            cs = np.concatenate(([0], np.cumsum(wl)))
-            for n in top_ns + dup_ns:
-                key_t, key_d = f"top{n}_cov", f"dup{n}_cov"
-                if nw < n:
-                    if n in top_ns:
-                        out[key_t].append(0)
-                    else:
-                        out[key_d].append(0)
-                    continue
-                win = np.lib.stride_tricks.sliding_window_view(ids, n)
-                rec = np.ascontiguousarray(win).view(
-                    np.dtype((np.void, win.dtype.itemsize * n))
-                ).ravel()
-                uniq, first, counts = np.unique(
-                    rec, return_index=True, return_counts=True
-                )
-                glen = cs[first + n] - cs[first] + (n - 1)
-                if n in top_ns:
-                    out[key_t].append(int(np.max(counts * mult + counts * glen) % mult))
-                else:
-                    dup_mask = counts >= 2
-                    out[key_d].append(int((counts[dup_mask] * glen[dup_mask]).sum()))
-        yield pd.DataFrame(out)
+            out["line_chars"][b] = lc
+            out["dup_line_chars"][b] = lc - sum(len(l) for l in distinct)
+            words_all.append([w.lower() for w in split_ws.split(text) if w != ""])
+
+        nw = np.fromiter((len(w) for w in words_all), dtype=np.int64, count=nb)
+        flat = [w for ws in words_all for w in ws]
+        total_words = int(nw.sum())
+        wl = np.fromiter((len(w) for w in flat), dtype=np.int64, count=total_words)
+        cs = np.concatenate(([0], np.cumsum(wl)))
+        doc_starts = np.concatenate(([0], np.cumsum(nw)))
+        out["n_words"] = nw
+        out["total_chars"] = (cs[doc_starts[1:]] - cs[doc_starts[:-1]]) + np.maximum(
+            nw - 1, 0
+        )
+        ids, _ = pd.factorize(np.asarray(flat, dtype=object))
+        ids = ids.astype(np.int64)
+        doc_idx = np.repeat(np.arange(nb, dtype=np.int64), nw)
+        for n in top_ns + dup_ns:
+            top = np.zeros(nb, np.int64)
+            dup = np.zeros(nb, np.int64)
+            if total_words >= n:
+                # windows over the concatenation; keep only same-doc ones
+                valid = doc_idx[: total_words - n + 1] == doc_idx[n - 1:]
+                g = np.flatnonzero(valid)
+                if g.size:
+                    rec = np.empty((g.size, n + 1), np.int64)
+                    rec[:, 0] = doc_idx[g]
+                    win = np.lib.stride_tricks.sliding_window_view(ids, n)
+                    rec[:, 1:] = win[g]
+                    recv = rec.view(np.dtype((np.void, 8 * (n + 1)))).ravel()
+                    _, first, counts = np.unique(
+                        recv, return_index=True, return_counts=True
+                    )
+                    d = rec[first, 0]
+                    gstart = g[first]
+                    glen = cs[gstart + n] - cs[gstart] + (n - 1)
+                    # unique's byte-order isn't doc-major for int64 LE —
+                    # re-group by doc explicitly
+                    order = np.argsort(d, kind="stable")
+                    ds, dcnt = d[order], counts[order]
+                    dglen = glen[order]
+                    packed = dcnt * mult + dcnt * dglen
+                    dupcov = np.where(dcnt >= 2, dcnt * dglen, 0)
+                    present, starts = np.unique(ds, return_index=True)
+                    top[present] = np.maximum.reduceat(packed, starts) % mult
+                    dup[present] = np.add.reduceat(dupcov, starts)
+            if n in top_ns:
+                out[f"top{n}_cov"] = top
+            else:
+                out[f"dup{n}_cov"] = dup
+        cols = [
+            "doc_id", "n_words", "total_chars", "n_lines", "n_dup_lines",
+            "line_chars", "dup_line_chars",
+            *[f"top{n}_cov" for n in top_ns],
+            *[f"dup{n}_cov" for n in dup_ns],
+        ]
+        yield pd.DataFrame({c: out[c] for c in cols})
 
 
 def _repetition_stats_arrow(docs: DataFrame) -> DataFrame:

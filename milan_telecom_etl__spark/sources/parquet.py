@@ -48,10 +48,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_testdata(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+# last-registered sf_dir per session (app id) — re-registering on every
+# SQL-front-door call re-reads 10 parquet footers per run, the fixed
+# ~0.3 s that made top_cells_sql ~2x the DataFrame flagship (VERDICT
+# r8 #8). Tracking the LAST dir (not a seen-set) keeps alternating
+# sf_dirs within one session (scale_bench's small/big pattern) correct:
+# any dir change re-registers.
+_REGISTERED: dict[str, str] = {}
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, force: bool = False
+) -> None:
     """Register every testdata parquet as a temp view (same names DuckDB
-    pre-registers for the oracle)."""
+    pre-registers for the oracle). Idempotent while the session's
+    registered sf_dir is unchanged (repeat calls are a dict lookup) —
+    pass force=True after dropping views manually."""
+    app = spark.sparkContext.applicationId
+    if not force and _REGISTERED.get(app) == sf_dir:
+        return
     for name in TESTDATA_TABLES:
         path = f"{sf_dir}/{name}.parquet"
         if os.path.exists(path):
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED[app] = sf_dir
