@@ -30,27 +30,28 @@ ARTIFACT = os.path.join(REPO, "BENCH_DETAIL.json")
 # tight enough that a 2x family-wide regression (the r6 incident size)
 # trips. Re-baseline deliberately when a family legitimately changes
 # shape, in the same commit, with the reason in the message.
-# Re-baselined at the r8 third-session refresh (sha 384d7ca, 221
-# entries): 16 new operators changed the registry_quality (+7, incl.
-# the deliberately-heavy curation_funnel) and registry_similarity
-# (+6, incl. the iterative mmr/bitext pair) family shapes, and the
-# sweep-wide codegen-cache pressure documented in PLANS.md adds a
-# broad single-digit tail — every ceiling re-pinned to the same
-# ~1.4x-measured-mean rule at the r8 means.
+# Re-baselined at the r9 steady-state protocol switch (sha 1c07c63,
+# 225 entries): bench.py now discards SPARK_GRAFT_BENCH_WARMUP untimed
+# reps before the timed median-of-3 (PLANS.md r9 — cold first reps sat
+# on the Janino/C2 warmup curve and drifted with registry size), plus
+# the r9 operator wins (driver-side MMR greedy, batch-vectorized
+# repetition kernel, single-scan funnel, memoized SQL views) — every
+# ceiling re-pinned to the same ~1.4x-measured-mean rule at the r9
+# means. Common-set mean vs r7: 0.611 -> 0.587 s.
 FAMILY_MEAN_BUDGET_S = {
-    "queries_registry": 0.63,  # r8 mean 0.451 s, n=12
-    "registry_analytics": 0.75,  # r8 mean 0.535 s, n=25
-    "registry_geo": 0.59,  # r8 mean 0.419 s, n=3
-    "registry_ml": 1.50,  # r8 mean 1.074 s, n=10
-    "registry_quality": 0.88,  # r8 mean 0.629 s, n=23
-    "registry_sampling": 0.57,  # r8 mean 0.408 s, n=11
-    "registry_semistructured": 0.45,  # r8 mean 0.318 s, n=7
-    "registry_series": 0.91,  # r8 mean 0.651 s, n=10
-    "registry_similarity": 2.21,  # r8 mean 1.578 s, n=27
-    "registry_streaming": 2.09,  # r8 mean 1.490 s, n=8
-    "registry_temporal": 0.37,  # r8 mean 0.264 s, n=11
-    "registry_text": 1.63,  # r8 mean 1.162 s, n=51
-    "registry_tpch": 0.85,  # r8 mean 0.606 s, n=23
+    "queries_registry": 0.40,  # r9 mean 0.283 s, n=12
+    "registry_analytics": 0.61,  # r9 mean 0.439 s, n=25
+    "registry_geo": 0.44,  # r9 mean 0.313 s, n=3
+    "registry_ml": 1.08,  # r9 mean 0.771 s, n=10
+    "registry_quality": 0.63,  # r9 mean 0.448 s, n=24
+    "registry_sampling": 0.39,  # r9 mean 0.278 s, n=11
+    "registry_semistructured": 0.29,  # r9 mean 0.210 s, n=7
+    "registry_series": 0.70,  # r9 mean 0.502 s, n=10
+    "registry_similarity": 1.34,  # r9 mean 0.956 s, n=27
+    "registry_streaming": 1.78,  # r9 mean 1.271 s, n=8
+    "registry_temporal": 0.30,  # r9 mean 0.211 s, n=11
+    "registry_text": 1.19,  # r9 mean 0.852 s, n=54
+    "registry_tpch": 0.66,  # r9 mean 0.474 s, n=23
 }
 
 
@@ -80,8 +81,10 @@ def _families() -> dict[str, list[tuple[str, float]]]:
 # min-of-2 protocol's leftovers). Ceilings ~2x the honest steady wall —
 # the flagship should never be a multi-second query at sf0.1.
 ENTRY_BUDGET_S = {
-    "top_cells": 0.9,   # steady 0.40-0.50 s
-    "top_cells_sql": 1.3,  # steady 0.72-0.82 s
+    "top_cells": 0.6,   # r9 steady 0.26 s (warmup-rep protocol)
+    "top_cells_sql": 0.6,  # r9 steady 0.23 s — front-door overhead was
+    # per-call re-registration of 10 temp views (footer re-reads), now
+    # memoized per (session, sf_dir); see sources/parquet.py
 }
 
 
