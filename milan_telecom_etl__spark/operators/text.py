@@ -411,6 +411,29 @@ def bpe_merge_rounds(
     map-only vocabulary rewrite; the round-r vocab persists and the
     round-(r-1) cache is released once r materializes, so the plan
     stays linear in k, never 2^k."""
+    merges, vocab = _bpe_train(docs, k, text_col)
+    vocab.unpersist()
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.LongType()),
+            T.StructField("left_sym", T.StringType()),
+            T.StructField("right_sym", T.StringType()),
+            T.StructField("pair_count", T.LongType()),
+        ]
+    )
+    return docs.sparkSession.createDataFrame(merges, schema)
+
+
+def _bpe_train(
+    docs: DataFrame, k: int, text_col: str = "text"
+) -> tuple[list[tuple], DataFrame]:
+    """Shared BPE training loop: returns (adopted merges as
+    (rank, left, right, count) tuples, the final PERSISTED vocabulary
+    frame (w, seq, freq) with all k merges applied). Caller owns the
+    returned frame's unpersist."""
     wf = (
         docs.select(
             F.explode(
@@ -429,9 +452,8 @@ def bpe_merge_rounds(
         F.array(F.lit(BPE_EOW)),
     )
     seq0 = F.concat(F.lit("("), F.array_join(syms0, ")("), F.lit(")"))
-    vocab = wf.select(seq0.alias("seq"), "freq").persist()
+    vocab = wf.select("w", seq0.alias("seq"), "freq").persist()
 
-    spark = docs.sparkSession
     merges: list[tuple] = []
     prev = None
     for r in range(1, k + 1):
@@ -466,6 +488,7 @@ def bpe_merge_rounds(
         a, b, cnt = best[0]["a"], best[0]["b"], best[0]["cnt"]
         merges.append((r, a, b, cnt))
         vocab = vocab.select(
+            "w",
             F.replace(
                 F.col("seq"), F.lit(f"({a})({b})"), F.lit(f"({a}{b})")
             ).alias("seq"),
@@ -473,16 +496,48 @@ def bpe_merge_rounds(
         ).persist()
     if prev is not None:
         prev.unpersist()
-    vocab.unpersist()
+    return merges, vocab
 
-    from pyspark.sql import types as T
 
-    schema = T.StructType(
-        [
-            T.StructField("merge_rank", T.LongType()),
-            T.StructField("left_sym", T.StringType()),
-            T.StructField("right_sym", T.StringType()),
-            T.StructField("pair_count", T.LongType()),
-        ]
+def bpe_encode_vocab(
+    docs: DataFrame,
+    k: int = 8,
+    top: int = 30,
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode the corpus vocabulary with the k LEARNED merges — the
+    step that makes the tokenizer story end-to-end: train merges on
+    the corpus (`bpe_merge_rounds`), then report each word's actual
+    BPE segmentation and token count under that learned table. Output:
+    the `top` most frequent words as (w, freq, n_tokens, encoded)
+    where `encoded` is the space-joined token sequence (with the
+    terminal {BPE_EOW} symbol). Real pipelines feed these counts into
+    context_packing / tokenizer_fertility-style budgeting with the
+    corpus's OWN tokenizer instead of a fixed segmentation regex.
+
+    Scale shape: training is `_bpe_train` (vocabulary-grain, one
+    bounded 1-row collect per round); encoding is a map-only
+    projection of the final vocab; the report is TakeOrderedAndProject
+    over (freq desc, w)."""
+    merges, vocab = _bpe_train(docs, k, text_col)
+    syms = F.split(F.regexp_replace(F.col("seq"), r"^\(|\)$", ""), r"\)\(")
+    out = (
+        vocab.select(
+            "w",
+            F.col("freq").cast("long").alias("freq"),
+            syms.alias("__syms"),
+        )
+        .select(
+            "w",
+            "freq",
+            F.size("__syms").cast("long").alias("n_tokens"),
+            F.array_join("__syms", " ").alias("encoded"),
+        )
+        .orderBy(F.desc("freq"), "w")
+        .limit(top)
     )
-    return spark.createDataFrame(merges, schema)
+    # materialize before releasing the training cache: the report is
+    # `top` rows, the recompute chain behind it is k persisted stages
+    rows = out.collect()
+    vocab.unpersist()
+    return docs.sparkSession.createDataFrame(rows, out.schema)

@@ -3423,7 +3423,7 @@ def _bpe_rounds_sql(k: int = BPE_MERGE_ROUNDS) -> str:
       ORDER BY cnt DESC, a, b LIMIT 1
     ),
     v{r} AS (
-      SELECT replace(v.seq, '(' || b.a || ')(' || b.b || ')',
+      SELECT v.w, replace(v.seq, '(' || b.a || ')(' || b.b || ')',
                      '(' || b.a || b.b || ')') AS seq, v.freq
       FROM v{r - 1} v CROSS JOIN best{r} b
     )"""
@@ -3441,7 +3441,8 @@ def _bpe_rounds_sql(k: int = BPE_MERGE_ROUNDS) -> str:
       GROUP BY w
     ),
     v0 AS (
-      SELECT '(' || array_to_string(
+      SELECT w,
+             '(' || array_to_string(
                list_concat(
                  list_transform(range(1, length(w) + 1), i -> w[i:i]),
                  ['{BPE_EOW}']), ')(') || ')' AS seq,
@@ -3463,4 +3464,38 @@ def q_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     replace convention shared with the oracle."""
     return X.bpe_merge_rounds(
         load_table(spark, sf_dir, "documents"), k=BPE_MERGE_ROUNDS
+    )
+
+
+def _bpe_encode_sql(k: int = BPE_MERGE_ROUNDS, top: int = 30) -> str:
+    """Encoded-vocabulary twin of _bpe_rounds_sql: same training CTE
+    chain, but the final select reads the k-times-rewritten vocabulary
+    v{k} instead of the adopted merges."""
+    chain = _bpe_rounds_sql(k)
+    # reuse everything up to (and including) the last vocab CTE; the
+    # trailing merge-report SELECT is replaced by the encode SELECT
+    prefix = chain[: chain.rindex("SELECT * FROM")]
+    return f"""{prefix}
+    SELECT w, CAST(freq AS BIGINT) AS freq,
+           CAST(len(syms) AS BIGINT) AS n_tokens,
+           array_to_string(syms, ' ') AS encoded
+    FROM (
+      SELECT w, freq,
+             string_split_regex(
+               regexp_replace(seq, '^\\(|\\)$', '', 'g'), '\\)\\(') AS syms
+      FROM v{k})
+    ORDER BY freq DESC, w LIMIT {top}
+    """
+
+
+@register("bpe_encode_vocab", _bpe_encode_sql())
+def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary encoded under the corpus's OWN learned BPE merges
+    (k = 8 rounds): per top-frequency word, the actual token
+    segmentation and token count the trained tokenizer would emit —
+    the end of the tokenizer story (train: bpe_merge_rounds; apply:
+    this; budget: tokenizer_fertility / context_packing). See
+    operators.text.bpe_encode_vocab for the scale shape."""
+    return X.bpe_encode_vocab(
+        load_table(spark, sf_dir, "documents"), k=BPE_MERGE_ROUNDS, top=30
     )

@@ -2477,3 +2477,46 @@ def test_containment_asymmetric_finds_doc_in_doc(spark):
         for r in containment_pairs(docs, threshold=0.8, method="lsh").collect()
     }
     assert (0, 1) not in lsh
+
+
+def test_bpe_encode_vocab_consistency(spark):
+    """Encoding under the learned table must (a) reconstruct each word
+    exactly when tokens are concatenated (minus the terminal </w>),
+    (b) report n_tokens == len(tokens), (c) never emit a token that
+    crosses a merge boundary not in the learned table — checked
+    indirectly: re-applying the k merges to the raw chars reproduces
+    the reported segmentation via the same reference loop as
+    test_bpe_merge_rounds_hand_counted."""
+    from milan_telecom_etl__spark.operators.text import (
+        BPE_EOW,
+        bpe_encode_vocab,
+        bpe_merge_rounds,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "low low low lower lower widest"), (1, "widest widest newest")],
+        "doc_id long, text string",
+    )
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in bpe_merge_rounds(docs, k=4).orderBy("merge_rank").collect()
+    ]
+    enc = bpe_encode_vocab(docs, k=4, top=10).collect()
+    assert enc, "empty encode report"
+    for r in enc:
+        toks = r["encoded"].split(" ")
+        assert r["n_tokens"] == len(toks)
+        assert "".join(toks) == r["w"] + BPE_EOW
+        # reference application of the same merge list
+        syms = list(r["w"]) + [BPE_EOW]
+        for a, b in merges:
+            ns, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    ns.append(a + b)
+                    i += 2
+                else:
+                    ns.append(syms[i])
+                    i += 1
+            syms = ns
+        assert toks == syms, f"{r['w']}: {toks} != {syms}"
