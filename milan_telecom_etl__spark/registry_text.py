@@ -2446,16 +2446,20 @@ def _containment_sql(
     threshold: float = 0.8,
     cap: int | None = D.DEFAULT_MAX_SHINGLE_DF,
     m_probes: int = 8,
+    min_hits: int = 2,
 ) -> str:
     """Asymmetric-candidate containment (ADVICE r8): each doc's
     m smallest-hash shingles probe the shingle inverted index (recall
     1.0 for full containment — every shingle of the contained doc is in
-    the container), then the exact intersection scores both directed
-    containments."""
+    the container; >= min_hits probe hits required per directed pair,
+    capped at the prober's probe count), then the exact intersection
+    scores both directed containments."""
     return f"""
     WITH {_shingle_cte(cap)},
     probes AS (
-      SELECT doc_id, shingle_hash FROM (
+      SELECT doc_id, shingle_hash,
+             count(*) OVER (PARTITION BY doc_id) AS n_probes
+      FROM (
         SELECT doc_id, shingle_hash,
                row_number() OVER (PARTITION BY doc_id ORDER BY shingle_hash)
                  AS rk
@@ -2463,10 +2467,14 @@ def _containment_sql(
       WHERE rk <= {m_probes}
     ),
     cand AS (
-      SELECT DISTINCT least(p.doc_id, s.doc_id) AS doc_a,
-                      greatest(p.doc_id, s.doc_id) AS doc_b
-      FROM probes p JOIN sh s USING (shingle_hash)
-      WHERE p.doc_id <> s.doc_id
+      SELECT DISTINCT least(src, tgt) AS doc_a, greatest(src, tgt) AS doc_b
+      FROM (
+        SELECT p.doc_id AS src, s.doc_id AS tgt,
+               count(*) AS hits, max(p.n_probes) AS n_probes
+        FROM probes p JOIN sh s USING (shingle_hash)
+        WHERE p.doc_id <> s.doc_id
+        GROUP BY 1, 2)
+      WHERE hits >= least({min_hits}, n_probes)
     ),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
