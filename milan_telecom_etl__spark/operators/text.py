@@ -541,3 +541,49 @@ def bpe_encode_vocab(
     rows = out.collect()
     vocab.unpersist()
     return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def bpe_corpus_fertility(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source fertility under the corpus's OWN learned BPE merges —
+    the number `tokenizer_fertility` approximates with a fixed
+    segmentation regex, computed exactly: train k merges
+    (`_bpe_train`), derive each vocabulary word's token count from the
+    rewritten symbol sequence, then BROADCAST the (word -> n_tokens)
+    table back onto the corpus words and aggregate by source.
+
+    Scale shape: the vocab-side token counts are vocabulary-grain (the
+    tokenizer-training shrink); the corpus-side pass is one explode +
+    broadcast hash join + per-source aggregation — the join side that
+    grows with the corpus is never shuffled, only the per-source
+    partial sums move. At 100 TB the merge table is a few KB and the
+    vocab map a broadcast-sized dim, exactly how production token
+    accounting runs."""
+    merges, vocab = _bpe_train(docs, k, text_col)
+    syms = F.split(F.regexp_replace(F.col("seq"), r"^\(|\)$", ""), r"\)\(")
+    vocab_tokens = vocab.select(
+        "w", F.size(syms).cast("long").alias("w_tokens")
+    )
+    corpus_words = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+    out = (
+        corpus_words.join(F.broadcast(vocab_tokens), "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("w_tokens").cast("long").alias("n_tokens"),
+            F.round(F.sum("w_tokens") / F.count(F.lit(1)), 6).alias(
+                "learned_fertility"
+            ),
+        )
+    )
+    rows = out.collect()  # bounded: one row per source
+    vocab.unpersist()
+    return docs.sparkSession.createDataFrame(rows, out.schema)

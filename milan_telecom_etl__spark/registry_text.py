@@ -3507,3 +3507,40 @@ def q_bpe_encode_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_encode_vocab(
         load_table(spark, sf_dir, "documents"), k=BPE_MERGE_ROUNDS, top=30
     )
+
+
+def _bpe_fertility_sql(k: int = BPE_MERGE_ROUNDS) -> str:
+    """Per-source learned fertility: the training CTE chain, the
+    vocabulary token counts from v{k}, and a words->vocab join back
+    onto the corpus."""
+    chain = _bpe_rounds_sql(k)
+    prefix = chain[: chain.rindex("SELECT * FROM")]
+    return f"""{prefix}
+    , vt AS (
+      SELECT w, CAST(len(string_split_regex(
+               regexp_replace(seq, '^\\(|\\)$', '', 'g'), '\\)\\('))
+             AS BIGINT) AS w_tokens
+      FROM v{k}
+    ),
+    cw AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(w_tokens) AS BIGINT) AS n_tokens,
+           round(sum(w_tokens) * 1.0 / count(*), 6) AS learned_fertility
+    FROM cw JOIN vt USING (w)
+    GROUP BY source
+    """
+
+
+@register("bpe_corpus_fertility", _bpe_fertility_sql())
+def q_bpe_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget under the corpus's OWN learned BPE
+    tokenizer (k = 8 merges) — the exact number `tokenizer_fertility`
+    estimates with a fixed segmentation regex. The (word -> n_tokens)
+    vocabulary map is broadcast back onto the corpus words; see
+    operators.text.bpe_corpus_fertility for the scale shape."""
+    return X.bpe_corpus_fertility(
+        load_table(spark, sf_dir, "documents"), k=BPE_MERGE_ROUNDS
+    )
