@@ -1209,3 +1209,125 @@ def lsh_verified_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
     )
+
+
+def incremental_containment(
+    docs: DataFrame,
+    text_col: str = "text",
+    new_max_id: int = 100,
+    n: int = 3,
+    m_probes: int = 8,
+    min_hits: int = 2,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Containment dedup of a NEW batch against the standing corpus —
+    the production lifecycle shape of `containment_pairs`, the way
+    `incremental_near_dups` is the lifecycle shape of
+    `lsh_verified_pairs`. Docs with doc_id < new_max_id are the batch
+    (constant-size by contract); everything else is the index.
+
+    Both directed containments stay batch-asymmetric:
+    - batch-doc-inside-index-doc: the BATCH's probe shingles (m
+      smallest-hash per doc — batch_size x m rows) broadcast against
+      the streaming corpus shingle table;
+    - index-doc-inside-batch-doc: the corpus's stored probe table
+      streams against the BROADCAST batch shingle set.
+    So the corpus side is never shuffled and never self-joined; in
+    steady state both the index's shingle table and its probe table
+    are stored artifacts. min_hits has the `containment_probe_
+    candidates` semantics (capped at the prober's probe count — the
+    full-containment recall-1.0 guarantee holds). The verify stage is
+    the exact shingle intersection scoring BOTH directed containments;
+    within the batch keep-first applies (other < new_doc), against the
+    index any hit counts. Output: (new_doc, other_doc, n_common,
+    containment_new, containment_other, in_index)."""
+    from pyspark.sql.window import Window
+
+    words = _words_df(docs, text_col).persist()
+    sh = shingle_table(docs, text_col, n, max_shingle_df, words).persist()
+    w = Window.partitionBy("doc_id").orderBy(_md5_int60(F.col("shingle")))
+    probes = (
+        sh.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= m_probes)
+        .select(
+            F.col("doc_id").alias("p_doc"),
+            "shingle",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id")).alias("n_probes"),
+        )
+    )
+    is_batch = lambda c: c < F.lit(new_max_id)  # noqa: E731
+    # direction A: batch probes (broadcast) into the streaming corpus
+    dir_a = (
+        sh.select(F.col("doc_id").alias("o_doc"), "shingle")
+        .join(F.broadcast(probes.filter(is_batch(F.col("p_doc")))), "shingle")
+        .filter(
+            (F.col("o_doc") != F.col("p_doc"))
+            & (~is_batch(F.col("o_doc")) | (F.col("o_doc") < F.col("p_doc")))
+        )
+        .groupBy(
+            F.col("p_doc").alias("new_doc"), F.col("o_doc").alias("other_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("hits"), F.max("n_probes").alias("np"))
+    )
+    # direction B: the corpus's probe table (streaming) into the
+    # broadcast batch shingles
+    dir_b = (
+        probes.join(
+            F.broadcast(
+                sh.filter(is_batch(F.col("doc_id"))).select(
+                    F.col("doc_id").alias("t_doc"), "shingle"
+                )
+            ),
+            "shingle",
+        )
+        .filter(
+            (F.col("p_doc") != F.col("t_doc"))
+            & (~is_batch(F.col("p_doc")) | (F.col("p_doc") < F.col("t_doc")))
+        )
+        .groupBy(
+            F.col("t_doc").alias("new_doc"), F.col("p_doc").alias("other_doc")
+        )
+        .agg(F.count(F.lit(1)).alias("hits"), F.max("n_probes").alias("np"))
+    )
+    floor = lambda: F.least(F.lit(min_hits), F.col("np"))  # noqa: E731
+    cands = (
+        dir_a.filter(F.col("hits") >= floor())
+        .select("new_doc", "other_doc")
+        .unionByName(
+            dir_b.filter(F.col("hits") >= floor()).select("new_doc", "other_doc")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    inter = (
+        cands.join(sh.select(F.col("doc_id").alias("new_doc"), "shingle"), "new_doc")
+        .join(
+            sh.select(F.col("doc_id").alias("other_doc"), "shingle"),
+            ["other_doc", "shingle"],
+        )
+        .groupBy("new_doc", "other_doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("new_doc"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("other_doc"), F.col("n_shingles").alias("size_b"))
+    c_new = F.round(F.col("n_common") / F.col("size_a"), 6)
+    c_other = F.round(F.col("n_common") / F.col("size_b"), 6)
+    return (
+        inter.join(sa, "new_doc")
+        .join(sb, "other_doc")
+        .withColumn("containment_new", c_new)
+        .withColumn("containment_other", c_other)
+        .filter(
+            F.greatest(F.col("containment_new"), F.col("containment_other"))
+            >= threshold
+        )
+        .select(
+            "new_doc",
+            "other_doc",
+            F.col("n_common").cast("long").alias("n_common"),
+            "containment_new",
+            "containment_other",
+            (F.col("other_doc") >= F.lit(new_max_id)).alias("in_index"),
+        )
+    )

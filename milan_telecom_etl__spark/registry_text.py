@@ -3544,3 +3544,87 @@ def q_bpe_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.bpe_corpus_fertility(
         load_table(spark, sf_dir, "documents"), k=BPE_MERGE_ROUNDS
     )
+
+
+def _incremental_containment_sql(
+    new_max_id: int = _INCR_NEW_MAX_ID,
+    threshold: float = 0.8,
+    cap: int | None = D.DEFAULT_MAX_SHINGLE_DF,
+    m_probes: int = 8,
+    min_hits: int = 2,
+) -> str:
+    """Twin of operators.dedup.incremental_containment: both directed
+    probe passes, the min_hits floor (capped at the prober's probe
+    count), exact-intersection verify scoring both containments."""
+    b = new_max_id
+    return f"""
+    WITH {_shingle_cte(cap)},
+    probes AS (
+      SELECT doc_id, shingle_hash,
+             count(*) OVER (PARTITION BY doc_id) AS n_probes
+      FROM (
+        SELECT doc_id, shingle_hash,
+               row_number() OVER (PARTITION BY doc_id ORDER BY shingle_hash)
+                 AS rk
+        FROM sh)
+      WHERE rk <= {m_probes}
+    ),
+    dir_a AS (
+      SELECT p.doc_id AS new_doc, s.doc_id AS other_doc,
+             count(*) AS hits, max(p.n_probes) AS np
+      FROM probes p JOIN sh s USING (shingle_hash)
+      WHERE p.doc_id < {b} AND s.doc_id <> p.doc_id
+        AND (s.doc_id >= {b} OR s.doc_id < p.doc_id)
+      GROUP BY 1, 2
+    ),
+    dir_b AS (
+      SELECT s.doc_id AS new_doc, p.doc_id AS other_doc,
+             count(*) AS hits, max(p.n_probes) AS np
+      FROM probes p JOIN sh s USING (shingle_hash)
+      WHERE s.doc_id < {b} AND p.doc_id <> s.doc_id
+        AND (p.doc_id >= {b} OR p.doc_id < s.doc_id)
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT new_doc, other_doc FROM (
+        SELECT new_doc, other_doc FROM dir_a
+        WHERE hits >= least({min_hits}, np)
+        UNION ALL
+        SELECT new_doc, other_doc FROM dir_b
+        WHERE hits >= least({min_hits}, np))
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT c.new_doc, c.other_doc, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.new_doc
+      JOIN sh bb ON bb.doc_id = c.other_doc
+               AND bb.shingle_hash = a.shingle_hash
+      GROUP BY 1, 2
+    )
+    SELECT new_doc, other_doc, CAST(n_common AS BIGINT) AS n_common,
+           round(n_common * 1.0 / sa.n, 6) AS containment_new,
+           round(n_common * 1.0 / sb.n, 6) AS containment_other,
+           other_doc >= {b} AS in_index
+    FROM inter
+    JOIN sizes sa ON new_doc = sa.doc_id
+    JOIN sizes sb ON other_doc = sb.doc_id
+    WHERE greatest(round(n_common * 1.0 / sa.n, 6),
+                   round(n_common * 1.0 / sb.n, 6)) >= {threshold}
+    """
+
+
+@register("incremental_containment", _incremental_containment_sql())
+def q_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup of a new batch against the standing corpus —
+    the production lifecycle twin of containment_pairs (as
+    incremental_near_dups is of lsh_verified_pairs): batch probe
+    shingles broadcast against the streaming corpus, the corpus's
+    stored probe table streams against the broadcast batch shingles —
+    the index is never shuffled or self-probed. See the operator
+    docstring for the recall law and both directed passes."""
+    return D.incremental_containment(
+        load_table(spark, sf_dir, "documents"),
+        new_max_id=_INCR_NEW_MAX_ID,
+        threshold=0.8,
+    )

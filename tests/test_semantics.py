@@ -2520,3 +2520,36 @@ def test_bpe_encode_vocab_consistency(spark):
                     i += 1
             syms = ns
         assert toks == syms, f"{r['w']}: {toks} != {syms}"
+
+
+def test_incremental_containment_both_directions(spark):
+    """Batch-vs-index containment finds BOTH lifecycle cases: a new doc
+    embedded in an index doc (the re-crawl/quote case) and an index doc
+    embedded in a new doc (the aggregation/concat-shard case) — each
+    with containment 1.0 on the contained side; batch-internal pairs
+    keep-first; unrelated docs stay out."""
+    from milan_telecom_etl__spark.operators.dedup import incremental_containment
+
+    big = [f"w{i}x" for i in range(400)]
+    rows = [
+        # batch (doc_id < 10)
+        (1, " ".join(big[50:80])),      # contained IN index doc 100
+        (2, " ".join(big)),             # CONTAINS index doc 101
+        (3, " ".join(f"q{i}z" for i in range(100))),  # unrelated
+        # index
+        (100, " ".join(big)),
+        (101, " ".join(big[200:230])),
+        (102, " ".join(f"r{i}y" for i in range(100))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["new_doc"], r["other_doc"]): r
+        for r in incremental_containment(docs, new_max_id=10, threshold=0.8).collect()
+    }
+    assert (1, 100) in got and got[(1, 100)]["containment_new"] == 1.0
+    assert got[(1, 100)]["in_index"]
+    assert (2, 101) in got and got[(2, 101)]["containment_other"] == 1.0
+    # doc 2 also fully contains doc 1's text (both slices of big)
+    assert (2, 1) in got and not got[(2, 1)]["in_index"]
+    assert all(nd != 3 for nd, _ in got), "unrelated batch doc matched"
+    assert all(od != 102 for _, od in got), "unrelated index doc matched"
