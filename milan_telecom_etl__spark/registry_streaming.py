@@ -580,3 +580,97 @@ def q_streaming_curation_gate_batch(spark: SparkSession, sf_dir: str) -> DataFra
         ),
     )
     return _drain(out, "append")
+
+
+def _stream_containment_sql(
+    new_max_id: int = _PROBE_NEW_MAX_ID,
+    m_probes: int = 8,
+    min_hits: int = 2,
+    cap: int | None = None,
+) -> str:
+    from .operators.dedup import DEFAULT_MAX_SHINGLE_DF
+    from .registry_text import _norm, _shingle_cte
+
+    cap = DEFAULT_MAX_SHINGLE_DF if cap is None else cap
+    return f"""
+    WITH {_shingle_cte(cap)},
+    idx AS (SELECT doc_id, shingle_hash FROM sh
+            WHERE doc_id >= {new_max_id}),
+    bw AS (SELECT doc_id, string_split({_norm()}, ' ') AS ws
+           FROM documents WHERE doc_id < {new_max_id}),
+    bsh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 0) + 1),
+               i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS ss
+      FROM bw
+    ),
+    probes AS (
+      SELECT doc_id AS new_doc,
+             unnest(list_slice(
+               list_sort(list_transform(
+                 ss, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)),
+               1, {m_probes})) AS shingle_hash
+      FROM bsh
+    )
+    SELECT p.new_doc, i.doc_id AS other_doc,
+           CAST(count(*) AS BIGINT) AS hits
+    FROM probes p JOIN idx i USING (shingle_hash)
+    GROUP BY 1, 2
+    HAVING count(*) >= {min_hits}
+    """
+
+
+@register("streaming_containment_probe_batch", _stream_containment_sql())
+def q_streaming_containment_probe_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Containment suspects AT INGEST — the streaming face of
+    `incremental_containment`: each arriving doc's m smallest-hash
+    shingle probes are computed as a pure HOF projection IN the stream
+    (no window function — streaming-legal), stream-static joined
+    against the standing corpus's capped shingle index (hashes
+    precomputed on the static side), and ONE grouped count per
+    (new_doc, index_doc) keeps pairs clearing min_hits — Structured
+    Streaming's single-aggregation limit shapes the operator: the
+    exact-intersection verify runs offline on the emitted suspects
+    (`incremental_containment` is that batch path).
+
+    Probe-side df-cap semantics at ingest: the stream cannot see
+    global document frequencies, so probes are UNCAPPED; a hot
+    (capped-out) probe shingle simply matches nothing in the capped
+    index — the fan-out bound lives on the index side, where it
+    belongs. State is one count per suspect pair (bounded by the
+    batch's true containment rate), drained complete-mode."""
+    from .operators.dedup import (
+        DEFAULT_MAX_SHINGLE_DF,
+        _md5_int60,
+        shingle_table,
+        shingles_of,
+    )
+    from .operators.text import normalize_text
+    from .sources.parquet import load_table
+
+    b = _PROBE_NEW_MAX_ID
+    idx = (
+        shingle_table(
+            load_table(spark, sf_dir, "documents").filter(F.col("doc_id") >= b),
+            "text",
+            3,
+            DEFAULT_MAX_SHINGLE_DF,
+        )
+        .select("doc_id", _md5_int60(F.col("shingle")).alias("shingle_hash"))
+    )
+    st = _stream_documents(spark, sf_dir).filter(F.col("doc_id") < b)
+    ws = F.split(normalize_text("text"), " ")
+    st = st.select(F.col("doc_id").alias("new_doc"), shingles_of(ws, 3).alias("__ss"))
+    hashes = F.array_sort(F.transform(F.col("__ss"), lambda s: _md5_int60(s)))
+    st = st.select("new_doc", F.explode(F.slice(hashes, 1, 8)).alias("shingle_hash"))
+    out = (
+        st.join(idx, "shingle_hash")
+        .groupBy("new_doc", F.col("doc_id").alias("other_doc"))
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= 2)
+        .select("new_doc", "other_doc", F.col("hits").cast("long").alias("hits"))
+    )
+    return _drain(out, "complete")

@@ -592,3 +592,17 @@ def test_funnel_and_repetition_plan_shapes(spark):
         fdf.explain("formatted")
     scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", buf.getvalue()))
     assert len(scan_ids) <= 3, f"funnel re-scans documents: {sorted(scan_ids)}"
+
+
+def test_incremental_containment_is_batch_asymmetric(spark):
+    """Both directed probe passes must broadcast the BATCH side only
+    (batch probes / batch shingles) — the standing index streams
+    through broadcast-hash joins and is never shuffled as a join side,
+    never self-joined. The only exchanges are the probe window's
+    doc_id partition, the hash aggregations, and the verify joins."""
+    from milan_telecom_etl__spark.registry_text import q_incremental_containment
+
+    plan = _plan(q_incremental_containment(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, "directed passes lost the broadcast pin"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

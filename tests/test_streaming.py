@@ -221,3 +221,38 @@ def test_streaming_curation_gate_matches_batch(spark):
         )
         n_admitted += r["admitted"]
     assert 0 < n_admitted < len(got), "gate should admit some and drop some"
+
+
+def test_streaming_containment_probe_flags_contained_arrival(spark, tmp_path):
+    """An arriving doc fully contained in an index doc must surface as
+    an ingest-time suspect (all its probes land in the container), and
+    unrelated arrivals must not; suspect pairs agree with the offline
+    verifier's direction-A candidates."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    import milan_telecom_etl__spark.registry_streaming  # noqa: F401 (registration)
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    big = [f"w{i}x" for i in range(400)]
+    rows = [
+        (1, " ".join(big[50:80]), "en", "srcA", 0),
+        (3, " ".join(f"q{i}z" for i in range(100)), "en", "srcA", 0),
+        (150, " ".join(big), "en", "srcB", 0),
+        (151, " ".join(f"r{i}y" for i in range(100)), "en", "srcB", 0),
+    ]
+    import pandas as pd
+
+    d = str(tmp_path / "sfmini")
+    (tmp_path / "sfmini").mkdir()
+    # a single FILE named documents.parquet, like the driver testdata
+    # (_stream_documents' pathGlobFilter matches leaf file names)
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(d + "/documents.parquet", index=False)
+    got = {
+        (r["new_doc"], r["other_doc"]): r["hits"]
+        for r in QUERIES["streaming_containment_probe_batch"](spark, d).collect()
+    }
+    assert (1, 150) in got and got[(1, 150)] == 8
+    assert all(nd != 3 for nd, _ in got), "unrelated arrival flagged"
+    assert all(od != 151 for _, od in got), "unrelated index doc flagged"
