@@ -2553,3 +2553,47 @@ def test_incremental_containment_both_directions(spark):
     assert (2, 1) in got and not got[(2, 1)]["in_index"]
     assert all(nd != 3 for nd, _ in got), "unrelated batch doc matched"
     assert all(od != 102 for _, od in got), "unrelated index doc matched"
+
+
+def test_driver_side_round_matches_spark_round(spark):
+    """The mmr driver-side greedy re-rounds in Python; its _round6
+    convention (Decimal(repr(x)), HALF_UP) must match Spark's
+    round(double, 6) — which goes through BigDecimal.valueOf's SHORTEST
+    decimal repr, NOT the exact binary expansion. Decimal(x) differs on
+    .5-boundary values (the bug test_oracle_parity caught in r9):
+    0.1943555 stores as ...549999..., exact-binary rounds DOWN, Spark
+    rounds UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    def round6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    cases = [0.1943555, 0.3110265, 0.0000005, 1.9999995, 0.1234565, 0.7654325]
+    df = spark.createDataFrame([(x,) for x in cases], "x double").select(
+        F.round(F.col("x"), 6).alias("r")
+    )
+    got = [r["r"] for r in df.collect()]
+    assert got == [round6(x) for x in cases]
+    # and the exact-binary form really does disagree somewhere (the
+    # test is vacuous if no case sits on a repr-vs-binary boundary)
+    exact = [
+        float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP)) for x in cases
+    ]
+    assert exact != got
+
+
+def test_register_testdata_memoization_tracks_dir_changes(spark):
+    """register_testdata is memoized per (session, LAST sf_dir) — the
+    top_cells_sql front-door fix — but an sf_dir CHANGE must
+    re-register (scale_bench alternates small/big in one session)."""
+    from milan_telecom_etl__spark.sources.parquet import register_testdata
+
+    register_testdata(spark, "/root/testdata/sf0.001")
+    n1 = spark.table("region").count()
+    register_testdata(spark, "/root/testdata/sf0.01")
+    n2 = spark.table("events").count()
+    register_testdata(spark, "/root/testdata/sf0.001")
+    n3 = spark.table("events").count()
+    assert n1 == 5 and n2 > n3, "dir change did not re-register views"
