@@ -494,7 +494,11 @@ def _bpe_train(
             ).alias("seq"),
             "freq",
         ).persist()
-    if prev is not None:
+    # `prev is vocab` after a no-pairs break (prev was reassigned before
+    # the break) — unpersisting it there would strip the cache off the
+    # very frame we return as "the final PERSISTED vocabulary" and make
+    # callers recompute the whole merge chain on collect (ADVICE r9 #4).
+    if prev is not None and prev is not vocab:
         prev.unpersist()
     return merges, vocab
 

@@ -1387,7 +1387,13 @@ def _repetition_stats_batches(batches):
         NAV_LINE,
     )
 
-    split_ws = _re.compile(r"\s+")
+    # re.ASCII pins \s to [ \t\n\r\f\v], matching the JVM regex default
+    # used by the HOF twin and DuckDB's RE2 — Python's Unicode \s would
+    # also split on \xa0/  etc. and silently diverge the two
+    # "identical values" implementations on non-ASCII whitespace
+    # (ADVICE r9 #3). The bit-identity claim therefore holds for ANY
+    # corpus, not just the ASCII synthetic one the sf0.01 test covers.
+    split_ws = _re.compile(r"\s+", _re.ASCII)
     mult = _REP_MULT
     top_ns = [n for n, _, _ in _TOP_GATES]
     dup_ns = [n for n, _, _ in _DUP_GATES]

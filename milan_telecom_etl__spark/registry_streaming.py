@@ -582,20 +582,47 @@ def q_streaming_curation_gate_batch(spark: SparkSession, sf_dir: str) -> DataFra
     return _drain(out, "append")
 
 
+# Shared probe parameters for streaming_containment_probe_batch — used
+# by BOTH the SQL oracle generator and the DataFrame code so the two
+# cannot silently desynchronize (ADVICE r9 #2).
+_PROBE_M = 8
+_PROBE_MIN_HITS = 2
+
+
 def _stream_containment_sql(
     new_max_id: int = _PROBE_NEW_MAX_ID,
-    m_probes: int = 8,
-    min_hits: int = 2,
+    m_probes: int = _PROBE_M,
+    min_hits: int = _PROBE_MIN_HITS,
     cap: int | None = None,
 ) -> str:
     from .operators.dedup import DEFAULT_MAX_SHINGLE_DF
-    from .registry_text import _norm, _shingle_cte
+    from .registry_text import _norm
 
     cap = DEFAULT_MAX_SHINGLE_DF if cap is None else cap
+    # The df cap is computed over the INDEX population only (doc_id >=
+    # new_max_id) — matching the Spark side, which builds the standing
+    # shingle index from the already-ingested corpus and therefore can
+    # only ever see index-side document frequencies (ADVICE r9 #1: the
+    # previous oracle capped over ALL docs then filtered, so a shingle
+    # straddling the cap only with batch docs counted diverged).
     return f"""
-    WITH {_shingle_cte(cap)},
-    idx AS (SELECT doc_id, shingle_hash FROM sh
-            WHERE doc_id >= {new_max_id}),
+    WITH idocs AS (SELECT doc_id, {_norm()} AS t
+                   FROM documents WHERE doc_id >= {new_max_id}),
+    iwords AS (SELECT doc_id, string_split(t, ' ') AS ws FROM idocs),
+    ish_raw AS (
+      SELECT DISTINCT doc_id,
+             ('0x' || substr(md5(s), 1, 15))::BIGINT AS shingle_hash
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(ws) - 2, 0) + 1),
+                       i -> array_to_string(list_slice(ws, i, i + 2), ' '))) AS s
+        FROM iwords)
+    ),
+    idx AS (
+      SELECT ish_raw.* FROM ish_raw
+      WHERE shingle_hash NOT IN (
+        SELECT shingle_hash FROM ish_raw GROUP BY 1 HAVING count(*) > {cap})
+    ),
     bw AS (SELECT doc_id, string_split({_norm()}, ' ') AS ws
            FROM documents WHERE doc_id < {new_max_id}),
     bsh AS (
@@ -607,6 +634,7 @@ def _stream_containment_sql(
     ),
     probes AS (
       SELECT doc_id AS new_doc,
+             least({m_probes}, len(ss)) AS n_probes,
              unnest(list_slice(
                list_sort(list_transform(
                  ss, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT)),
@@ -617,7 +645,7 @@ def _stream_containment_sql(
            CAST(count(*) AS BIGINT) AS hits
     FROM probes p JOIN idx i USING (shingle_hash)
     GROUP BY 1, 2
-    HAVING count(*) >= {min_hits}
+    HAVING count(*) >= least({min_hits}, max(p.n_probes))
     """
 
 
@@ -640,8 +668,15 @@ def q_streaming_containment_probe_batch(
     global document frequencies, so probes are UNCAPPED; a hot
     (capped-out) probe shingle simply matches nothing in the capped
     index — the fan-out bound lives on the index side, where it
-    belongs. State is one count per suspect pair (bounded by the
-    batch's true containment rate), drained complete-mode."""
+    belongs, and the cap's df population is the INDEX corpus on both
+    the Spark and oracle sides (a standing index can only count the
+    docs it has ingested). min_hits carries the `incremental_
+    containment` floor — least(min_hits, n_probes) — so a batch doc
+    with a single distinct shingle can still be flagged at containment
+    1.0. Probe params are the shared module constants _PROBE_M /
+    _PROBE_MIN_HITS, consumed by both twins. State is one count per
+    suspect pair (bounded by the batch's true containment rate),
+    drained complete-mode."""
     from .operators.dedup import (
         DEFAULT_MAX_SHINGLE_DF,
         _md5_int60,
@@ -665,12 +700,16 @@ def q_streaming_containment_probe_batch(
     ws = F.split(normalize_text("text"), " ")
     st = st.select(F.col("doc_id").alias("new_doc"), shingles_of(ws, 3).alias("__ss"))
     hashes = F.array_sort(F.transform(F.col("__ss"), lambda s: _md5_int60(s)))
-    st = st.select("new_doc", F.explode(F.slice(hashes, 1, 8)).alias("shingle_hash"))
+    st = st.select(
+        "new_doc",
+        F.least(F.lit(_PROBE_M), F.size(F.col("__ss"))).alias("n_probes"),
+        F.explode(F.slice(hashes, 1, _PROBE_M)).alias("shingle_hash"),
+    )
     out = (
         st.join(idx, "shingle_hash")
         .groupBy("new_doc", F.col("doc_id").alias("other_doc"))
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .filter(F.col("hits") >= 2)
+        .agg(F.count(F.lit(1)).alias("hits"), F.max("n_probes").alias("np"))
+        .filter(F.col("hits") >= F.least(F.lit(_PROBE_MIN_HITS), F.col("np")))
         .select("new_doc", "other_doc", F.col("hits").cast("long").alias("hits"))
     )
     return _drain(out, "complete")

@@ -60,10 +60,18 @@ def get_spark(
         # The JVM's JIT code cache defaults to 240 MB; keeping thousands
         # of generated classes hot needs headroom or the JIT flushes /
         # stops compiling and everything degrades to interpreter speed.
+        # APPEND to any driver options supplied via the environment
+        # rather than replacing them (ADVICE r9 #5: a bare .config()
+        # would clobber deployment-supplied JVM flags; note this — like
+        # every driver JVM option — is ineffective when getOrCreate
+        # attaches to an already-running context).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize="
-            + os.environ.get("SPARK_GRAFT_CODE_CACHE", "1g"),
+            (
+                os.environ.get("SPARK_DRIVER_OPTS", "").strip() + " "
+                + "-XX:ReservedCodeCacheSize="
+                + os.environ.get("SPARK_GRAFT_CODE_CACHE", "1g")
+            ).strip(),
         )
         # driver-local testing niceties; harmless on a cluster
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

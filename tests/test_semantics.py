@@ -1916,6 +1916,56 @@ def test_gopher_repetition_crafted(spark):
     assert got[2]["n_dup_lines"] >= 10 - 1  # 12 chunks, 2 punctuation variants
 
 
+def test_repetition_arrow_hof_identical_nonascii_ws(spark):
+    """The Arrow kernel and the HOF chain must produce IDENTICAL stat
+    rows on text containing non-ASCII whitespace (\\xa0, \\u2028,
+    ideographic space): the JVM regex \\s and DuckDB's RE2 \\s are
+    ASCII-only, so the Python kernel tokenizes with re.ASCII to match
+    (ADVICE r9 #3 — Unicode \\s would split on \\xa0 and silently
+    diverge the two 'identical values' implementations, which the
+    ASCII-only synthetic corpus never exercised)."""
+    from milan_telecom_etl__spark.registry_quality import (
+        gopher_repetition_flag_frame,
+    )
+
+    rows = [
+        (0, "alpha\xa0beta gamma\xa0beta alpha\xa0beta delta"),
+        (1, "one two three two one two four five six"),
+        (2, "x　y " * 40),
+        (3, "plain ascii words repeated words repeated words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    hof = sorted(
+        gopher_repetition_flag_frame(docs, use_arrow=False).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    arrow = sorted(
+        gopher_repetition_flag_frame(docs, use_arrow=True).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r.asDict() for r in hof] == [r.asDict() for r in arrow]
+
+
+def test_bpe_train_early_break_keeps_vocab_persisted(spark):
+    """When the corpus exhausts its merge pairs before k rounds (every
+    word down to one symbol), the early-break path must NOT unpersist
+    the final vocabulary it returns — the documented contract is a
+    PERSISTED frame, and stripping the cache makes every caller
+    recompute the whole merge chain per collect (ADVICE r9 #4)."""
+    from milan_telecom_etl__spark.operators.text import _bpe_train
+
+    # one 2-char word -> pairs exhaust after 2 merges; k=8 forces the
+    # no-pairs break on round 3
+    docs = spark.createDataFrame([(0, "ab ab ab")], "doc_id long, text string")
+    merges, vocab = _bpe_train(docs, k=8)
+    try:
+        assert len(merges) < 8, "corpus must exhaust before k rounds"
+        assert vocab.is_cached, "early break unpersisted the returned vocab"
+        assert vocab.count() == 1
+    finally:
+        vocab.unpersist()
+
+
 def test_hard_negatives_semantics(spark):
     """Negatives never share the query's label; ranks are dense per
     query; pos_best equals the exact best same-label cosine; margin
