@@ -378,11 +378,40 @@ def boilerplate_line_purge(
 
 BPE_EOW = "</w>"
 
+# Wrapped-symbol delimiters per pre-tokenizer mode. "alpha" segments
+# on [a-z]+ (lowercased), so '(' / ')' can never appear inside a
+# symbol and the exact-string replace of '(a)(b)' is unambiguous.
+# "char" keeps the FULL character stream (case, digits, punctuation,
+# non-Latin) — parens are then legal symbol content, so the wrappers
+# move to \x01/\x02, which the char-mode pre-tokenizer strips from the
+# input (control chars -> word separators, the standard tokenizer
+# cleanup) so they too can never appear inside a symbol.
+_BPE_WRAP = {"alpha": ("(", ")"), "char": ("\x01", "\x02")}
+
+
+def _bpe_words(text_col: str, pre_tokenizer: str):
+    """Word-stream column for a pre-tokenizer mode: an array of 'words'
+    (BPE training units) per document."""
+    if pre_tokenizer == "alpha":
+        return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+    if pre_tokenizer == "char":
+        # control chars (incl. the \x01/\x02 wrappers and \t\n\r) become
+        # separators; everything else — case, digits, punctuation,
+        # non-Latin — survives into the symbol alphabet (the
+        # Sennrich/GPT-2 convention of a total alphabet, modulo the
+        # byte-vs-codepoint choice: symbols here are CODEPOINTS, which
+        # both engines slice identically).
+        cleaned = F.regexp_replace(F.col(text_col), "[\\x00-\\x1f]", " ")
+        return F.filter(F.split(cleaned, " "), lambda x: x != F.lit(""))
+    raise ValueError(f"unknown pre_tokenizer {pre_tokenizer!r}")
+
 
 def bpe_merge_rounds(
     docs: DataFrame,
     k: int = 8,
     text_col: str = "text",
+    pre_tokenizer: str = "alpha",
+    trained: tuple[list[tuple], DataFrame] | None = None,
 ) -> DataFrame:
     """k rounds of BPE merge training (Sennrich et al. 2016 §3.2) —
     the iterative loop `bpe_merge_candidates` computes step 1 of:
@@ -410,9 +439,20 @@ def bpe_merge_rounds(
     |symbols|²) whose argmax is a 1-row bounded collect, plus one
     map-only vocabulary rewrite; the round-r vocab persists and the
     round-(r-1) cache is released once r materializes, so the plan
-    stays linear in k, never 2^k."""
-    merges, vocab = _bpe_train(docs, k, text_col)
-    vocab.unpersist()
+    stays linear in k, never 2^k.
+
+    `pre_tokenizer`: "alpha" (lowercase [a-z]+ words — the compact
+    oracle-parity default) or "char" (full codepoint stream: case,
+    digits, punctuation, non-Latin — the Sennrich/GPT-2 convention;
+    see _bpe_words). `trained`: a pre-computed (merges, vocab) pair
+    from `_bpe_train` — pass it to share ONE training pass across the
+    three BPE entries (the knn_method_eval shared-pass discipline);
+    the caller then owns the vocab frame's persist lifecycle."""
+    if trained is None:
+        merges, vocab = _bpe_train(docs, k, text_col, pre_tokenizer)
+        vocab.unpersist()
+    else:
+        merges, _ = trained
 
     from pyspark.sql import types as T
 
@@ -428,18 +468,17 @@ def bpe_merge_rounds(
 
 
 def _bpe_train(
-    docs: DataFrame, k: int, text_col: str = "text"
+    docs: DataFrame, k: int, text_col: str = "text", pre_tokenizer: str = "alpha"
 ) -> tuple[list[tuple], DataFrame]:
     """Shared BPE training loop: returns (adopted merges as
     (rank, left, right, count) tuples, the final PERSISTED vocabulary
     frame (w, seq, freq) with all k merges applied). Caller owns the
     returned frame's unpersist."""
+    import re as _re
+
+    w1, w2 = _BPE_WRAP[pre_tokenizer]
     wf = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
-            ).alias("w")
-        )
+        docs.select(F.explode(_bpe_words(text_col, pre_tokenizer)).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -451,13 +490,15 @@ def _bpe_train(
         ),
         F.array(F.lit(BPE_EOW)),
     )
-    seq0 = F.concat(F.lit("("), F.array_join(syms0, ")("), F.lit(")"))
+    seq0 = F.concat(F.lit(w1), F.array_join(syms0, w2 + w1), F.lit(w2))
     vocab = wf.select("w", seq0.alias("seq"), "freq").persist()
 
+    rx_strip = f"^{_re.escape(w1)}|{_re.escape(w2)}$"
+    rx_split = _re.escape(w2) + _re.escape(w1)
     merges: list[tuple] = []
     prev = None
     for r in range(1, k + 1):
-        syms = F.split(F.regexp_replace(F.col("seq"), r"^\(|\)$", ""), r"\)\(")
+        syms = F.split(F.regexp_replace(F.col("seq"), rx_strip, ""), rx_split)
         sy = F.col("__syms")
         n = F.size(sy)
         idx = F.filter(
@@ -490,7 +531,9 @@ def _bpe_train(
         vocab = vocab.select(
             "w",
             F.replace(
-                F.col("seq"), F.lit(f"({a})({b})"), F.lit(f"({a}{b})")
+                F.col("seq"),
+                F.lit(f"{w1}{a}{w2}{w1}{b}{w2}"),
+                F.lit(f"{w1}{a}{b}{w2}"),
             ).alias("seq"),
             "freq",
         ).persist()
@@ -503,11 +546,23 @@ def _bpe_train(
     return merges, vocab
 
 
+def _bpe_syms_col(pre_tokenizer: str):
+    """Split a wrapped `seq` back into its symbol array (wrap-aware)."""
+    import re as _re
+
+    w1, w2 = _BPE_WRAP[pre_tokenizer]
+    rx_strip = f"^{_re.escape(w1)}|{_re.escape(w2)}$"
+    return F.split(F.regexp_replace(F.col("seq"), rx_strip, ""),
+                   _re.escape(w2) + _re.escape(w1))
+
+
 def bpe_encode_vocab(
     docs: DataFrame,
     k: int = 8,
     top: int = 30,
     text_col: str = "text",
+    pre_tokenizer: str = "alpha",
+    trained: tuple[list[tuple], DataFrame] | None = None,
 ) -> DataFrame:
     """Encode the corpus vocabulary with the k LEARNED merges — the
     step that makes the tokenizer story end-to-end: train merges on
@@ -522,9 +577,13 @@ def bpe_encode_vocab(
     Scale shape: training is `_bpe_train` (vocabulary-grain, one
     bounded 1-row collect per round); encoding is a map-only
     projection of the final vocab; the report is TakeOrderedAndProject
-    over (freq desc, w)."""
-    merges, vocab = _bpe_train(docs, k, text_col)
-    syms = F.split(F.regexp_replace(F.col("seq"), r"^\(|\)$", ""), r"\)\(")
+    over (freq desc, w). Pass `trained` to reuse a shared training
+    pass (caller then owns the vocab persist lifecycle)."""
+    owns = trained is None
+    merges, vocab = (
+        _bpe_train(docs, k, text_col, pre_tokenizer) if owns else trained
+    )
+    syms = _bpe_syms_col(pre_tokenizer)
     out = (
         vocab.select(
             "w",
@@ -543,14 +602,26 @@ def bpe_encode_vocab(
     # materialize before releasing the training cache: the report is
     # `top` rows, the recompute chain behind it is k persisted stages
     rows = out.collect()
-    vocab.unpersist()
+    if owns:
+        vocab.unpersist()
     return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+# Above this many vocabulary keys the (word -> n_tokens) map stops
+# being a broadcast-sized dim (a web-corpus "alpha" vocabulary can
+# reach 1e8 distinct keys) and the fertility join falls back to a
+# plain shuffle hash join (VERDICT r9 #3 — this was the package's only
+# unguarded broadcast of a data-dependent set).
+BPE_BROADCAST_VOCAB_MAX = 10_000_000
 
 
 def bpe_corpus_fertility(
     docs: DataFrame,
     k: int = 8,
     text_col: str = "text",
+    pre_tokenizer: str = "alpha",
+    trained: tuple[list[tuple], DataFrame] | None = None,
+    broadcast_max_vocab: int = BPE_BROADCAST_VOCAB_MAX,
 ) -> DataFrame:
     """Per-source fertility under the corpus's OWN learned BPE merges —
     the number `tokenizer_fertility` approximates with a fixed
@@ -564,21 +635,29 @@ def bpe_corpus_fertility(
     broadcast hash join + per-source aggregation — the join side that
     grows with the corpus is never shuffled, only the per-source
     partial sums move. At 100 TB the merge table is a few KB and the
-    vocab map a broadcast-sized dim, exactly how production token
-    accounting runs."""
-    merges, vocab = _bpe_train(docs, k, text_col)
-    syms = F.split(F.regexp_replace(F.col("seq"), r"^\(|\)$", ""), r"\)\(")
+    vocab map USUALLY a broadcast-sized dim — but a web-corpus
+    vocabulary can blow past executor memory, so the broadcast is
+    size-guarded: above `broadcast_max_vocab` keys (counted on the
+    already-persisted training vocab — one cheap vocabulary-grain job)
+    the join degrades to a plain shuffle hash join, correct at any
+    vocabulary size. Pass `trained` to reuse a shared training pass
+    (caller then owns the vocab persist lifecycle)."""
+    owns = trained is None
+    merges, vocab = (
+        _bpe_train(docs, k, text_col, pre_tokenizer) if owns else trained
+    )
+    syms = _bpe_syms_col(pre_tokenizer)
     vocab_tokens = vocab.select(
         "w", F.size(syms).cast("long").alias("w_tokens")
     )
+    n_vocab = vocab.count()  # persisted + vocabulary-grain: cheap
+    if n_vocab <= broadcast_max_vocab:
+        vocab_tokens = F.broadcast(vocab_tokens)
     corpus_words = docs.select(
-        "source",
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
-        ).alias("w"),
+        "source", F.explode(_bpe_words(text_col, pre_tokenizer)).alias("w")
     )
     out = (
-        corpus_words.join(F.broadcast(vocab_tokens), "w")
+        corpus_words.join(vocab_tokens, "w")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
@@ -589,5 +668,6 @@ def bpe_corpus_fertility(
         )
     )
     rows = out.collect()  # bounded: one row per source
-    vocab.unpersist()
+    if owns:
+        vocab.unpersist()
     return docs.sparkSession.createDataFrame(rows, out.schema)

@@ -2485,6 +2485,107 @@ def test_bpe_merge_rounds_hand_counted(spark):
     assert got[0] == (1, "l", "o", 5)
 
 
+def test_bpe_char_mode_mixed_script(spark):
+    """Char-mode BPE (pre_tokenizer='char') against the same pure-
+    python reference, on text the alpha mode never sees: casing,
+    digits, punctuation, accents, non-Latin symbols, PARENS inside
+    words (legal symbol content now that the wrappers are \\x01/\\x02),
+    and tab/newline separators (control chars -> word boundaries)."""
+    import re
+
+    from milan_telecom_etl__spark.operators.text import BPE_EOW, bpe_merge_rounds
+
+    t0 = "Hello, World! Hello, café 123 (x) (x)"
+    t1 = "WORLD!\tcafé №9 (x)\nHello,"
+    docs = spark.createDataFrame([(0, t0), (1, t1)], "doc_id long, text string")
+
+    freqs: dict[str, int] = {}
+    for t in (t0, t1):
+        for w in re.sub(r"[\x00-\x1f]", " ", t).split(" "):
+            if w:
+                freqs[w] = freqs.get(w, 0) + 1
+    assert freqs["Hello,"] == 3 and freqs["(x)"] == 3  # fixture sanity
+
+    def ref_bpe(word_freqs, k):
+        vocab = {tuple(list(w) + [BPE_EOW]): f for w, f in word_freqs.items()}
+        out = []
+        for r in range(1, k + 1):
+            counts = {}
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] = (
+                        counts.get((syms[i], syms[i + 1]), 0) + f
+                    )
+            if not counts:
+                break
+            (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((r, a, b, c))
+            nv = {}
+            for syms, f in vocab.items():
+                ns, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                nv[tuple(ns)] = nv.get(tuple(ns), 0) + f
+            vocab = nv
+        return out
+
+    expected = ref_bpe(freqs, 6)
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merge_rounds(docs, k=6, pre_tokenizer="char")
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+    # casing must be preserved: 'Hello,' and 'WORLD!' are distinct words
+    assert any("H" in a + b or "W" in a + b for _, a, b, _ in got)
+
+
+def test_bpe_fertility_broadcast_guard(spark):
+    """Above the vocab-size threshold the fertility join must degrade
+    to a shuffle join with IDENTICAL output (VERDICT r9 #3: the only
+    unguarded broadcast-of-a-growing-set in the package)."""
+    from milan_telecom_etl__spark.operators.text import bpe_corpus_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (0, "web", "low low low lower lower widest"),
+            (1, "web", "widest widest newest"),
+            (2, "book", "newest lowest low low"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    key = lambda r: r["source"]  # noqa: E731
+    via_bc = sorted(bpe_corpus_fertility(docs, k=4).collect(), key=key)
+    via_shuffle = sorted(
+        bpe_corpus_fertility(docs, k=4, broadcast_max_vocab=0).collect(), key=key
+    )
+    assert [r.asDict() for r in via_bc] == [r.asDict() for r in via_shuffle]
+    assert {r["source"] for r in via_bc} == {"web", "book"}
+
+
+def test_bpe_shared_training_pass(spark):
+    """The three BPE registry entries share ONE `_trained_bpe` pass per
+    (session, sf_dir, k): repeat calls return the cached object, and
+    the cached vocabulary stays persisted (VERDICT r9 #4)."""
+    from milan_telecom_etl__spark.registry_text import (
+        BPE_MERGE_ROUNDS,
+        _trained_bpe,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    t1 = _trained_bpe(spark, sf, BPE_MERGE_ROUNDS)
+    t2 = _trained_bpe(spark, sf, BPE_MERGE_ROUNDS)
+    assert t1 is t2, "second call must hit the training cache"
+    assert t1[1].is_cached, "shared vocab must stay persisted"
+    assert len(t1[0]) == BPE_MERGE_ROUNDS
+
+
 def test_simhash_bits_guard():
     """bits > 60 would silently freeze signature bits (the token hash
     is a 60-bit md5 prefix) — ADVICE r8 asked for a loud failure."""
