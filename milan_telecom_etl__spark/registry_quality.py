@@ -2166,3 +2166,195 @@ def q_quality_probe_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(correct).cast("long").alias("n_correct"),
         F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("accuracy"),
     ).drop("is_eval")
+
+
+# ---------------------------------------------------------------------------
+# Probe-derived corpus policy: calibration (can the scores be used as
+# WEIGHTS?) and DoReMi-shaped domain reweighting (what mixture should
+# the sampler draw?). Both live here rather than in the ml/sampling
+# registries because they consume _probe_sql at registration time and
+# the quality->text->sampling module chain would otherwise cycle.
+# ---------------------------------------------------------------------------
+
+
+def _calibration_sql() -> str:
+    return f"""
+    WITH p AS ({_probe_sql()}),
+    b AS (
+      SELECT CAST(least(greatest(floor(score * 10), 0), 9) AS INT) AS bin,
+             count(*) AS n,
+             sum(CAST(score AS DECIMAL(18,6))) AS ssum,
+             sum(y) AS ysum
+      FROM p GROUP BY 1
+    ),
+    g AS (
+      SELECT bin, CAST(n AS BIGINT) AS n_docs,
+             round(CAST(ssum AS DOUBLE) / n, 6) AS mean_score,
+             round(ysum * 1.0 / n, 6) AS frac_pos,
+             round(abs(round(CAST(ssum AS DOUBLE) / n, 6)
+                       - round(ysum * 1.0 / n, 6)), 6) AS gap
+      FROM b
+    ),
+    t AS (SELECT sum(n_docs) AS nt, sum(gap * n_docs) AS gsum FROM g)
+    SELECT g.bin, g.n_docs, g.mean_score, g.frac_pos, g.gap,
+           round(t.gsum / t.nt, 6) AS ece
+    FROM g, t
+    """
+
+
+@register("probe_calibration", _calibration_sql())
+def q_probe_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for the
+    quality probe (`quality_linear_probe`): scores clamp-binned into
+    10 fixed-width bins; per bin the mean predicted score vs the
+    empirical positive rate, their absolute gap, and the corpus-level
+    ECE (doc-weighted mean gap) — the eval that decides whether probe
+    scores can be used as sampling WEIGHTS (importance_resampling,
+    temperature_mixing) or only as a threshold rank. A probe can have
+    high AUC and terrible calibration; this measures the difference.
+
+    Cross-engine float discipline: per-doc scores arrive 6dp-rounded
+    (the probe's contract), bin means go through exact DECIMAL(18,6)
+    sums before ONE double division + 6dp round, and gap/ECE are
+    computed FROM the rounded per-bin values — no float accumulation
+    order anywhere.
+
+    Scale shape: one corpus-grain aggregation into <=10 groups
+    (map-side partials collapse to 10 rows per partition), then all
+    arithmetic at bin grain; the 1-row ECE total broadcasts back onto
+    10 rows. Composes with the probe's own one-pass training — the
+    whole calibration eval is two aggregations over one scan."""
+    scored = q_quality_linear_probe(spark, sf_dir).select("y", "score")
+    b = F.least(
+        F.greatest(F.floor(F.col("score") * 10), F.lit(0)), F.lit(9)
+    ).cast("int")
+    bins = (
+        scored.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("score").cast("decimal(18,6)")).alias("ssum"),
+            F.sum("y").alias("ysum"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            F.round(F.col("ssum").cast("double") / F.col("n_docs"), 6).alias(
+                "mean_score"
+            ),
+            F.round(F.col("ysum") / F.col("n_docs"), 6).alias("frac_pos"),
+        )
+        .withColumn("gap", F.round(F.abs(F.col("mean_score") - F.col("frac_pos")), 6))
+    )
+    tot = bins.agg(
+        F.sum("n_docs").alias("nt"),
+        F.sum(F.col("gap") * F.col("n_docs")).alias("gsum"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_docs",
+        "mean_score",
+        "frac_pos",
+        "gap",
+        F.round(F.col("gsum") / F.col("nt"), 6).alias("ece"),
+    )
+
+
+_REWEIGHT_ETA = 5.0  # exponentiated-gradient step size
+
+
+def _reweight_sql() -> str:
+    return f"""
+    WITH p AS ({_probe_sql()}),
+    s AS (
+      SELECT d.source, count(*) AS n,
+             sum(CAST(p.score AS DECIMAL(18,6))) AS ssum
+      FROM p JOIN documents d USING (doc_id)
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS nt, sum(ssum) AS st FROM s),
+    e AS (
+      SELECT s.source, CAST(s.n AS BIGINT) AS n_docs,
+             round(CAST(s.ssum AS DOUBLE) / s.n, 6) AS mean_score,
+             round(CAST(s.ssum AS DOUBLE) / s.n
+                   - CAST(t.st AS DOUBLE) / t.nt, 6) AS excess,
+             CAST(t.nt AS BIGINT) AS nt
+      FROM s, tot t
+    ),
+    q AS (
+      SELECT e.*, CAST(round(exp({_REWEIGHT_ETA} * excess) * 1e9) AS BIGINT) AS qw
+      FROM e
+    ),
+    z AS (SELECT sum(n_docs * qw) AS sw FROM q)
+    SELECT q.source, q.n_docs, q.mean_score, q.excess,
+           round(q.n_docs * q.qw * 1.0 / z.sw, 6) AS weight,
+           round(q.qw * q.nt * 1.0 / z.sw, 6) AS uplift
+    FROM q, z
+    """
+
+
+@register("domain_reweighting", _reweight_sql())
+def q_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-shaped domain reweighting (Xie et al. 2023, one
+    exponentiated-gradient step): each source's mixture weight is its
+    corpus share scaled by exp(eta * excess), where excess is the
+    source's mean quality-probe score minus the corpus mean — the
+    proxy for the per-domain excess loss DoReMi computes with a proxy
+    model. Output per source: docs, mean score, excess, the
+    normalized mixture weight, and uplift (weight / corpus-share —
+    >1 means the sampler should OVERsample the domain).
+
+    Cross-engine float discipline (the temperature_mixing ln-1e9
+    convention): per-doc scores are 6dp-rounded, per-source means go
+    through exact DECIMAL sums, excess is a 6dp-rounded double —
+    identical on both engines — and exp(eta*excess) is immediately
+    quantized to integer nano-units, so normalization and uplift are
+    PURE INTEGER ratios until the final 6dp round.
+
+    Scale shape: probe scoring is map-only over one scan (model is a
+    broadcast 1-row aggregate); the source rollup is one hash-agg to
+    |sources| rows; everything after runs at domain grain (~20 rows)
+    with two 1-row broadcasts. At 100 TB the whole reweighting step
+    costs one corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = q_quality_linear_probe(spark, sf_dir).select("doc_id", "score")
+    s = (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("score").cast("decimal(18,6)")).alias("ssum"),
+        )
+    )
+    tot = s.agg(
+        F.sum("n_docs").cast("long").alias("nt"),
+        F.sum("ssum").alias("st"),
+    )
+    e = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "nt",
+        F.round(F.col("ssum").cast("double") / F.col("n_docs"), 6).alias(
+            "mean_score"
+        ),
+        F.round(
+            F.col("ssum").cast("double") / F.col("n_docs")
+            - F.col("st").cast("double") / F.col("nt"),
+            6,
+        ).alias("excess"),
+    )
+    q = e.withColumn(
+        "qw",
+        F.round(F.exp(F.lit(_REWEIGHT_ETA) * F.col("excess")) * F.lit(1e9)).cast(
+            "long"
+        ),
+    )
+    z = q.agg(F.sum(F.col("n_docs") * F.col("qw")).alias("sw"))
+    return q.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "mean_score",
+        "excess",
+        F.round(F.col("n_docs") * F.col("qw") / F.col("sw"), 6).alias("weight"),
+        F.round(F.col("qw") * F.col("nt") / F.col("sw"), 6).alias("uplift"),
+    )

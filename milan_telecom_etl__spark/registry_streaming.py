@@ -713,3 +713,95 @@ def q_streaming_containment_probe_batch(
         .select("new_doc", "other_doc", F.col("hits").cast("long").alias("hits"))
     )
     return _drain(out, "complete")
+
+
+def _stream_fertility_sql(new_max_id: int = _PROBE_NEW_MAX_ID) -> str:
+    from .registry_text import BPE_MERGE_ROUNDS, _bpe_rounds_sql
+
+    k = BPE_MERGE_ROUNDS
+    chain = _bpe_rounds_sql(k, train_where=f"doc_id >= {new_max_id}")
+    prefix = chain[: chain.rindex("SELECT * FROM")]
+    return f"""{prefix}
+    , vt AS (
+      SELECT w, CAST(len(string_split_regex(
+               regexp_replace(seq, '^\\(|\\)$', '', 'g'), '\\)\\('))
+             AS BIGINT) AS w_tokens
+      FROM v{k}
+    ),
+    cw AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE doc_id < {new_max_id}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(count(w_tokens) AS BIGINT) AS n_known,
+           CAST(count(*) - count(w_tokens) AS BIGINT) AS n_oov,
+           CAST(coalesce(sum(w_tokens), 0) AS BIGINT) AS n_tokens,
+           CASE WHEN count(w_tokens) > 0
+                THEN round(sum(w_tokens) * 1.0 / count(w_tokens), 6)
+                END AS learned_fertility,
+           round((count(*) - count(w_tokens)) * 1.0 / count(*), 6) AS oov_rate
+    FROM cw LEFT JOIN vt USING (w)
+    GROUP BY source
+    """
+
+
+@register("streaming_fertility_batch", _stream_fertility_sql())
+def q_streaming_fertility_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting AT INGEST under the STANDING tokenizer — the
+    streaming face of `bpe_corpus_fertility`: the BPE merge table is
+    trained once on the already-ingested corpus (doc_id >= batch
+    boundary — the artifact a production pipeline trains offline and
+    ships), arriving docs' words stream-static LEFT join the broadcast
+    (word -> n_tokens) map, and ONE grouped aggregation per source
+    reports the arriving batch's word/token counts, learned fertility
+    over KNOWN words, and the OOV rate — the signal that tells a
+    pipeline its standing tokenizer has drifted off the incoming
+    distribution (OOV spike => retrain). A word unseen at training
+    time has no segmentation (production byte-fallback), hence the
+    LEFT join + explicit n_oov instead of silently dropping.
+
+    Streaming legality: explode + stream-static left join + one
+    grouped agg — no window functions, single aggregation, drained
+    complete-mode (bounded: one row per source). The static side is
+    vocabulary-grain and broadcast; nothing about the stream is ever
+    shuffled except the per-source partial sums."""
+    from .operators.text import _bpe_syms_col, _bpe_train, _bpe_words
+    from .registry_text import BPE_MERGE_ROUNDS
+    from .sources.parquet import load_table
+
+    b = _PROBE_NEW_MAX_ID
+    static_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= b
+    )
+    _, vocab = _bpe_train(static_docs, BPE_MERGE_ROUNDS)
+    try:
+        vt = vocab.select(
+            "w", F.size(_bpe_syms_col("alpha")).cast("long").alias("w_tokens")
+        )
+        st = _stream_documents(spark, sf_dir).filter(F.col("doc_id") < b)
+        words = st.select(
+            "source", F.explode(_bpe_words("text", "alpha")).alias("w")
+        )
+        known = F.count("w_tokens")
+        out = (
+            words.join(F.broadcast(vt), "w", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_words"),
+                known.cast("long").alias("n_known"),
+                (F.count(F.lit(1)) - known).cast("long").alias("n_oov"),
+                F.coalesce(F.sum("w_tokens"), F.lit(0))
+                .cast("long")
+                .alias("n_tokens"),
+                F.when(
+                    known > 0, F.round(F.sum("w_tokens") / known, 6)
+                ).alias("learned_fertility"),
+                F.round(
+                    (F.count(F.lit(1)) - known) / F.count(F.lit(1)), 6
+                ).alias("oov_rate"),
+            )
+        )
+        return _drain(out, "complete")
+    finally:
+        vocab.unpersist()

@@ -3437,7 +3437,9 @@ def _trained_bpe(spark, sf_dir: str, k: int, pre_tokenizer: str = "alpha"):
     return trained
 
 
-def _bpe_rounds_sql(k: int = BPE_MERGE_ROUNDS, mode: str = "alpha") -> str:
+def _bpe_rounds_sql(
+    k: int = BPE_MERGE_ROUNDS, mode: str = "alpha", train_where: str = "TRUE"
+) -> str:
     """Chained-CTE twin of operators.text.bpe_merge_rounds (the
     kmeans_estep discipline): round r's best pair is a 1-row CTE and
     round r's vocabulary applies it with the same wrapped-symbol
@@ -3445,7 +3447,9 @@ def _bpe_rounds_sql(k: int = BPE_MERGE_ROUNDS, mode: str = "alpha") -> str:
     `mode` mirrors the operator's pre_tokenizer: "alpha" wraps symbols
     in ()/(), "char" keeps the full codepoint stream and wraps in
     \\x01/\\x02 (stripped from the input as control chars — see
-    operators.text._BPE_WRAP)."""
+    operators.text._BPE_WRAP). `train_where` restricts the TRAINING
+    population (the streaming fertility twin trains on the standing
+    index only)."""
     if mode == "alpha":
         word_src = "unnest(regexp_extract_all(lower(text), '[a-z]+'))"
         w1, w2 = "(", ")"
@@ -3492,7 +3496,7 @@ def _bpe_rounds_sql(k: int = BPE_MERGE_ROUNDS, mode: str = "alpha") -> str:
     WITH wf AS (
       SELECT w, count(*) AS freq
       FROM (SELECT {word_src} AS w
-            FROM documents)
+            FROM documents WHERE {train_where})
       GROUP BY w
     ),
     v0 AS (

@@ -2748,3 +2748,93 @@ def test_register_testdata_memoization_tracks_dir_changes(spark):
     register_testdata(spark, "/root/testdata/sf0.001")
     n3 = spark.table("events").count()
     assert n1 == 5 and n2 > n3, "dir change did not re-register views"
+
+
+def test_probe_calibration_consistency(spark):
+    """Bins partition the corpus; gap is the |mean - frac| of its own
+    row; ECE is the doc-weighted mean gap and identical on every row."""
+    from milan_telecom_etl__spark import registry_quality  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["probe_calibration"](spark, sf).collect()
+    n = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert abs(r["gap"] - abs(r["mean_score"] - r["frac_pos"])) < 2e-6
+    ece = rows[0]["ece"]
+    assert all(abs(r["ece"] - ece) < 1e-9 for r in rows)
+    want = sum(r["gap"] * r["n_docs"] for r in rows) / n
+    assert abs(ece - want) < 2e-6
+
+
+def test_domain_reweighting_consistency(spark):
+    """Weights are a probability distribution; uplift = weight /
+    corpus-share; higher mean score => higher uplift (monotone in the
+    exponentiated-gradient step); excess sums to ~0 doc-weighted."""
+    from milan_telecom_etl__spark import registry_quality  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["domain_reweighting"](spark, sf).collect()
+    nt = sum(r["n_docs"] for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["weight"] > 0
+        assert abs(r["uplift"] - r["weight"] / (r["n_docs"] / nt)) < 1e-3
+    by_score = sorted(rows, key=lambda r: r["mean_score"])
+    ups = [r["uplift"] for r in by_score]
+    assert ups == sorted(ups), "uplift must be monotone in mean score"
+    assert abs(sum(r["excess"] * r["n_docs"] for r in rows) / nt) < 1e-4
+
+
+def test_streaming_fertility_matches_batch(spark):
+    """The ingest-time fertility report equals a batch recompute:
+    train on the index (doc_id >= 100), score the batch (doc_id < 100)
+    with a LEFT join, per-source counts/oov/fertility identical."""
+    from milan_telecom_etl__spark import registry_streaming  # noqa: F401
+    from milan_telecom_etl__spark.operators.text import (
+        _bpe_syms_col,
+        _bpe_train,
+        _bpe_words,
+    )
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["source"]: r
+        for r in QUERIES["streaming_fertility_batch"](spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    _, vocab = _bpe_train(docs.filter(F.col("doc_id") >= 100), 8)
+    try:
+        vt = vocab.select(
+            "w", F.size(_bpe_syms_col("alpha")).cast("long").alias("w_tokens")
+        )
+        words = docs.filter(F.col("doc_id") < 100).select(
+            "source", F.explode(_bpe_words("text", "alpha")).alias("w")
+        )
+        ref = (
+            words.join(vt, "w", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_words"),
+                F.count("w_tokens").alias("n_known"),
+                F.coalesce(F.sum("w_tokens"), F.lit(0)).alias("n_tokens"),
+            )
+            .collect()
+        )
+    finally:
+        vocab.unpersist()
+    assert set(got) == {r["source"] for r in ref}
+    for r in ref:
+        g = got[r["source"]]
+        assert g["n_words"] == r["n_words"]
+        assert g["n_known"] == r["n_known"]
+        assert g["n_oov"] == r["n_words"] - r["n_known"]
+        assert g["n_tokens"] == r["n_tokens"]
+        if r["n_known"]:
+            assert abs(g["learned_fertility"] - r["n_tokens"] / r["n_known"]) < 1e-5
+        assert abs(g["oov_rate"] - (r["n_words"] - r["n_known"]) / r["n_words"]) < 1e-5
