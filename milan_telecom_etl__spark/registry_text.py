@@ -3710,3 +3710,98 @@ def q_incremental_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_max_id=_INCR_NEW_MAX_ID,
         threshold=0.8,
     )
+
+
+_VOCAB_BRACKETS = (1000, 2000, 4000, 8000, 16000)
+
+
+def _vocab_curve_sql() -> str:
+    brackets = ", ".join(str(k) for k in _VOCAB_BRACKETS)
+    return f"""
+    WITH wf AS (
+      SELECT w, count(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    r AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, w) AS rk FROM wf
+    ),
+    tot AS (SELECT sum(freq) AS nt, count(*) AS nv FROM wf)
+    SELECT k AS vocab_size,
+           CAST(least(k, t.nv) AS BIGINT) AS distinct_words,
+           CAST(coalesce(sum(r.freq) FILTER (r.rk <= k), 0) AS BIGINT)
+             AS tokens_covered,
+           round(coalesce(sum(r.freq) FILTER (r.rk <= k), 0) * 1.0 / t.nt, 6)
+             AS coverage,
+           round(1.0 - coalesce(sum(r.freq) FILTER (r.rk <= k), 0) * 1.0 / t.nt,
+                 6) AS oov_rate
+    FROM (SELECT unnest([{brackets}]) AS k), r, tot t
+    GROUP BY k, t.nv, t.nt
+    ORDER BY k
+    """
+
+
+@register("vocab_size_curve", _vocab_curve_sql())
+def q_vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token coverage as a function of the vocabulary-size cap —
+    the curve that picks a tokenizer's vocab size: for each bracket k,
+    the share of corpus word occurrences the k most frequent words
+    cover and the OOV rate a closed vocab of that size would pay
+    (byte-fallback volume for a real tokenizer). Ranking ties break on
+    the word itself, so the curve is deterministic on any engine.
+
+    Scale shape: the corpus collapses to its vocabulary in one
+    hash-agg (map-side partials); the rank window is bounded BEFORE it
+    runs by TakeOrderedAndProject to the largest bracket (top-16k by
+    (freq desc, w)) — the global sort the window implies never touches
+    more than max-bracket rows, the classic top-k-then-rank fix for
+    single-partition window skew. Totals are a 1-row broadcast; the
+    bracket fan-out is a 5-row crossJoin at vocabulary grain."""
+    from pyspark.sql.window import Window
+
+    max_k = max(_VOCAB_BRACKETS)
+    # persisted: the totals branch and the top-k branch would otherwise
+    # each re-aggregate the corpus scan; at vocabulary grain the cache
+    # is the tokenizer-training shrink (bench clears it between entries)
+    wf = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(X._bpe_words("text", "alpha")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    ).persist()
+    tot = wf.agg(
+        F.sum("freq").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    top = wf.orderBy(F.desc("freq"), "w").limit(max_k)
+    rk = F.row_number().over(Window.orderBy(F.desc("freq"), "w"))
+    ranked = top.select("freq", rk.alias("rk"))
+    ks = spark.createDataFrame(
+        [(k,) for k in _VOCAB_BRACKETS], "vocab_size int"
+    )
+    covered = (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rk") <= F.col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(F.sum("freq").cast("long").alias("tokens_covered"))
+    )
+    return (
+        ks.join(covered, "vocab_size", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size").cast("long"), F.col("nv")).alias(
+                "distinct_words"
+            ),
+            F.coalesce(F.col("tokens_covered"), F.lit(0)).alias("tokens_covered"),
+            F.round(
+                F.coalesce(F.col("tokens_covered"), F.lit(0)) / F.col("nt"), 6
+            ).alias("coverage"),
+            F.round(
+                1.0 - F.coalesce(F.col("tokens_covered"), F.lit(0)) / F.col("nt"),
+                6,
+            ).alias("oov_rate"),
+        )
+        .orderBy("vocab_size")
+    )

@@ -2838,3 +2838,34 @@ def test_streaming_fertility_matches_batch(spark):
         if r["n_known"]:
             assert abs(g["learned_fertility"] - r["n_tokens"] / r["n_known"]) < 1e-5
         assert abs(g["oov_rate"] - (r["n_words"] - r["n_known"]) / r["n_words"]) < 1e-5
+
+
+def test_vocab_size_curve_consistency(spark):
+    """Coverage is monotone nondecreasing in the bracket, oov = 1 -
+    coverage, distinct_words = min(k, |V|), and the largest bracket's
+    tokens_covered equals the hand-counted top-k mass."""
+    from milan_telecom_etl__spark import registry_text  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        QUERIES["vocab_size_curve"](spark, sf).collect(),
+        key=lambda r: r["vocab_size"],
+    )
+    covs = [r["coverage"] for r in rows]
+    assert covs == sorted(covs)
+    import re
+    from collections import Counter
+
+    freqs = Counter()
+    for r in load_table(spark, sf, "documents").select("text").collect():
+        freqs.update(re.findall(r"[a-z]+", (r["text"] or "").lower()))
+    nt = sum(freqs.values())
+    ranked = sorted(freqs.items(), key=lambda kv: (-kv[1], kv[0]))
+    for r in rows:
+        k = r["vocab_size"]
+        want = sum(f for _, f in ranked[:k])
+        assert r["tokens_covered"] == want
+        assert r["distinct_words"] == min(k, len(freqs))
+        assert abs(r["coverage"] - want / nt) < 2e-6
+        assert abs(r["oov_rate"] - (1 - r["coverage"])) < 2e-6
