@@ -555,3 +555,57 @@ def q_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.round(F.avg(s), 6).alias("silhouette"),
     )
+
+
+@register(
+    "multimodal_exact_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, sha256(text) AS sha
+      FROM documents WHERE strlen(text) > 0),
+    g AS (SELECT sha, count(*) AS c FROM m GROUP BY sha)
+    SELECT 'image' AS modality,
+           CAST(sum(c) AS BIGINT) AS n_media,
+           CAST(count(*) AS BIGINT) AS n_unique,
+           CAST(count(*) FILTER (c > 1) AS BIGINT) AS n_dup_groups,
+           CAST(sum(c - 1) AS BIGINT) AS n_dropped,
+           CAST(max(c) AS BIGINT) AS max_copies
+    FROM g
+    """,
+)
+def q_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup by CONTENT HASH — step 1 of every multimodal
+    curation pipeline: the decode stage's integrity digest (sha256 of
+    the opaque payload, computed in the Arrow-batched mapInPandas
+    kernel — payloads never touch the driver) is the dedup key; the
+    report is the digest-group census (media count, unique payloads,
+    duplicate groups, droppable copies, largest group). Group-level
+    keep-first semantics are pinned by a crafted pytest with
+    manufactured duplicate payloads; the corpus report stays one row
+    at every SF (raw-byte duplicates only appear at sf0.1 in the
+    synthetic testdata). Undecodable (empty) payloads are excluded —
+    no digest, nothing to group.
+
+    Scale shape: ONE hash-agg on the 64-hex digest (map-side partials;
+    payload bytes pruned from the shuffle — only (media_id, sha256)
+    moves), then a 1-row rollup at digest grain — exactly the shape
+    exact text dedup uses on md5 norms. At 100 TB the shuffle is
+    ids+digests, never media bytes."""
+    from .operators import multimodal as M
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image").alias("modality"),
+    )
+    dec = M.decode_media(media).filter(F.col("ok")).select("media_id", "sha256")
+    g = dec.groupBy("sha256").agg(F.count(F.lit(1)).alias("c"))
+    return g.agg(
+        F.lit("image").alias("modality"),
+        F.sum("c").cast("long").alias("n_media"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.count(F.when(F.col("c") > 1, 1)).cast("long").alias("n_dup_groups"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dropped"),
+        F.max("c").cast("long").alias("max_copies"),
+    )

@@ -2869,3 +2869,45 @@ def test_vocab_size_curve_consistency(spark):
         assert r["distinct_words"] == min(k, len(freqs))
         assert abs(r["coverage"] - want / nt) < 2e-6
         assert abs(r["oov_rate"] - (1 - r["coverage"])) < 2e-6
+
+
+def test_multimodal_exact_dedup_census_and_groups(spark):
+    """The corpus census equals a driver-side sha256 recompute; group
+    semantics (keep-first by digest) pinned on manufactured duplicate
+    payloads through the same Arrow decode kernel."""
+    import hashlib
+    from collections import Counter
+
+    from milan_telecom_etl__spark import registry_ml  # noqa: F401
+    from milan_telecom_etl__spark.operators import multimodal as M
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    row = QUERIES["multimodal_exact_dedup"](spark, sf).collect()[0]
+    c = Counter(
+        hashlib.sha256((r["text"] or "").encode()).hexdigest()
+        for r in load_table(spark, sf, "documents").select("text").collect()
+        if r["text"]
+    )
+    assert row["n_media"] == sum(c.values())
+    assert row["n_unique"] == len(c)
+    assert row["n_dup_groups"] == sum(1 for v in c.values() if v > 1)
+    assert row["n_dropped"] == sum(v - 1 for v in c.values())
+    assert row["max_copies"] == max(c.values())
+
+    # group-level keep-first on manufactured duplicates
+    media = spark.createDataFrame(
+        [(1, b"aaa"), (2, b"bbb"), (3, b"aaa"), (4, b"aaa"), (5, b"")],
+        "media_id long, payload binary",
+    ).withColumn("modality", F.lit("image"))
+    dec = M.decode_media(media).filter(F.col("ok")).select("media_id", "sha256")
+    groups = {
+        r["sha256"]: sorted(r["ids"])
+        for r in dec.groupBy("sha256")
+        .agg(F.collect_list("media_id").alias("ids"))
+        .collect()
+    }
+    a = hashlib.sha256(b"aaa").hexdigest()
+    b = hashlib.sha256(b"bbb").hexdigest()
+    assert groups == {a: [1, 3, 4], b: [2]}  # empty payload excluded
+    assert min(groups[a]) == 1  # keep-first keeper
