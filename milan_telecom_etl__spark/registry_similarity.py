@@ -1972,3 +1972,149 @@ def q_embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         high.alias("high_norm"),
         (~(F.col("degenerate") | low | high)).alias("healthy"),
     )
+
+
+_IVF_PROBE_DEPTHS = (1, 2, 4, 8)
+
+
+def _ivf_recall_curve_sql(
+    n_cells: int = 8, n_queries: int = 5, k: int = 5
+) -> str:
+    sqd = (
+        f"list_sum(list_transform(range(1, {DIM} + 1), i -> "
+        "(e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE)"
+        " * (e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE)))"
+    )
+    per_depth = "\n      UNION ALL ".join(
+        f"""SELECT {p} AS n_probe,
+               CAST(count(*) FILTER (x.rk <= {k}) AS BIGINT) AS n_hits
+        FROM (
+          SELECT c.*, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+          FROM cand c WHERE c.pr <= {p}) x
+        JOIN exactk ex
+          ON ex.query_id = x.query_id AND ex.neighbor_id = x.neighbor_id"""
+        for p in _IVF_PROBE_DEPTHS
+    )
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < {n_cells}
+    ), pairs AS (
+      SELECT e.vec_id, s.cid, {sqd} AS d FROM embeddings e, seeds s
+    ), cells AS (
+      SELECT vec_id, arg_min(cid, d) AS cell FROM pairs GROUP BY vec_id
+    ), qprobes AS (
+      SELECT vec_id AS query_id, cid AS cell, pr FROM (
+        SELECT vec_id, cid, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, cid) AS pr
+        FROM pairs WHERE vec_id < {n_queries}
+      ) WHERE pr <= {max(_IVF_PROBE_DEPTHS)}
+    ), cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, p.pr,
+             {_cos("q.embedding", "n.embedding")} AS cos_sim
+      FROM qprobes p
+      JOIN cells c ON c.cell = p.cell AND c.vec_id <> p.query_id
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings n ON n.vec_id = c.vec_id
+    ), exactk AS ({_KNN_EXACT_SQL}),
+    ne AS (SELECT count(*) AS n FROM exactk)
+    SELECT d.n_probe, d.n_hits, CAST(ne.n AS BIGINT) AS n_exact,
+           round(d.n_hits * 1.0 / ne.n, 6) AS recall
+    FROM ({per_depth}) d, ne
+    ORDER BY d.n_probe
+    """
+
+
+@register("knn_ivf_recall_curve", _ivf_recall_curve_sql())
+def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF as a function of PROBE DEPTH (nprobe 1/2/4/8
+    over 8 cells) against the exact brute-force top-5 — the curve that
+    prices the IVF latency/recall knob for a corpus (knn_method_eval
+    compares retriever FAMILIES at fixed settings; this walks the one
+    knob production actually tunes). nprobe = n_cells is exhaustive
+    search, so the curve must end at recall 1.0 — a built-in sanity
+    anchor the oracle value-checks.
+
+    Scale shape (the knn_method_eval shared-index discipline): ONE
+    cell-assignment pass over the corpus, ONE scored candidate table
+    at the deepest probe depth with each candidate carrying the probe
+    rank of its cell — per-depth work is then a rank window over the
+    bounded candidate set (depth-p candidates are a prefix-filter of
+    the same table), never a new corpus scan. Exact ground truth is
+    the one |q| x |corpus| pass every recall eval pays; at scale it
+    runs on the deterministic hash slice (knn_method_eval_sampled's
+    posture)."""
+    from pyspark.sql.window import Window
+
+    from .operators.clustering import sq_dist
+    from .operators.similarity import _as_double, cosine
+
+    n_cells, n_queries, k = 8, 5, 5
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    d = sq_dist(_as_double(F.col("embedding")), _as_double(F.col("ce")))
+    pairs = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cid", d.alias("d")
+    )
+    cells = pairs.groupBy("vec_id").agg(F.min_by("cid", "d").alias("cell"))
+    w_probe = Window.partitionBy("vec_id").orderBy("d", "cid")
+    qprobes = (
+        pairs.filter(F.col("vec_id") < n_queries)
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= max(_IVF_PROBE_DEPTHS))
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"), "pr")
+    )
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    )
+    cand = (
+        qprobes.join(cells.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "pr",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+        .persist()
+    )
+    from .operators.similarity import cosine_knn_bruteforce
+
+    exact = cosine_knn_bruteforce(emb, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    ne = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    per_depth = None
+    for p in _IVF_PROBE_DEPTHS:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_sim"), F.asc("neighbor_id")
+        )
+        topk = (
+            cand.filter(F.col("pr") <= p)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+        )
+        hits = topk.join(exact, ["query_id", "neighbor_id"]).agg(
+            F.lit(p).alias("n_probe"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        per_depth = hits if per_depth is None else per_depth.unionByName(hits)
+    return (
+        per_depth.crossJoin(F.broadcast(ne))
+        .select(
+            F.col("n_probe").cast("int").alias("n_probe"),
+            "n_hits",
+            "n_exact",
+            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall"),
+        )
+        .orderBy("n_probe")
+    )

@@ -2911,3 +2911,23 @@ def test_multimodal_exact_dedup_census_and_groups(spark):
     b = hashlib.sha256(b"bbb").hexdigest()
     assert groups == {a: [1, 3, 4], b: [2]}  # empty payload excluded
     assert min(groups[a]) == 1  # keep-first keeper
+
+
+def test_knn_ivf_recall_curve_properties(spark):
+    """Recall is monotone nondecreasing in probe depth and EXACTLY 1.0
+    at nprobe = n_cells (probing every cell IS brute force); n_exact
+    is the same on every row."""
+    from milan_telecom_etl__spark import registry_similarity  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    rows = sorted(
+        QUERIES["knn_ivf_recall_curve"](spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == [1, 2, 4, 8]
+    recalls = [r["recall"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0, "nprobe=n_cells must reproduce exact top-k"
+    assert len({r["n_exact"] for r in rows}) == 1
+    for r in rows:
+        assert r["n_hits"] <= r["n_exact"]
