@@ -3805,3 +3805,141 @@ def q_vocab_size_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# (label, num_hashes, band_size) — the three shipped banding presets:
+# legacy 16/2 (recall-first), sharp 64/4 (the library default since
+# r8), high-recall 128/4.
+_S_CURVE_PRESETS = (
+    ("legacy_16_2", 16, 2),
+    ("sharp_64_4", 64, 4),
+    ("high_128_4", 128, 4),
+)
+
+
+def _sq_chain_sql(expr: str, squarings: int) -> str:
+    """expr^(2^squarings) as explicit repeated squaring — deterministic
+    IEEE multiplications, no pow() libm surface."""
+    for _ in range(squarings):
+        expr = f"(({expr}) * ({expr}))"
+    return expr
+
+
+def _s_curve_sql() -> str:
+    theory = {}
+    for label, h, r in _S_CURVE_PRESETS:
+        b = h // r
+        jr = _sq_chain_sql("j", {2: 1, 4: 2}[r])
+        qb = _sq_chain_sql(f"(1.0 - {jr})", {8: 3, 16: 4, 32: 5}[b])
+        theory[label] = f"round(1.0 - {qb}, 6)"
+    legs = "\n      UNION ALL ".join(
+        f"""SELECT '{label}' AS preset, e.j_bucket,
+               count(*) AS n_pairs,
+               count(c.doc_a) AS n_captured,
+               sum(CAST({theory[label]} AS DECIMAL(18,6))) AS tsum
+        FROM (SELECT doc_a, doc_b, jaccard AS j,
+                     CAST(least(floor(jaccard * 10), 9) AS INT) AS j_bucket
+              FROM exact) e
+        LEFT JOIN ({_lsh_sql(h, r)}) c USING (doc_a, doc_b)
+        GROUP BY 1, 2"""
+        for label, h, r in _S_CURVE_PRESETS
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle_hash = b.shingle_hash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT doc_a, doc_b,
+             round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE round(n_common * 1.0 / (sa.n + sb.n - n_common), 6) >= 0.1)
+    SELECT preset, j_bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_captured AS BIGINT) AS n_captured,
+           round(n_captured * 1.0 / n_pairs, 6) AS capture_rate,
+           round(CAST(tsum AS DOUBLE) / n_pairs, 6) AS theory_capture
+    FROM ({legs})
+    ORDER BY preset, j_bucket
+    """
+
+
+@register("lsh_s_curve", _s_curve_sql())
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding S-curve MEASURED, not assumed: for each shipped
+    banding preset (legacy 16/2, sharp 64/4 default, high-recall
+    128/4), the fraction of TRUE near-dup pairs (exact shingle Jaccard
+    >= 0.1) captured as LSH candidates, per Jaccard decile, next to
+    the theoretical capture probability 1-(1-J^r)^b averaged over the
+    same pairs — the empirical eval behind the r8 sharp-banding recall
+    tradeoff (recall at the J=0.5 midpoint drops ~0.90 -> ~0.64 for
+    far fewer false candidates; this entry puts the whole curve on the
+    record for the corpus at hand).
+
+    Cross-engine float discipline: J arrives 6dp-rounded; J^r and
+    (1-J^r)^b are explicit repeated-squaring chains (deterministic
+    IEEE multiplications — no pow() libm surface), per-pair theory is
+    rounded then DECIMAL-summed per bucket.
+
+    Scale shape: ONE normalize+shingle pass feeds the exact-Jaccard
+    ground truth AND all three banded signature pipelines (shared
+    `words`); each preset's capture check is a LEFT join of its
+    banded-bucket candidate pairs onto the exact pairs (both sides
+    (doc_a, doc_b)-keyed). Ground truth is the quadratic-in-bucket
+    exact join every recall eval pays — at 100 TB it runs on a hash
+    slice (the *_sampled discipline), the banding pipelines stay
+    linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = D._words_df(docs).persist()
+    exact = (
+        D.ngram_jaccard_pairs(docs, threshold=0.1, words=words)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("jaccard").alias("j"),
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("int")
+            .alias("j_bucket"),
+        )
+        .persist()
+    )
+
+    def sq_chain(col, squarings):
+        for _ in range(squarings):
+            col = col * col
+        return col
+
+    out = None
+    for label, h, r in _S_CURVE_PRESETS:
+        b = h // r
+        jr = sq_chain(F.col("j"), {2: 1, 4: 2}[r])
+        qb = sq_chain(F.lit(1.0) - jr, {8: 3, 16: 4, 32: 5}[b])
+        theory = F.round(F.lit(1.0) - qb, 6)
+        cand = D.minhash_lsh_candidates(
+            docs, num_hashes=h, band_size=r, words=words
+        ).withColumn("hit", F.lit(1))
+        leg = (
+            exact.join(cand, ["doc_a", "doc_b"], "left")
+            .groupBy("j_bucket")
+            .agg(
+                F.lit(label).alias("preset"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.count("hit").cast("long").alias("n_captured"),
+                F.sum(theory.cast("decimal(18,6)")).alias("tsum"),
+            )
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.select(
+        "preset",
+        "j_bucket",
+        "n_pairs",
+        "n_captured",
+        F.round(F.col("n_captured") / F.col("n_pairs"), 6).alias("capture_rate"),
+        F.round(F.col("tsum").cast("double") / F.col("n_pairs"), 6).alias(
+            "theory_capture"
+        ),
+    ).orderBy("preset", "j_bucket")

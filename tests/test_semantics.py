@@ -2931,3 +2931,33 @@ def test_knn_ivf_recall_curve_properties(spark):
     assert len({r["n_exact"] for r in rows}) == 1
     for r in rows:
         assert r["n_hits"] <= r["n_exact"]
+
+
+def test_lsh_s_curve_properties(spark):
+    """Per preset: capture_rate and theory are in [0,1]; the empirical
+    curve tracks theory in shape (both roughly nondecreasing with J);
+    the high-recall preset captures at least as much as sharp in every
+    bucket; counts are internally consistent."""
+    from milan_telecom_etl__spark import registry_text  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    rows = QUERIES["lsh_s_curve"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_preset: dict[str, dict[int, object]] = {}
+    for r in rows:
+        assert 0 <= r["capture_rate"] <= 1 and 0 <= r["theory_capture"] <= 1
+        assert r["n_captured"] <= r["n_pairs"]
+        by_preset.setdefault(r["preset"], {})[r["j_bucket"]] = r
+    assert set(by_preset) == {"legacy_16_2", "sharp_64_4", "high_128_4"}
+    # every preset sees the SAME ground-truth pairs per bucket
+    buckets = {
+        p: {b: r["n_pairs"] for b, r in d.items()} for p, d in by_preset.items()
+    }
+    assert len(set(map(str, buckets.values()))) == 1
+    for b, hi in by_preset["high_128_4"].items():
+        sharp = by_preset["sharp_64_4"][b]
+        assert hi["n_captured"] >= sharp["n_captured"], (
+            "128/4 must dominate 64/4 capture (same r, twice the bands)"
+        )
+        # theory dominance holds exactly: 1-(1-j^4)^32 >= 1-(1-j^4)^16
+        assert hi["theory_capture"] >= sharp["theory_capture"] - 1e-9
