@@ -606,3 +606,50 @@ def test_incremental_containment_is_batch_asymmetric(spark):
     assert plan.count("BroadcastHashJoin") >= 2, "directed passes lost the broadcast pin"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_curve_window_is_bounded_by_topk(spark):
+    """vocab_size_curve's ranking window must consume
+    TakeOrderedAndProject (top-16k), never a global Sort of the full
+    vocabulary — the single-partition-window fix its docstring claims."""
+    from milan_telecom_etl__spark.registry_text import q_vocab_size_curve
+
+    plan = _plan(q_vocab_size_curve(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    w = plan.index("Window")
+    assert "TakeOrderedAndProject" in plan[w:], (
+        "rank window no longer fed by the bounded top-k"
+    )
+
+
+def test_s_curve_single_corpus_scan(spark):
+    """lsh_s_curve: ONE distinct documents scan — the persisted words
+    frame must feed the exact ground truth AND all three banding
+    pipelines (formatted-explain scan-id census, the curation_funnel
+    pin's method: toString() would overcount because every
+    InMemoryRelation prints its cached lineage inline)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from milan_telecom_etl__spark.registry_text import q_lsh_s_curve
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q_lsh_s_curve(spark, SF).explain("formatted")
+    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", buf.getvalue()))
+    assert len(scan_ids) <= 1, f"lsh_s_curve re-scans documents: {sorted(scan_ids)}"
+
+
+def test_ivf_recall_curve_reuses_candidate_cache(spark):
+    """knn_ivf_recall_curve: the per-depth legs must read the persisted
+    candidate table (InMemoryTableScan), not re-score the corpus —
+    at most the assignment/exact scans of the embeddings file."""
+    from milan_telecom_etl__spark.registry_similarity import (
+        q_knn_ivf_recall_curve,
+    )
+
+    df = q_knn_ivf_recall_curve(spark, SF)
+    df.count()  # materialize the candidate persist
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan, "candidate table no longer cached"
