@@ -1653,14 +1653,30 @@ def _det3(m: list[list[str]]) -> str:
     )
 
 
-def _probe_sql() -> str:
+def _probe_sql(
+    train_where: str = "TRUE",
+    score_where: str = "TRUE",
+    with_coefs: bool = True,
+) -> str:
+    """Exact-integer OLS probe SQL: Gram statistics over `train_where`
+    docs, scoring over `score_where` docs. Defaults (both TRUE) are
+    the full-corpus quality_linear_probe; the streaming twin trains on
+    the standing index and scores the arriving batch."""
     h = lambda s: f"CAST({s} AS HUGEINT)"
     A = [[h("n"), h("s1"), h("s2")], [h("s1"), h("s11"), h("s12")], [h("s2"), h("s12"), h("s22")]]
     b = [h("sy"), h("s1y"), h("s2y")]
     rep = lambda i: [[b[r] if c == i else A[r][c] for c in range(3)] for r in range(3)]
     dd, d0, d1, d2_ = _det3(A), _det3(rep(0)), _det3(rep(1)), _det3(rep(2))
+    coefs = (
+        """,
+           round(CAST(m.d0 AS DOUBLE) / CAST(m.dd AS DOUBLE), 9) AS b0,
+           round(CAST(m.d1 AS DOUBLE) / CAST(m.dd AS DOUBLE), 9) AS b1,
+           round(CAST(m.d2 AS DOUBLE) / CAST(m.dd AS DOUBLE), 9) AS b2"""
+        if with_coefs
+        else ""
+    )
     return f"""
-    WITH f AS (
+    WITH feat AS (
       SELECT doc_id,
              CASE WHEN CAST(substr(source, 4) AS INT) < {PROBE_POS_SOURCES}
                   THEN 1 ELSE 0 END AS y,
@@ -1670,11 +1686,12 @@ def _probe_sql() -> str:
                // len(list_filter(string_split(text, ' '), w -> w <> '')) AS x2
       FROM documents
     ),
+    f AS (SELECT * FROM feat WHERE {score_where}),
     s AS (
       SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2,
              sum(x1 * x1) AS s11, sum(x1 * x2) AS s12, sum(x2 * x2) AS s22,
              sum(y) AS sy, sum(y * x1) AS s1y, sum(y * x2) AS s2y
-      FROM f
+      FROM feat WHERE {train_where}
     ),
     m AS (
       SELECT {dd} AS dd, {d0} AS d0, {d1} AS d1, {d2_} AS d2 FROM s
@@ -1685,10 +1702,7 @@ def _probe_sql() -> str:
                       + m.d2 * CAST(f.x2 AS HUGEINT) AS DOUBLE)
                  / CAST(m.dd AS DOUBLE), 6) AS score,
            2 * (m.d0 + m.d1 * CAST(f.x1 AS HUGEINT)
-                + m.d2 * CAST(f.x2 AS HUGEINT)) >= m.dd AS predicted,
-           round(CAST(m.d0 AS DOUBLE) / CAST(m.dd AS DOUBLE), 9) AS b0,
-           round(CAST(m.d1 AS DOUBLE) / CAST(m.dd AS DOUBLE), 9) AS b1,
-           round(CAST(m.d2 AS DOUBLE) / CAST(m.dd AS DOUBLE), 9) AS b2
+                + m.d2 * CAST(f.x2 AS HUGEINT)) >= m.dd AS predicted{coefs}
     FROM f, m
     """
 
@@ -1717,6 +1731,14 @@ def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     a singular Gram raises divide-by-zero rather than emitting a
     silent garbage model."""
     docs = load_table(spark, sf_dir, "documents")
+    f = probe_features(docs)
+    model = probe_model(f)
+    return _probe_score(f, model, with_coefs=True)
+
+
+def probe_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, y, x1, x2) — the probe's weak label + integer surface
+    features; pure map-only column expressions, streaming-legal."""
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
     x1 = F.size(ws).cast("long")
     x2 = F.floor((1000 * F.size(F.array_distinct(ws))) / F.size(ws)).cast("long")
@@ -1727,7 +1749,12 @@ def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("long")
     )
-    f = docs.select("doc_id", y.alias("y"), x1.alias("x1"), x2.alias("x2"))
+    return docs.select("doc_id", y.alias("y"), x1.alias("x1"), x2.alias("x2"))
+
+
+def probe_model(f: DataFrame) -> DataFrame:
+    """1-row exact-integer OLS model (dd, d0, d1, d2 Cramer
+    determinants as DECIMAL(38,0)) from a (y, x1, x2) feature frame."""
     s = f.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x1").alias("s1"),
@@ -1760,28 +1787,47 @@ def q_quality_linear_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = lambda i: [
         [bv[r] if c == i else A[r][c] for c in range(3)] for r in range(3)
     ]
-    model = s.select(
+    return s.select(
         det3(A).alias("dd"),
         det3(rep(0)).alias("d0"),
         det3(rep(1)).alias("d1"),
         det3(rep(2)).alias("d2"),
     )
+
+
+def _probe_score(
+    f: DataFrame, model: DataFrame, with_coefs: bool = False, streaming: bool = False
+) -> DataFrame:
+    """Score a feature frame under a broadcast 1-row model — map-only.
+    Exact integer cross-multiplication decides `predicted`; no float
+    boundary. `streaming=True` swaps the crossJoin for a constant-key
+    stream-static equi-join (the streaming-legal spelling of the same
+    broadcast)."""
     num = (
         F.col("d0")
         + F.col("d1") * F.col("x1").cast("decimal(38,0)")
         + F.col("d2") * F.col("x2").cast("decimal(38,0)")
     )
-    return f.crossJoin(F.broadcast(model)).select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.col("y").cast("int").alias("y"),
-        "x1",
-        "x2",
+        F.col("x1"),
+        F.col("x2"),
         F.round(num.cast("double") / F.col("dd").cast("double"), 6).alias("score"),
         (2 * num >= F.col("dd")).alias("predicted"),
-        F.round(F.col("d0").cast("double") / F.col("dd").cast("double"), 9).alias("b0"),
-        F.round(F.col("d1").cast("double") / F.col("dd").cast("double"), 9).alias("b1"),
-        F.round(F.col("d2").cast("double") / F.col("dd").cast("double"), 9).alias("b2"),
-    )
+    ]
+    if with_coefs:
+        cols += [
+            F.round(F.col(d).cast("double") / F.col("dd").cast("double"), 9).alias(b)
+            for d, b in (("d0", "b0"), ("d1", "b1"), ("d2", "b2"))
+        ]
+    if streaming:
+        joined = f.withColumn("__jk", F.lit(1)).join(
+            F.broadcast(model.withColumn("__jk", F.lit(1))), "__jk"
+        )
+    else:
+        joined = f.crossJoin(F.broadcast(model))
+    return joined.select(*cols)
 
 
 # ---------------------------------------------------------------------------

@@ -805,3 +805,46 @@ def q_streaming_fertility_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain(out, "complete")
     finally:
         vocab.unpersist()
+
+
+def _stream_probe_sql(new_max_id: int = _PROBE_NEW_MAX_ID) -> str:
+    from .registry_quality import _probe_sql
+
+    return _probe_sql(
+        train_where=f"doc_id >= {new_max_id}",
+        score_where=f"doc_id < {new_max_id}",
+        with_coefs=False,
+    )
+
+
+@register("streaming_quality_probe_batch", _stream_probe_sql())
+def q_streaming_quality_probe_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality scoring AT INGEST under the STANDING learned probe —
+    the model-based companion to `streaming_curation_gate_batch`'s
+    rule stack: the exact-integer OLS probe trains once on the
+    already-ingested corpus (doc_id >= batch boundary — the Gram
+    sufficient statistics the pipeline refreshes offline), and every
+    arriving doc is scored map-only under the broadcast 1-row model
+    (a constant-key stream-static equi-join — the streaming-legal
+    spelling of the batch crossJoin). Emits per-doc (y, x1, x2,
+    score, predicted) in append mode — NO aggregation, NO state: the
+    scoring path adds zero shuffle to ingest, and downstream gates
+    threshold `score` or audit `predicted` vs the weak label y.
+
+    Shares probe_features/_probe_score with quality_linear_probe so
+    the stream and batch scorers cannot drift; the oracle is the same
+    probe SQL with train/score populations split at the boundary."""
+    from .registry_quality import _probe_score, probe_features, probe_model
+
+    from .sources.parquet import load_table
+
+    b = _PROBE_NEW_MAX_ID
+    static_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= b
+    )
+    model = probe_model(probe_features(static_docs))
+    st = _stream_documents(spark, sf_dir).filter(F.col("doc_id") < b)
+    out = _probe_score(probe_features(st), model, streaming=True)
+    return _drain(out, "append")

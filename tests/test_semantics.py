@@ -2961,3 +2961,36 @@ def test_lsh_s_curve_properties(spark):
         )
         # theory dominance holds exactly: 1-(1-j^4)^32 >= 1-(1-j^4)^16
         assert hi["theory_capture"] >= sharp["theory_capture"] - 1e-9
+
+
+def test_streaming_probe_matches_batch_scoring(spark):
+    """The ingest-time probe equals a batch recompute: model trained on
+    the index (doc_id >= 100), arriving docs scored identically to the
+    shared batch scorer — stream and batch cannot drift."""
+    from milan_telecom_etl__spark import registry_streaming  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+    from milan_telecom_etl__spark.registry_quality import (
+        _probe_score,
+        probe_features,
+        probe_model,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["doc_id"]: r
+        for r in QUERIES["streaming_quality_probe_batch"](spark, sf).collect()
+    }
+    docs = load_table(spark, sf, "documents")
+    model = probe_model(probe_features(docs.filter(F.col("doc_id") >= 100)))
+    ref = {
+        r["doc_id"]: r
+        for r in _probe_score(
+            probe_features(docs.filter(F.col("doc_id") < 100)), model
+        ).collect()
+    }
+    assert set(got) == set(ref) and got
+    for k, r in ref.items():
+        g = got[k]
+        assert (g["score"], g["predicted"], g["y"], g["x1"], g["x2"]) == (
+            r["score"], r["predicted"], r["y"], r["x1"], r["x2"],
+        )
