@@ -2330,10 +2330,12 @@ def _reweight_sql() -> str:
       SELECT e.*, CAST(round(exp({_REWEIGHT_ETA} * excess) * 1e9) AS BIGINT) AS qw
       FROM e
     ),
-    z AS (SELECT sum(n_docs * qw) AS sw FROM q)
+    z AS (SELECT sum(CAST(n_docs AS HUGEINT) * qw) AS sw FROM q)
     SELECT q.source, q.n_docs, q.mean_score, q.excess,
-           round(q.n_docs * q.qw * 1.0 / z.sw, 6) AS weight,
-           round(q.qw * q.nt * 1.0 / z.sw, 6) AS uplift
+           round(CAST(CAST(q.n_docs AS HUGEINT) * q.qw AS DOUBLE)
+                 / CAST(z.sw AS DOUBLE), 6) AS weight,
+           round(CAST(CAST(q.qw AS HUGEINT) * q.nt AS DOUBLE)
+                 / CAST(z.sw AS DOUBLE), 6) AS uplift
     FROM q, z
     """
 
@@ -2395,12 +2397,22 @@ def q_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    z = q.agg(F.sum(F.col("n_docs") * F.col("qw")).alias("sw"))
+    # decimal-widened products: n_docs * qw reaches ~1e22 on a web
+    # corpus (1e12 docs x 1e10 nano-units) — a raw long*long would wrap
+    # silently in Spark (and error in DuckDB); (20,0)x(20,0) widens to
+    # decimal(38,0) with room to 1e38, mirroring the oracle's HUGEINT
+    dw = lambda c: F.col(c).cast("decimal(20,0)")  # noqa: E731
+    z = q.agg(F.sum(dw("n_docs") * dw("qw")).alias("sw"))
     return q.crossJoin(F.broadcast(z)).select(
         "source",
         "n_docs",
         "mean_score",
         "excess",
-        F.round(F.col("n_docs") * F.col("qw") / F.col("sw"), 6).alias("weight"),
-        F.round(F.col("qw") * F.col("nt") / F.col("sw"), 6).alias("uplift"),
+        F.round(
+            (dw("n_docs") * dw("qw")).cast("double") / F.col("sw").cast("double"),
+            6,
+        ).alias("weight"),
+        F.round(
+            (dw("qw") * dw("nt")).cast("double") / F.col("sw").cast("double"), 6
+        ).alias("uplift"),
     )
