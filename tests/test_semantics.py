@@ -2994,3 +2994,21 @@ def test_streaming_probe_matches_batch_scoring(spark):
         assert (g["score"], g["predicted"], g["y"], g["x1"], g["x2"]) == (
             r["score"], r["predicted"], r["y"], r["x1"], r["x2"],
         )
+
+
+def test_bpe_memo_invalidates_on_dir_change(spark):
+    """The shared-training memo keys on (session, sf_dir): an sf_dir
+    change retrains and releases the stale vocab (the scale_bench
+    small/big alternating pattern must never serve cross-dir merges)."""
+    from milan_telecom_etl__spark.registry_text import _trained_bpe
+
+    a = "/root/testdata/sf0.001"
+    b = "/root/testdata/sf0.01"
+    ta = _trained_bpe(spark, a, 4)
+    va = ta[1]
+    tb = _trained_bpe(spark, b, 4)
+    assert tb is not ta, "dir change must retrain"
+    assert not va.is_cached, "stale vocab must be released on dir change"
+    assert tb[1].is_cached
+    ta2 = _trained_bpe(spark, a, 4)
+    assert ta2 is not ta, "returning to a previous dir retrains (last-entry memo)"
