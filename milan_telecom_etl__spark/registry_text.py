@@ -3845,7 +3845,7 @@ def _s_curve_sql() -> str:
         for label, h, r in _S_CURVE_PRESETS
     )
     return f"""
-    WITH {_SHINGLE_CTE},
+    WITH {_shingle_cte(D.DEFAULT_MAX_SHINGLE_DF)},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -3889,14 +3889,22 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground truth AND all three banded signature pipelines (shared
     `words`); each preset's capture check is a LEFT join of its
     banded-bucket candidate pairs onto the exact pairs (both sides
-    (doc_a, doc_b)-keyed). Ground truth is the quadratic-in-bucket
-    exact join every recall eval pays — at 100 TB it runs on a hash
-    slice (the *_sampled discipline), the banding pipelines stay
-    linear."""
+    (doc_a, doc_b)-keyed). The ground truth runs over the df-CAPPED
+    shingle table — the library's standard near-dup semantics
+    (lsh_verified_pairs verifies over the same capped table), and the
+    scale bound: uncapped, the stop-shingle self-join measured 8.4x at
+    the 3.33x sf3->sf10 decade; capped it is n*df-bounded. At 100 TB
+    the ground-truth leg additionally runs on a hash slice (the
+    *_sampled discipline); the banding pipelines stay linear."""
     docs = load_table(spark, sf_dir, "documents")
     words = D._words_df(docs).persist()
     exact = (
-        D.ngram_jaccard_pairs(docs, threshold=0.1, words=words)
+        D.ngram_jaccard_pairs(
+            docs,
+            threshold=0.1,
+            max_shingle_df=D.DEFAULT_MAX_SHINGLE_DF,
+            words=words,
+        )
         .select(
             "doc_a",
             "doc_b",
