@@ -3895,8 +3895,12 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale bound: uncapped, the stop-shingle self-join measured 8.4x at
     the 3.33x sf3->sf10 decade; capped it is n*df-bounded. At 100 TB
     the ground-truth leg additionally runs on a hash slice (the
-    *_sampled discipline); the banding pipelines stay linear."""
-    docs = load_table(spark, sf_dir, "documents")
+    *_sampled discipline — `lsh_s_curve_sampled` is that posture,
+    shipped); the banding pipelines stay linear."""
+    return _s_curve_df(load_table(spark, sf_dir, "documents"))
+
+
+def _s_curve_df(docs: DataFrame) -> DataFrame:
     words = D._words_df(docs).persist()
     exact = (
         D.ngram_jaccard_pairs(
@@ -3951,3 +3955,35 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "theory_capture"
         ),
     ).orderBy("preset", "j_bucket")
+
+
+def _s_curve_sampled_sql(permille: int = 250) -> str:
+    pred = (
+        "(('0x' || substr(md5('scurve:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        f"::BIGINT % 1000) < {permille}"
+    )
+    return _s_curve_sql().replace(
+        "FROM documents", f"FROM (SELECT * FROM documents WHERE {pred})"
+    )
+
+
+@register("lsh_s_curve_sampled", _s_curve_sampled_sql())
+def q_lsh_s_curve_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE posture of `lsh_s_curve`, shipped (the
+    dedup_method_eval_sampled / knn_method_eval_sampled discipline):
+    the same three-preset banding S-curve measured on a deterministic
+    ~25% md5 hash slice of the corpus — membership is a pure function
+    of doc_id, so the slice reproduces on any engine/cluster/run. The
+    full eval's exact-Jaccard ground truth grows with true-pair
+    density (measured 11.35x pairs for 3.33x data on replicated scale
+    corpora); slicing docs at rate s cuts the within-group pair volume
+    by ~s^2 (both endpoints must survive) while the capture-RATE
+    estimate — a ratio per (preset, bucket) — keeps its power. Every
+    leg (exact pairs AND all three banding pipelines) sees the SAME
+    slice, so rates are unbiased for the sliced population."""
+    from .registry_sampling import _hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        _hash_bucket(F.col("doc_id"), "scurve:") < 250
+    )
+    return _s_curve_df(docs)

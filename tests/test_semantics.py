@@ -3012,3 +3012,24 @@ def test_bpe_memo_invalidates_on_dir_change(spark):
     assert tb[1].is_cached
     ta2 = _trained_bpe(spark, a, 4)
     assert ta2 is not ta, "returning to a previous dir retrains (last-entry memo)"
+
+
+def test_lsh_s_curve_sampled_is_slice_of_full(spark):
+    """The sampled curve runs every leg on the same deterministic doc
+    slice: buckets present are a subset of the full curve's, rates are
+    valid probabilities, and the slice is ~25% of docs."""
+    from milan_telecom_etl__spark import registry_text  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+    from milan_telecom_etl__spark.registry_sampling import _hash_bucket
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["lsh_s_curve_sampled"](spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["capture_rate"] <= 1 and r["n_captured"] <= r["n_pairs"]
+    docs = load_table(spark, sf, "documents")
+    frac = (
+        docs.filter(_hash_bucket(F.col("doc_id"), "scurve:") < 250).count()
+        / docs.count()
+    )
+    assert 0.15 < frac < 0.35
