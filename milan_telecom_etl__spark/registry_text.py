@@ -3987,3 +3987,55 @@ def q_lsh_s_curve_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
         _hash_bucket(F.col("doc_id"), "scurve:") < 250
     )
     return _s_curve_df(docs)
+
+
+@register(
+    "dedup_cluster_profile",
+    f"""
+    WITH c AS (SELECT * FROM ({_near_dup_clusters_sql(0.5)})),
+    g AS (SELECT cluster_id, count(*) AS sz FROM c GROUP BY 1),
+    t AS (SELECT count(*) AS n_docs FROM c)
+    SELECT g.sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * g.sz AS BIGINT) AS n_docs,
+           CAST(count(*) * (g.sz - 1) AS BIGINT) AS n_droppable,
+           round(count(*) * g.sz * 1.0 / t.n_docs, 6) AS corpus_share
+    FROM g, t
+    GROUP BY g.sz, t.n_docs
+    ORDER BY cluster_size
+    """,
+)
+def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-cluster SIZE PROFILE — the one-page report a dedup
+    run publishes: for each connected-component size over the
+    LSH-verified near-dup graph, how many clusters exist, how many
+    docs they hold, how many are droppable under keep-one-per-cluster,
+    and the corpus share. Size-1 rows are the unduplicated mass;
+    a heavy tail here (one giant component) is the classic sign of a
+    boilerplate shingle or a threshold set too low — the check that
+    catches over-merging BEFORE a dedup pass deletes half the corpus.
+
+    Scale shape: reuses near_dup_clusters' converged component labels
+    (iterative min-label propagation, LSH-banded edges only), then two
+    tiny aggregations — component grain, then size grain. The report
+    adds nothing quadratic to the clustering it profiles."""
+    c = D.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    g = c.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    t = c.agg(F.count(F.lit(1)).cast("long").alias("n_docs_total"))
+    return (
+        g.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            (F.col("n_clusters") * F.col("sz")).cast("long").alias("n_docs"),
+            (F.col("n_clusters") * (F.col("sz") - 1))
+            .cast("long")
+            .alias("n_droppable"),
+            F.round(
+                F.col("n_clusters") * F.col("sz") / F.col("n_docs_total"), 6
+            ).alias("corpus_share"),
+        )
+        .orderBy("cluster_size")
+    )

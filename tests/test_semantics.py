@@ -3033,3 +3033,23 @@ def test_lsh_s_curve_sampled_is_slice_of_full(spark):
         / docs.count()
     )
     assert 0.15 < frac < 0.35
+
+
+def test_dedup_cluster_profile_identities(spark):
+    """Profile identities: sum(n_docs) == corpus, sum over sizes of
+    n_clusters*size == corpus, n_droppable == n_docs - n_clusters per
+    row, corpus_share sums to ~1, and size-1 clusters dominate the
+    sf0.001 corpus (dup rate is low by construction)."""
+    from milan_telecom_etl__spark import registry_text  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["dedup_cluster_profile"](spark, sf).collect()
+    n = load_table(spark, sf, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert abs(sum(r["corpus_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["n_docs"] == r["n_clusters"] * r["cluster_size"]
+        assert r["n_droppable"] == r["n_docs"] - r["n_clusters"]
+    one = next(r for r in rows if r["cluster_size"] == 1)
+    assert one["corpus_share"] > 0.5
