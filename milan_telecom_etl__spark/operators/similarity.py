@@ -611,7 +611,12 @@ def cosine_knn_ivf(
     pairs = embeddings.crossJoin(F.broadcast(seeds)).select(
         F.col(id_col), F.col("cid"), d.alias("d")
     )
-    cells = pairs.groupBy(id_col).agg(F.min_by("cid", F.col("d")).alias("cell"))
+    # Quantized composite tie-key (d_nanos * n_cells + cid): min_by on the
+    # raw double alone leaves exact-tie winners partition-order-dependent
+    # (e.g. duplicate vectors among the seeds) — same discipline as the
+    # k-means E-step and PQ code assignment.
+    tie = F.round(F.col("d") * 1e9).cast("long") * n_cells + F.col("cid")
+    cells = pairs.groupBy(id_col).agg(F.min_by("cid", tie).alias("cell"))
     w_probe = Window.partitionBy(id_col).orderBy("d", "cid")
     probes = (
         pairs.filter(F.col(id_col) < n_queries)

@@ -469,7 +469,9 @@ def _knn_ivf_sql(n_cells: int = 8, n_probe: int = 2, n_queries: int = 5, k: int 
     ), pairs AS (
       SELECT e.vec_id, s.cid, {sqd} AS d FROM embeddings e, seeds s
     ), cells AS (
-      SELECT vec_id, arg_min(cid, d) AS cell FROM pairs GROUP BY vec_id
+      SELECT vec_id, arg_min(cid, CAST(round(d * 1e9) AS BIGINT)
+                              * {n_cells} + cid) AS cell
+      FROM pairs GROUP BY vec_id
     ), probes AS (
       SELECT vec_id AS query_id, cid AS cell FROM (
         SELECT vec_id, cid, row_number() OVER (
@@ -2003,7 +2005,9 @@ def _ivf_recall_curve_sql(
     ), pairs AS (
       SELECT e.vec_id, s.cid, {sqd} AS d FROM embeddings e, seeds s
     ), cells AS (
-      SELECT vec_id, arg_min(cid, d) AS cell FROM pairs GROUP BY vec_id
+      SELECT vec_id, arg_min(cid, CAST(round(d * 1e9) AS BIGINT)
+                              * {n_cells} + cid) AS cell
+      FROM pairs GROUP BY vec_id
     ), qprobes AS (
       SELECT vec_id AS query_id, cid AS cell, pr FROM (
         SELECT vec_id, cid, row_number() OVER (
@@ -2059,7 +2063,8 @@ def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id", "cid", d.alias("d")
     )
-    cells = pairs.groupBy("vec_id").agg(F.min_by("cid", "d").alias("cell"))
+    tie = F.round(F.col("d") * 1e9).cast("long") * n_cells + F.col("cid")
+    cells = pairs.groupBy("vec_id").agg(F.min_by("cid", tie).alias("cell"))
     w_probe = Window.partitionBy("vec_id").orderBy("d", "cid")
     qprobes = (
         pairs.filter(F.col("vec_id") < n_queries)
@@ -2085,6 +2090,9 @@ def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pr",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
+        # Released by the caller's clearCache (queries_registry.py
+        # EXECUTION PROTOCOL) — the per-depth unions below are lazy, so
+        # an in-entry unpersist would force evaluation here.
         .persist()
     )
     from .operators.similarity import cosine_knn_bruteforce

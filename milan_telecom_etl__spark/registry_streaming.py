@@ -716,12 +716,10 @@ def q_streaming_containment_probe_batch(
 
 
 def _stream_fertility_sql(new_max_id: int = _PROBE_NEW_MAX_ID) -> str:
-    from .registry_text import BPE_MERGE_ROUNDS, _bpe_rounds_sql
+    from .registry_text import BPE_MERGE_ROUNDS, _bpe_rounds_ctes
 
     k = BPE_MERGE_ROUNDS
-    chain = _bpe_rounds_sql(k, train_where=f"doc_id >= {new_max_id}")
-    prefix = chain[: chain.rindex("SELECT * FROM")]
-    return f"""{prefix}
+    return f"""{_bpe_rounds_ctes(k, train_where=f"doc_id >= {new_max_id}")}
     , vt AS (
       SELECT w, CAST(len(string_split_regex(
                regexp_replace(seq, '^\\(|\\)$', '', 'g'), '\\)\\('))
@@ -779,13 +777,23 @@ def q_streaming_fertility_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         vt = vocab.select(
             "w", F.size(_bpe_syms_col("alpha")).cast("long").alias("w_tokens")
         )
+        # Same size guard as bpe_corpus_fertility (VERDICT r9 #3): the
+        # standing-corpus vocabulary is data-dependent and can exceed
+        # executor memory on a web corpus — count the persisted
+        # training vocab (vocabulary-grain, cheap) and only hint the
+        # broadcast below the cap; above it the stream-static join
+        # degrades to a shuffle hash join, correct at any size.
+        from .operators.text import BPE_BROADCAST_VOCAB_MAX
+
+        if vocab.count() <= BPE_BROADCAST_VOCAB_MAX:
+            vt = F.broadcast(vt)
         st = _stream_documents(spark, sf_dir).filter(F.col("doc_id") < b)
         words = st.select(
             "source", F.explode(_bpe_words("text", "alpha")).alias("w")
         )
         known = F.count("w_tokens")
         out = (
-            words.join(F.broadcast(vt), "w", "left")
+            words.join(vt, "w", "left")
             .groupBy("source")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_words"),

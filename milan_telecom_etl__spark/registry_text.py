@@ -3437,7 +3437,7 @@ def _trained_bpe(spark, sf_dir: str, k: int, pre_tokenizer: str = "alpha"):
     return trained
 
 
-def _bpe_rounds_sql(
+def _bpe_rounds_ctes(
     k: int = BPE_MERGE_ROUNDS, mode: str = "alpha", train_where: str = "TRUE"
 ) -> str:
     """Chained-CTE twin of operators.text.bpe_merge_rounds (the
@@ -3487,11 +3487,6 @@ def _bpe_rounds_sql(
       FROM v{r - 1} v CROSS JOIN best{r} b
     )"""
     rounds = ",".join(pair_cte(r) for r in range(1, k + 1))
-    finals = "\n      UNION ALL ".join(
-        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym,"
-        f" b AS right_sym, cnt AS pair_count FROM best{r}"
-        for r in range(1, k + 1)
-    )
     return f"""
     WITH wf AS (
       SELECT w, count(*) AS freq
@@ -3509,6 +3504,24 @@ def _bpe_rounds_sql(
       FROM wf
     ),
     {rounds}
+    """
+
+
+def _bpe_rounds_sql(
+    k: int = BPE_MERGE_ROUNDS, mode: str = "alpha", train_where: str = "TRUE"
+) -> str:
+    """CTE chain + the adopted-merge report SELECT. Twins that need a
+    different final SELECT over the same training chain (encode,
+    fertility, the streaming probe) compose on _bpe_rounds_ctes
+    directly instead of substring surgery on this function's output
+    (ADVICE r10: a future template edit adding another `SELECT * FROM`
+    would have silently truncated a rindex-based splice)."""
+    finals = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS merge_rank, a AS left_sym,"
+        f" b AS right_sym, cnt AS pair_count FROM best{r}"
+        for r in range(1, k + 1)
+    )
+    return f"""{_bpe_rounds_ctes(k, mode, train_where)}
     SELECT * FROM ({finals}) ORDER BY merge_rank
     """
 
@@ -3553,11 +3566,9 @@ def _bpe_encode_sql(k: int = BPE_MERGE_ROUNDS, top: int = 30) -> str:
     """Encoded-vocabulary twin of _bpe_rounds_sql: same training CTE
     chain, but the final select reads the k-times-rewritten vocabulary
     v{k} instead of the adopted merges."""
-    chain = _bpe_rounds_sql(k)
-    # reuse everything up to (and including) the last vocab CTE; the
-    # trailing merge-report SELECT is replaced by the encode SELECT
-    prefix = chain[: chain.rindex("SELECT * FROM")]
-    return f"""{prefix}
+    # the full training CTE chain up to (and including) the last vocab
+    # CTE; the merge-report SELECT is replaced by the encode SELECT
+    return f"""{_bpe_rounds_ctes(k)}
     SELECT w, CAST(freq AS BIGINT) AS freq,
            CAST(len(syms) AS BIGINT) AS n_tokens,
            array_to_string(syms, ' ') AS encoded
@@ -3591,9 +3602,7 @@ def _bpe_fertility_sql(k: int = BPE_MERGE_ROUNDS) -> str:
     """Per-source learned fertility: the training CTE chain, the
     vocabulary token counts from v{k}, and a words->vocab join back
     onto the corpus."""
-    chain = _bpe_rounds_sql(k)
-    prefix = chain[: chain.rindex("SELECT * FROM")]
-    return f"""{prefix}
+    return f"""{_bpe_rounds_ctes(k)}
     , vt AS (
       SELECT w, CAST(len(string_split_regex(
                regexp_replace(seq, '^\\(|\\)$', '', 'g'), '\\)\\('))
@@ -3901,6 +3910,10 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s_curve_df(docs: DataFrame) -> DataFrame:
+    # words/exact stay persisted until the caller's clearCache — the
+    # returned frame is lazy, so there is no in-entry unpersist point
+    # (queries_registry.py EXECUTION PROTOCOL: harnesses clearCache
+    # between entries; bench.py and the plan pins do).
     words = D._words_df(docs).persist()
     exact = (
         D.ngram_jaccard_pairs(

@@ -28,4 +28,4 @@ def test_query_matches_oracle(spark, name, sql):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0 and df.columns
+    assert len(rows) > 0 and df.columns
