@@ -2002,7 +2002,7 @@ def q_quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "dedup_method_eval",
+    "dedup_method_eval_full",
     f"""
     WITH {_SHINGLE_CTE},
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -2028,9 +2028,15 @@ def q_quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
              AS recall_at_06
     FROM tp
     """,
+    diagnostic=True,
 )
-def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The measurement that justifies an LSH configuration: candidate
+def q_dedup_method_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS diagnostic twin of `dedup_method_eval` (opt-in via
+    SPARK_GRAFT_FULL_EVALS=1 — VERDICT r10 #1: the uncapped exact side
+    is quadratic in template-family size, 4.35x wall at 3x data; the
+    hash-sliced default carries the gate instead).
+
+    The measurement that justifies an LSH configuration: candidate
     precision/recall of the 16-hash/2-row MinHash banding against the
     EXACT shingle-Jaccard pairs at tau=0.6, on the corpus itself.
     One row: n_exact, n_candidates, n_true_positives, precision, recall
@@ -2185,10 +2191,12 @@ _SAMPLED_EVAL_SQL = (
 )
 
 
-@register("dedup_method_eval_sampled", _SAMPLED_EVAL_SQL)
-def q_dedup_method_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE posture of `dedup_method_eval`, shipped: the same
-    LSH-vs-exact precision/recall measured on a deterministic 50%
+@register("dedup_method_eval", _SAMPLED_EVAL_SQL)
+def q_dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-vs-exact precision/recall eval in its SCALE posture —
+    the gated registry default since r11 (VERDICT r10 #1; the
+    full-corpus twin is the opt-in `dedup_method_eval_full`
+    diagnostic): LSH-vs-exact measured on a deterministic 50%
     hash slice of the corpus (md5 'evalslice:' salt — membership is a
     pure function of doc_id, so the slice is reproducible on any
     engine/cluster/run). The full-corpus twin's uncapped exact side is
@@ -3877,9 +3885,16 @@ def _s_curve_sql() -> str:
     """
 
 
-@register("lsh_s_curve", _s_curve_sql())
-def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The banding S-curve MEASURED, not assumed: for each shipped
+@register("lsh_s_curve_full", _s_curve_sql(), diagnostic=True)
+def q_lsh_s_curve_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS diagnostic twin of `lsh_s_curve` (opt-in via
+    SPARK_GRAFT_FULL_EVALS=1 — VERDICT r10 #1 demoted it from the
+    gated default: the exact ground-truth leg measured 9.2x wall at
+    the 3.33x sf3->sf10 decade because true-pair volume grows with
+    duplicate density squared; the hash-sliced default measured 2.10x
+    on the same decade with the same estimate power).
+
+    The banding S-curve MEASURED, not assumed: for each shipped
     banding preset (legacy 16/2, sharp 64/4 default, high-recall
     128/4), the fraction of TRUE near-dup pairs (exact shingle Jaccard
     >= 0.1) captured as LSH candidates, per Jaccard decile, next to
@@ -3903,9 +3918,9 @@ def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lsh_verified_pairs verifies over the same capped table), and the
     scale bound: uncapped, the stop-shingle self-join measured 8.4x at
     the 3.33x sf3->sf10 decade; capped it is n*df-bounded. At 100 TB
-    the ground-truth leg additionally runs on a hash slice (the
-    *_sampled discipline — `lsh_s_curve_sampled` is that posture,
-    shipped); the banding pipelines stay linear."""
+    the ground-truth leg additionally runs on a hash slice — the
+    registered `lsh_s_curve` default IS that posture; the banding
+    pipelines stay linear."""
     return _s_curve_df(load_table(spark, sf_dir, "documents"))
 
 
@@ -3980,13 +3995,14 @@ def _s_curve_sampled_sql(permille: int = 250) -> str:
     )
 
 
-@register("lsh_s_curve_sampled", _s_curve_sampled_sql())
-def q_lsh_s_curve_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE posture of `lsh_s_curve`, shipped (the
-    dedup_method_eval_sampled / knn_method_eval_sampled discipline):
-    the same three-preset banding S-curve measured on a deterministic
-    ~25% md5 hash slice of the corpus — membership is a pure function
-    of doc_id, so the slice reproduces on any engine/cluster/run. The
+@register("lsh_s_curve", _s_curve_sampled_sql())
+def q_lsh_s_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The banding S-curve eval in its SCALE posture — the gated
+    registry default since r11 (VERDICT r10 #1; the full-corpus twin
+    is the opt-in `lsh_s_curve_full` diagnostic): the three-preset
+    banding S-curve measured on a deterministic ~25% md5 hash slice
+    of the corpus — membership is a pure function of doc_id, so the
+    slice reproduces on any engine/cluster/run. The
     full eval's exact-Jaccard ground truth grows with true-pair
     density (measured 11.35x pairs for 3.33x data on replicated scale
     corpora); slicing docs at rate s cuts the within-group pair volume
