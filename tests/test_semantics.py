@@ -1157,10 +1157,13 @@ def test_dedup_method_eval_consistency(spark):
     """Eval counters are internally consistent: tp <= min(exact, cand),
     ratios reproduce the counts, and on this corpus the 16x2 banding's
     planted near-dups (J >= 0.6, above the S-curve midpoint) are fully
-    recalled."""
-    from milan_telecom_etl__spark.registry_text import q_dedup_method_eval
+    recalled. Runs the FULL-corpus twin directly (the recall floor was
+    calibrated on the whole corpus; the gated default is the 50% slice
+    whose sf0.001 population is too small for the 0.9 floor) — which
+    also keeps the opt-in diagnostic exercised (VERDICT r11 #3)."""
+    from milan_telecom_etl__spark.registry_text import q_dedup_method_eval_full
 
-    r = q_dedup_method_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    r = q_dedup_method_eval_full(spark, "/root/testdata/sf0.001").collect()[0]
     assert 0 < r["n_true_positives"] <= min(r["n_exact"], r["n_candidates"])
     assert r["precision_at_06"] == round(r["n_true_positives"] / r["n_candidates"], 6)
     assert r["recall_at_06"] == round(r["n_true_positives"] / r["n_exact"], 6)
@@ -1208,12 +1211,12 @@ def test_sampled_method_eval_estimates_track_full_corpus(spark):
     SLICE, not a fixed row count, is the knob)."""
     from milan_telecom_etl__spark.registry_text import (
         q_dedup_method_eval,
-        q_dedup_method_eval_sampled,
+        q_dedup_method_eval_full,
     )
 
     sf = "/root/testdata/sf0.1"
-    full = q_dedup_method_eval(spark, sf).collect()[0]
-    samp = q_dedup_method_eval_sampled(spark, sf).collect()[0]
+    full = q_dedup_method_eval_full(spark, sf).collect()[0]
+    samp = q_dedup_method_eval(spark, sf).collect()[0]
     assert 0 < samp["n_exact"] < full["n_exact"]
     assert abs(samp["precision_at_06"] - full["precision_at_06"]) < 0.1
     assert abs(samp["recall_at_06"] - full["recall_at_06"]) < 0.1
@@ -2937,11 +2940,13 @@ def test_lsh_s_curve_properties(spark):
     """Per preset: capture_rate and theory are in [0,1]; the empirical
     curve tracks theory in shape (both roughly nondecreasing with J);
     the high-recall preset captures at least as much as sharp in every
-    bucket; counts are internally consistent."""
-    from milan_telecom_etl__spark import registry_text  # noqa: F401
-    from milan_telecom_etl__spark.queries_registry import QUERIES
+    bucket; counts are internally consistent. Runs the FULL-corpus twin
+    directly: the same-ground-truth and dominance assertions were
+    calibrated on the whole corpus, and calling `q_lsh_s_curve_full`
+    keeps the opt-in diagnostic exercised (VERDICT r11 #3)."""
+    from milan_telecom_etl__spark.registry_text import q_lsh_s_curve_full
 
-    rows = QUERIES["lsh_s_curve"](spark, "/root/testdata/sf0.001").collect()
+    rows = q_lsh_s_curve_full(spark, "/root/testdata/sf0.001").collect()
     assert rows
     by_preset: dict[str, dict[int, object]] = {}
     for r in rows:
@@ -3015,18 +3020,28 @@ def test_bpe_memo_invalidates_on_dir_change(spark):
 
 
 def test_lsh_s_curve_sampled_is_slice_of_full(spark):
-    """The sampled curve runs every leg on the same deterministic doc
-    slice: buckets present are a subset of the full curve's, rates are
-    valid probabilities, and the slice is ~25% of docs."""
+    """The sampled curve (the gated `lsh_s_curve` default since r11)
+    runs every leg on the same deterministic doc slice: its
+    (preset, bucket) cells are a subset of the full curve's with
+    pair counts bounded by the full counts, rates are valid
+    probabilities, and the slice is ~25% of docs."""
     from milan_telecom_etl__spark import registry_text  # noqa: F401
     from milan_telecom_etl__spark.queries_registry import QUERIES
     from milan_telecom_etl__spark.registry_sampling import _hash_bucket
+    from milan_telecom_etl__spark.registry_text import q_lsh_s_curve_full
 
     sf = "/root/testdata/sf0.001"
-    rows = QUERIES["lsh_s_curve_sampled"](spark, sf).collect()
+    rows = QUERIES["lsh_s_curve"](spark, sf).collect()
     assert rows
+    full = {
+        (r["preset"], r["j_bucket"]): r
+        for r in q_lsh_s_curve_full(spark, sf).collect()
+    }
     for r in rows:
         assert 0 <= r["capture_rate"] <= 1 and r["n_captured"] <= r["n_pairs"]
+        key = (r["preset"], r["j_bucket"])
+        assert key in full, "sampled cell must exist in the full curve"
+        assert r["n_pairs"] <= full[key]["n_pairs"]
     docs = load_table(spark, sf, "documents")
     frac = (
         docs.filter(_hash_bucket(F.col("doc_id"), "scurve:") < 250).count()
