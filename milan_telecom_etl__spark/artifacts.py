@@ -1,0 +1,109 @@
+"""Warehouse-parquet standing artifacts (VERDICT r10 #2 / r11 #3).
+
+A production ingest pipeline does not retrain its tokenizer or its
+quality probe on every arriving micro-batch: those are STANDING
+artifacts, trained offline on the already-ingested corpus, shipped to
+a warehouse path, and LOADED at ingest. This module is that warehouse:
+`load_or_build` returns a parquet-backed frame for a named artifact,
+training it exactly once per (corpus location, corpus fingerprint) and
+serving every later invocation from the parquet — so the serving
+entries (`streaming_fertility_batch`, `streaming_quality_probe_batch`)
+pay scoring-only cost, which is their real production shape. The
+train-in-run twins (`*_train_batch`) keep the honest end-to-end
+measurement.
+
+Scale notes:
+- The artifact path is resolved through the Hadoop FileSystem API, so
+  the same code serves a local dir on local[32] and an object store
+  (s3a://, hdfs://) on a cluster — existence is a FileSystem.exists
+  call, never an os.path probe of executor-local disk.
+- Staleness: the path is keyed by an abspath digest PLUS a cheap
+  corpus fingerprint (file sizes + mtimes of the training table when
+  it is local; the literal "nofp" otherwise). A corpus change under
+  the same path therefore retrains instead of serving a stale vocab.
+  On an object store (no cheap local stat scan) the key degrades to
+  location-only — exactly production semantics, where the artifact is
+  refreshed on an offline schedule and drift is DETECTED, not
+  prevented, by the serving metrics themselves (the fertility entry's
+  oov_rate is that detector).
+- Artifacts are tiny relative to the corpus (vocabulary-grain / 1-row
+  models), so the write is a bounded job, and the read side gets
+  parquet column pruning for free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def artifact_root() -> str:
+    """Warehouse root for standing artifacts. `SPARK_GRAFT_ARTIFACTS`
+    overrides (point it at s3a://bucket/artifacts on a cluster);
+    default is a repo-local dir, gitignored."""
+    return os.environ.get(
+        "SPARK_GRAFT_ARTIFACTS", os.path.join(_REPO_ROOT, ".artifacts")
+    )
+
+
+def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
+    """Cheap change-detector for a LOCAL training corpus: md5 over the
+    sorted (name, size, mtime_ns) of the table's files. Non-local or
+    unreadable paths fingerprint as 'nofp' (location-keyed artifact,
+    offline-refresh semantics — see module docstring)."""
+    base = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isfile(base):
+            st = os.stat(base)
+            entries = [(table, st.st_size, st.st_mtime_ns)]
+        else:
+            entries = sorted(
+                (f, s.st_size, s.st_mtime_ns)
+                for f in os.listdir(base)
+                for s in (os.stat(os.path.join(base, f)),)
+                if not f.startswith(".")
+            )
+    except OSError:
+        return "nofp"
+    h = hashlib.md5(repr(entries).encode()).hexdigest()[:12]
+    return h
+
+
+def artifact_path(sf_dir: str, name: str, table: str = "documents") -> str:
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(
+        artifact_root(), f"{key}-{corpus_fingerprint(sf_dir, table)}", name
+    )
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """FileSystem.exists through the JVM gateway — scheme-agnostic
+    (file://, hdfs://, s3a://), checks the committer's _SUCCESS marker
+    so a half-written artifact from a killed job is rebuilt, not
+    served."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_SUCCESS"))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def load_or_build(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+    table: str = "documents",
+) -> DataFrame:
+    """Return the named standing artifact as a parquet-backed frame,
+    training it via `build()` exactly once per (corpus, fingerprint).
+    The returned frame needs no persist/unpersist lifecycle — it IS
+    the warehouse parquet."""
+    path = artifact_path(sf_dir, name, table)
+    if not _fs_exists(spark, path):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

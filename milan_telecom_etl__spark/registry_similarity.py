@@ -1353,31 +1353,37 @@ def _knn_eval_df(emb: DataFrame) -> DataFrame:
     )
 
 
-@register("knn_method_eval", f"WITH {_KNN_EVAL_BODY}")
-def q_knn_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Retriever-tier recall@5, measured not assumed: each ANN method
+@register("knn_method_eval_full", f"WITH {_KNN_EVAL_BODY}", diagnostic=True)
+def q_knn_method_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-CORPUS diagnostic twin of `knn_method_eval` (opt-in via
+    SPARK_GRAFT_FULL_EVALS=1 — the same demotion the lsh_s_curve and
+    dedup_method_eval families got in r11; VERDICT r11 #2 asked for
+    one discipline across all three eval families): each ANN method
     (single-table LSH, 4x2 multi-table LSH, IVF nprobe=2, the 8-table
     default) scored against the exact brute-force top-5 for the 5 query
     vectors — the per-corpus eval that picks the retriever tier
-    (`dedup_method_eval` is the same discipline for the dedup family).
+    (`dedup_method_eval_full` is the same discipline for dedup).
 
     Scale story: ONE persisted bits table buckets all LSH tiers (the
     prefix-stable plane generator makes every tier's bucket a slice of
     the same bit vector) and ONE scored pair table prices all tiers'
     hits — per-tier work is a bounded candidate semi-join, not its own
     corpus scan. The exact side still scores |queries| x |corpus|
-    cosines; `knn_method_eval_sampled` is the 100 TB posture."""
+    cosines (linear, not quadratic — why this twin stayed default
+    longest); `knn_method_eval` is the 100 TB posture."""
     return _knn_eval_df(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
-    "knn_method_eval_sampled",
+    "knn_method_eval",
     f"WITH emb_slice AS (SELECT * FROM embeddings WHERE {_KNN_SLICE_PRED_SQL}),\n"
     + _KNN_EVAL_BODY.replace("embeddings", "emb_slice"),
 )
-def q_knn_method_eval_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SCALE posture of `knn_method_eval`, shipped (the
-    dedup_method_eval_sampled discipline): the same four-tier recall@5
+def q_knn_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retriever-tier recall@5 in its SCALE posture — the gated
+    registry default since r12 (the dedup_method_eval / lsh_s_curve
+    discipline; the full-corpus twin is the opt-in
+    `knn_method_eval_full` diagnostic): the same four-tier recall@5
     measured on a deterministic ~25% md5 hash slice of the corpus plus
     the query vectors — membership is a pure function of vec_id, so
     the slice reproduces on any engine/cluster/run. The full eval's
@@ -2047,8 +2053,8 @@ def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded candidate set (depth-p candidates are a prefix-filter of
     the same table), never a new corpus scan. Exact ground truth is
     the one |q| x |corpus| pass every recall eval pays; at scale it
-    runs on the deterministic hash slice (knn_method_eval_sampled's
-    posture)."""
+    runs on the deterministic hash slice (the `knn_method_eval`
+    default's posture)."""
     from pyspark.sql.window import Window
 
     from .operators.clustering import sq_dist

@@ -744,27 +744,123 @@ def _stream_fertility_sql(new_max_id: int = _PROBE_NEW_MAX_ID) -> str:
     """
 
 
+def _standing_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING tokenizer vocabulary as a warehouse-parquet
+    artifact: (w, seq, freq) with all merges applied, trained on the
+    already-ingested corpus (doc_id >= batch boundary) exactly once
+    per corpus fingerprint and LOADED on every later invocation — the
+    shape a production pipeline actually runs (VERDICT r10 #2:
+    train-in-run was "honest measurement, wrong production posture")."""
+    from .artifacts import load_or_build
+    from .operators.text import _bpe_train
+    from .registry_text import BPE_MERGE_ROUNDS
+    from .sources.parquet import load_table
+
+    b = _PROBE_NEW_MAX_ID
+    trained: dict = {}
+
+    def _train() -> DataFrame:
+        static_docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") >= b
+        )
+        _, vocab = _bpe_train(static_docs, BPE_MERGE_ROUNDS)
+        trained["vocab"] = vocab
+        return vocab
+
+    out = load_or_build(
+        spark, sf_dir, f"bpe_vocab_k{BPE_MERGE_ROUNDS}_alpha_b{b}", _train
+    )
+    if "vocab" in trained:  # release the training persist once written
+        trained["vocab"].unpersist()
+    return out
+
+
+def _fertility_df(
+    spark: SparkSession, sf_dir: str, vocab: DataFrame, vocab_rows: int
+) -> DataFrame:
+    """Shared fertility scoring plan over a (w, seq) vocabulary frame
+    — the serving entry and the train-in-run twin cannot drift."""
+    from .operators.text import (
+        BPE_BROADCAST_VOCAB_MAX,
+        _bpe_syms_col,
+        _bpe_words,
+    )
+
+    b = _PROBE_NEW_MAX_ID
+    vt = vocab.select(
+        "w", F.size(_bpe_syms_col("alpha")).cast("long").alias("w_tokens")
+    )
+    # Same size guard as bpe_corpus_fertility (VERDICT r9 #3): the
+    # standing-corpus vocabulary is data-dependent and can exceed
+    # executor memory on a web corpus — only hint the broadcast below
+    # the cap; above it the stream-static join degrades to a shuffle
+    # hash join, correct at any size.
+    if vocab_rows <= BPE_BROADCAST_VOCAB_MAX:
+        vt = F.broadcast(vt)
+    st = _stream_documents(spark, sf_dir).filter(F.col("doc_id") < b)
+    words = st.select(
+        "source", F.explode(_bpe_words("text", "alpha")).alias("w")
+    )
+    known = F.count("w_tokens")
+    out = (
+        words.join(vt, "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            known.cast("long").alias("n_known"),
+            (F.count(F.lit(1)) - known).cast("long").alias("n_oov"),
+            F.coalesce(F.sum("w_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+            F.when(known > 0, F.round(F.sum("w_tokens") / known, 6)).alias(
+                "learned_fertility"
+            ),
+            F.round(
+                (F.count(F.lit(1)) - known) / F.count(F.lit(1)), 6
+            ).alias("oov_rate"),
+        )
+    )
+    return _drain(out, "complete")
+
+
 @register("streaming_fertility_batch", _stream_fertility_sql())
 def q_streaming_fertility_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token accounting AT INGEST under the STANDING tokenizer — the
-    streaming face of `bpe_corpus_fertility`: the BPE merge table is
-    trained once on the already-ingested corpus (doc_id >= batch
-    boundary — the artifact a production pipeline trains offline and
-    ships), arriving docs' words stream-static LEFT join the broadcast
-    (word -> n_tokens) map, and ONE grouped aggregation per source
-    reports the arriving batch's word/token counts, learned fertility
-    over KNOWN words, and the OOV rate — the signal that tells a
-    pipeline its standing tokenizer has drifted off the incoming
-    distribution (OOV spike => retrain). A word unseen at training
-    time has no segmentation (production byte-fallback), hence the
-    LEFT join + explicit n_oov instead of silently dropping.
+    streaming face of `bpe_corpus_fertility`: the BPE vocabulary is a
+    warehouse-parquet artifact (trained offline on the already-ingested
+    corpus, doc_id >= batch boundary, and LOADED here — see
+    `artifacts.py`; `streaming_fertility_train_batch` is the
+    train-in-run measurement twin), arriving docs' words stream-static
+    LEFT join the broadcast (word -> n_tokens) map, and ONE grouped
+    aggregation per source reports the arriving batch's word/token
+    counts, learned fertility over KNOWN words, and the OOV rate — the
+    signal that tells a pipeline its standing tokenizer has drifted off
+    the incoming distribution (OOV spike => retrain; the drift detector
+    that makes offline-refreshed artifacts safe). A word unseen at
+    training time has no segmentation (production byte-fallback), hence
+    the LEFT join + explicit n_oov instead of silently dropping.
 
     Streaming legality: explode + stream-static left join + one
     grouped agg — no window functions, single aggregation, drained
     complete-mode (bounded: one row per source). The static side is
-    vocabulary-grain and broadcast; nothing about the stream is ever
-    shuffled except the per-source partial sums."""
-    from .operators.text import _bpe_syms_col, _bpe_train, _bpe_words
+    vocabulary-grain parquet and broadcast under the size guard;
+    nothing about the stream is ever shuffled except the per-source
+    partial sums. Ingest cost is scoring-only: training never runs
+    here after the artifact exists."""
+    vocab = _standing_bpe_vocab(spark, sf_dir)
+    return _fertility_df(spark, sf_dir, vocab, vocab.count())
+
+
+@register("streaming_fertility_train_batch", _stream_fertility_sql())
+def q_streaming_fertility_train_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-in-run measurement twin of `streaming_fertility_batch`:
+    identical scoring plan, but the BPE vocabulary is trained inside
+    the invocation (never touching the artifact warehouse) — the
+    honest end-to-end price of tokenizer training + scoring, kept as
+    a gated entry so the bench sweep still measures it."""
+    from .operators.text import _bpe_train
     from .registry_text import BPE_MERGE_ROUNDS
     from .sources.parquet import load_table
 
@@ -774,43 +870,7 @@ def q_streaming_fertility_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _, vocab = _bpe_train(static_docs, BPE_MERGE_ROUNDS)
     try:
-        vt = vocab.select(
-            "w", F.size(_bpe_syms_col("alpha")).cast("long").alias("w_tokens")
-        )
-        # Same size guard as bpe_corpus_fertility (VERDICT r9 #3): the
-        # standing-corpus vocabulary is data-dependent and can exceed
-        # executor memory on a web corpus — count the persisted
-        # training vocab (vocabulary-grain, cheap) and only hint the
-        # broadcast below the cap; above it the stream-static join
-        # degrades to a shuffle hash join, correct at any size.
-        from .operators.text import BPE_BROADCAST_VOCAB_MAX
-
-        if vocab.count() <= BPE_BROADCAST_VOCAB_MAX:
-            vt = F.broadcast(vt)
-        st = _stream_documents(spark, sf_dir).filter(F.col("doc_id") < b)
-        words = st.select(
-            "source", F.explode(_bpe_words("text", "alpha")).alias("w")
-        )
-        known = F.count("w_tokens")
-        out = (
-            words.join(vt, "w", "left")
-            .groupBy("source")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_words"),
-                known.cast("long").alias("n_known"),
-                (F.count(F.lit(1)) - known).cast("long").alias("n_oov"),
-                F.coalesce(F.sum("w_tokens"), F.lit(0))
-                .cast("long")
-                .alias("n_tokens"),
-                F.when(
-                    known > 0, F.round(F.sum("w_tokens") / known, 6)
-                ).alias("learned_fertility"),
-                F.round(
-                    (F.count(F.lit(1)) - known) / F.count(F.lit(1)), 6
-                ).alias("oov_rate"),
-            )
-        )
-        return _drain(out, "complete")
+        return _fertility_df(spark, sf_dir, vocab, vocab.count())
     finally:
         vocab.unpersist()
 
@@ -825,34 +885,66 @@ def _stream_probe_sql(new_max_id: int = _PROBE_NEW_MAX_ID) -> str:
     )
 
 
+def _train_probe_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry_quality import probe_features, probe_model
+    from .sources.parquet import load_table
+
+    static_docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= _PROBE_NEW_MAX_ID
+    )
+    return probe_model(probe_features(static_docs))
+
+
 @register("streaming_quality_probe_batch", _stream_probe_sql())
 def q_streaming_quality_probe_batch(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Quality scoring AT INGEST under the STANDING learned probe —
     the model-based companion to `streaming_curation_gate_batch`'s
-    rule stack: the exact-integer OLS probe trains once on the
-    already-ingested corpus (doc_id >= batch boundary — the Gram
-    sufficient statistics the pipeline refreshes offline), and every
-    arriving doc is scored map-only under the broadcast 1-row model
-    (a constant-key stream-static equi-join — the streaming-legal
-    spelling of the batch crossJoin). Emits per-doc (y, x1, x2,
-    score, predicted) in append mode — NO aggregation, NO state: the
-    scoring path adds zero shuffle to ingest, and downstream gates
+    rule stack: the exact-integer OLS probe (1 row of Cramer
+    determinants — the Gram sufficient statistics the pipeline
+    refreshes offline) is a warehouse-parquet artifact (trained once
+    per corpus fingerprint and LOADED here — see `artifacts.py`;
+    `streaming_quality_probe_train_batch` is the train-in-run twin),
+    and every arriving doc is scored map-only under the broadcast
+    1-row model (a constant-key stream-static equi-join — the
+    streaming-legal spelling of the batch crossJoin). Emits per-doc
+    (y, x1, x2, score, predicted) in append mode — NO aggregation, NO
+    state: the scoring path adds zero shuffle to ingest (training
+    never runs here after the artifact exists), and downstream gates
     threshold `score` or audit `predicted` vs the weak label y.
 
     Shares probe_features/_probe_score with quality_linear_probe so
     the stream and batch scorers cannot drift; the oracle is the same
     probe SQL with train/score populations split at the boundary."""
-    from .registry_quality import _probe_score, probe_features, probe_model
-
-    from .sources.parquet import load_table
+    from .artifacts import load_or_build
+    from .registry_quality import _probe_score, probe_features
 
     b = _PROBE_NEW_MAX_ID
-    static_docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") >= b
+    model = load_or_build(
+        spark,
+        sf_dir,
+        f"quality_probe_model_b{b}",
+        lambda: _train_probe_model(spark, sf_dir),
     )
-    model = probe_model(probe_features(static_docs))
+    st = _stream_documents(spark, sf_dir).filter(F.col("doc_id") < b)
+    out = _probe_score(probe_features(st), model, streaming=True)
+    return _drain(out, "append")
+
+
+@register("streaming_quality_probe_train_batch", _stream_probe_sql())
+def q_streaming_quality_probe_train_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-in-run measurement twin of `streaming_quality_probe_batch`:
+    identical scoring plan, but the OLS probe is fit inside the
+    invocation (never touching the artifact warehouse) — the honest
+    end-to-end price of probe training + scoring, kept gated so the
+    bench sweep still measures it."""
+    from .registry_quality import _probe_score, probe_features
+
+    b = _PROBE_NEW_MAX_ID
+    model = _train_probe_model(spark, sf_dir)
     st = _stream_documents(spark, sf_dir).filter(F.col("doc_id") < b)
     out = _probe_score(probe_features(st), model, streaming=True)
     return _drain(out, "append")
