@@ -611,11 +611,19 @@ def cosine_knn_ivf(
     pairs = embeddings.crossJoin(F.broadcast(seeds)).select(
         F.col(id_col), F.col("cid"), d.alias("d")
     )
-    # Quantized composite tie-key (d_nanos * n_cells + cid): min_by on the
-    # raw double alone leaves exact-tie winners partition-order-dependent
+    # Composite tie-key as a STRUCT (d_nanos, cid): min_by on the raw
+    # double alone leaves exact-tie winners partition-order-dependent
     # (e.g. duplicate vectors among the seeds) — same discipline as the
-    # k-means E-step and PQ code assignment.
-    tie = F.round(F.col("d") * 1e9).cast("long") * n_cells + F.col("cid")
+    # k-means E-step and PQ code assignment. Struct field-order
+    # comparison gives the same (d, then cid) ranking as the quantized
+    # single-long key the oracled registry twins use, WITHOUT that
+    # key's overflow bound (d_nanos * n_cells + cid wraps BIGINT once
+    # squared distance exceeds ~9.2e18/(1e9*n_cells) — ADVICE r11 #5;
+    # this general-purpose operator must survive unnormalized
+    # large-magnitude embeddings).
+    tie = F.struct(
+        F.round(F.col("d") * 1e9).cast("long").alias("dq"), F.col("cid")
+    )
     cells = pairs.groupBy(id_col).agg(F.min_by("cid", tie).alias("cell"))
     w_probe = Window.partitionBy(id_col).orderBy("d", "cid")
     probes = (

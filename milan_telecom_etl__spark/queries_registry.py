@@ -45,10 +45,23 @@ import os as _os
 FULL_EVALS = _os.environ.get("SPARK_GRAFT_FULL_EVALS", "") == "1"
 
 
+# Diagnostic (opt-in) entries always land here, whatever the env flag:
+# the test suite parity-checks them from these side registries, so the
+# full twins' oracle SQL cannot silently rot while gated out (ADVICE
+# r11 #4). They join QUERIES/ORACLES — the driver-gated surface — only
+# under SPARK_GRAFT_FULL_EVALS=1.
+DIAGNOSTIC_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+DIAGNOSTIC_ORACLES: dict[str, str] = {}
+
+
 def register(name: str, oracle: str | None = None, diagnostic: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        if diagnostic and not FULL_EVALS:
-            return fn  # importable for tests; not driver-gated
+        if diagnostic:
+            DIAGNOSTIC_QUERIES[name] = fn
+            if oracle is not None:
+                DIAGNOSTIC_ORACLES[name] = oracle
+            if not FULL_EVALS:
+                return fn  # importable for tests; not driver-gated
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -685,7 +685,16 @@ def _assign_nearest(embd: DataFrame, seeds: DataFrame, k: int) -> DataFrame:
     deterministic tie-break (ADVICE r5): a vector equidistant to two
     seeds (duplicate embeddings among vec_id < k) must pick the same
     cluster in both engines — quantize d and encode d*K + cid, the
-    knn_pq_adc pattern, mirrored literally in the oracle SQL."""
+    knn_pq_adc pattern, mirrored literally in the oracle SQL.
+
+    Magnitude bound (ADVICE r11 #5): the single-long key wraps BIGINT
+    when squared distance exceeds ~9.2e18/(1e9*K) and loses sub-nano
+    tie resolution past 2^53/1e9 ≈ 9e6 — fine for unit-ish synthetic
+    embeddings and anything L2-normalized, which every oracled entry
+    feeds it. The general-purpose operator (operators/similarity.py
+    cosine_knn_ivf) ranks on a (d_nanos, cid) STRUCT instead, which
+    has no such bound; this helper keeps the literal-long form only
+    because the DuckDB oracle string encodes it verbatim."""
     from .operators.clustering import sq_dist
 
     d = sq_dist(F.col("ed"), F.col("ce"))
@@ -2055,6 +2064,19 @@ def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one |q| x |corpus| pass every recall eval pays; at scale it
     runs on the deterministic hash slice (the `knn_method_eval`
     default's posture)."""
+    out, cand = _ivf_recall_curve_plan(spark, sf_dir)
+    try:
+        rows = out.collect()  # bounded: one row per probe depth
+    finally:
+        cand.unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
+def _ivf_recall_curve_plan(spark: SparkSession, sf_dir: str):
+    """The LAZY curve frame plus its persisted candidate table — split
+    out so the plan pins can explain() the distributed plan (the entry
+    returns a materialized local frame, releasing the cache in-entry,
+    VERDICT r11 #4); callers own the unpersist."""
     from pyspark.sql.window import Window
 
     from .operators.clustering import sq_dist
@@ -2096,9 +2118,10 @@ def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pr",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
-        # Released by the caller's clearCache (queries_registry.py
-        # EXECUTION PROTOCOL) — the per-depth unions below are lazy, so
-        # an in-entry unpersist would force evaluation here.
+        # Released in-entry: the bounded result (|probe depths| rows)
+        # is materialized below, the cache unpersisted, and the rows
+        # returned as a local frame (VERDICT r11 #4 — no reliance on
+        # the harness clearCache contract).
         .persist()
     )
     from .operators.similarity import cosine_knn_bruteforce
@@ -2122,7 +2145,7 @@ def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_hits"),
         )
         per_depth = hits if per_depth is None else per_depth.unionByName(hits)
-    return (
+    out = (
         per_depth.crossJoin(F.broadcast(ne))
         .select(
             F.col("n_probe").cast("int").alias("n_probe"),
@@ -2132,3 +2155,4 @@ def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_probe")
     )
+    return out, cand

@@ -3925,10 +3925,25 @@ def q_lsh_s_curve_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _s_curve_df(docs: DataFrame) -> DataFrame:
-    # words/exact stay persisted until the caller's clearCache — the
-    # returned frame is lazy, so there is no in-entry unpersist point
-    # (queries_registry.py EXECUTION PROTOCOL: harnesses clearCache
-    # between entries; bench.py and the plan pins do).
+    # words/exact persist only for the life of this call: the bounded
+    # result (presets x 10 buckets) is materialized in-entry, the
+    # caches released, and the rows returned as a local frame with the
+    # identical schema (VERDICT r11 #4 — no reliance on the harness
+    # clearCache contract, safe in a long-lived interactive session).
+    out, words, exact = _s_curve_plan(docs)
+    try:
+        rows = out.collect()  # bounded: |presets| x 10 buckets
+    finally:
+        words.unpersist()
+        exact.unpersist()
+    return docs.sparkSession.createDataFrame(rows, out.schema)
+
+
+def _s_curve_plan(docs: DataFrame):
+    """The LAZY curve frame plus its persisted intermediates (words,
+    exact) — split out so the plan pins can explain() the distributed
+    plan (the entry returns a materialized local frame); callers own
+    the unpersists."""
     words = D._words_df(docs).persist()
     exact = (
         D.ngram_jaccard_pairs(
@@ -3973,7 +3988,7 @@ def _s_curve_df(docs: DataFrame) -> DataFrame:
             )
         )
         out = leg if out is None else out.unionByName(leg)
-    return out.select(
+    out = out.select(
         "preset",
         "j_bucket",
         "n_pairs",
@@ -3983,6 +3998,7 @@ def _s_curve_df(docs: DataFrame) -> DataFrame:
             "theory_capture"
         ),
     ).orderBy("preset", "j_bucket")
+    return out, words, exact
 
 
 def _s_curve_sampled_sql(permille: int = 250) -> str:

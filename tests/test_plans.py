@@ -632,13 +632,21 @@ def test_s_curve_single_corpus_scan(spark):
     import re
     from contextlib import redirect_stdout
 
-    from milan_telecom_etl__spark.registry_text import q_lsh_s_curve
+    from milan_telecom_etl__spark.registry_text import _s_curve_plan
+    from milan_telecom_etl__spark.sources.parquet import load_table
 
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        q_lsh_s_curve(spark, SF).explain("formatted")
-    scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", buf.getvalue()))
-    assert len(scan_ids) <= 1, f"lsh_s_curve re-scans documents: {sorted(scan_ids)}"
+    out, words, exact = _s_curve_plan(load_table(spark, SF, "documents"))
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain("formatted")
+        scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", buf.getvalue()))
+        assert len(scan_ids) <= 1, (
+            f"lsh_s_curve re-scans documents: {sorted(scan_ids)}"
+        )
+    finally:
+        words.unpersist()
+        exact.unpersist()
 
 
 def test_ivf_recall_curve_reuses_candidate_cache(spark):
@@ -646,10 +654,13 @@ def test_ivf_recall_curve_reuses_candidate_cache(spark):
     candidate table (InMemoryTableScan), not re-score the corpus —
     at most the assignment/exact scans of the embeddings file."""
     from milan_telecom_etl__spark.registry_similarity import (
-        q_knn_ivf_recall_curve,
+        _ivf_recall_curve_plan,
     )
 
-    df = q_knn_ivf_recall_curve(spark, SF)
-    df.count()  # materialize the candidate persist
-    plan = _plan(df)
-    assert "InMemoryTableScan" in plan, "candidate table no longer cached"
+    df, cand = _ivf_recall_curve_plan(spark, SF)
+    try:
+        df.count()  # materialize the candidate persist
+        plan = _plan(df)
+        assert "InMemoryTableScan" in plan, "candidate table no longer cached"
+    finally:
+        cand.unpersist()
