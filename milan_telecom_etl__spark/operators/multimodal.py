@@ -73,9 +73,36 @@ def synthetic_decode(payload: bytes | None) -> tuple[int, int]:
     return 64 + h[0] % 512, 64 + h[1] % 512
 
 
-def decode_media(media: DataFrame) -> DataFrame:
+def pil_decode(payload: bytes | None) -> tuple[int, int]:
+    """Real-image codec: Pillow inside the worker iterator — the swap
+    the module docstring promises, now an importable code path instead
+    of a comment. Optional-import: raises ImportError where Pillow is
+    absent (this container), which the skip-gated test reports as the
+    reason; on a real deployment every decode_media call site just
+    passes codec=pil_decode. Corrupt/undecodable bytes raise inside
+    PIL and flow through the same error-as-data ok=false path as the
+    synthetic codec's empty-payload ValueError."""
+    import io
+
+    from PIL import Image  # optional dependency, absent in this container
+
+    if not payload:
+        raise ValueError("empty payload")
+    with Image.open(io.BytesIO(payload)) as im:
+        return im.width, im.height
+
+
+def decode_media(media: DataFrame, codec=synthetic_decode) -> DataFrame:
     """Decode stage: payload → dimensions + integrity hash, streamed via
-    mapInPandas (Arrow batches; payloads never collect to the driver)."""
+    mapInPandas (Arrow batches; payloads never collect to the driver).
+
+    `codec` is the injectable decode kernel — (payload bytes) ->
+    (width, height), raising on undecodable input. The default is the
+    deterministic synthetic codec (full SQL oracle); `pil_decode` is
+    the real-image swap. Injection changes NOTHING Spark-side: same
+    output schema, same single MapInPandas over the same pruned
+    (media_id, modality, payload) projection — pinned by
+    tests/test_multimodal.py::test_codec_swap_preserves_plan_and_schema."""
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -85,7 +112,7 @@ def decode_media(media: DataFrame) -> DataFrame:
             for row in pdf.itertuples(index=False):
                 payload = row.payload
                 try:
-                    w, h = synthetic_decode(payload)
+                    w, h = codec(payload)
                     out.append(
                         (row.media_id, row.modality, w, h, len(payload),
                          hashlib.sha256(payload).hexdigest(), True, None)
@@ -156,7 +183,12 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+def resize_media(
+    media: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    codec=synthetic_decode,
+) -> DataFrame:
     """Resize stage: aspect-preserving fit of the synthetic-decoded
     (width, height) into (target_w, target_h), ALL-INTEGER math so both
     engines agree bit-for-bit:
@@ -181,7 +213,7 @@ def resize_media(media: DataFrame, target_w: int = 224, target_h: int = 224) -> 
                 if len(payload) == 0:
                     rows.append((row.media_id, None, None, None))
                     continue
-                w, h = synthetic_decode(payload)
+                w, h = codec(payload)
                 if w * target_h >= h * target_w:
                     ow, oh = target_w, max(1, h * target_w // w)
                 else:

@@ -58,3 +58,95 @@ def running_totals_stream(events_stream):
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Protobuf-free fallback (VERDICT r11 "Next" #6): transformWithState
+# ships its state protos over google.protobuf, which this container
+# lacks — the TWS path above is the production-preferred engine
+# (RocksDB-backed typed handles, timers, TTL), but the SAME per-key
+# running-totals semantics are expressible on the older
+# applyInPandasWithState API, which serializes state through Arrow
+# rows and needs no protobuf. `running_totals_stream_auto` picks TWS
+# when the environment can run it and falls back otherwise, so the
+# operator (and its test) runs everywhere.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+_OUTPUT_STRUCT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+_STATE_STRUCT = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def _running_totals_group(key, pdfs, state):
+    """Per-key fold, identical arithmetic to RunningTotalsProcessor
+    (float sum/max over the batch merged into (n, total, max) state)."""
+    import pandas as pd
+
+    if state.exists:
+        n, total, mx = state.get
+    else:
+        n, total, mx = 0, 0.0, float("-inf")
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        mx = max(mx, float(pdf["value"].max()))
+    state.update((n, total, mx))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n": [n], "total": [total], "max_value": [mx]}
+    )
+
+
+def running_totals_stream_fallback(events_stream):
+    """applyInPandasWithState spelling of `running_totals_stream` —
+    same output schema, same per-batch update semantics, no protobuf
+    dependency. State rides the default state store; for disk-bounded
+    state at scale, prefer the TWS path where the environment has
+    protobuf."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _running_totals_group,
+        outputStructType=_OUTPUT_STRUCT,
+        stateStructType=_STATE_STRUCT,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def has_transform_with_state_runtime() -> bool:
+    """True when the TWS python worker can actually run (google.protobuf
+    importable) — the env gate, factored so callers and tests share it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_stream_auto(events_stream):
+    """The shipped entry point: transformWithStateInPandas where the
+    runtime supports it, the applyInPandasWithState fallback otherwise.
+    Both emit identical rows for the same input batches."""
+    if has_transform_with_state_runtime():
+        return running_totals_stream(events_stream)
+    return running_totals_stream_fallback(events_stream)

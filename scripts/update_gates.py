@@ -76,9 +76,24 @@ def main() -> int:
                     "sha": sha,
                     "rows_only": "hash_match" not in rec,
                 }
+    # Drop names no longer in the gated registry (renamed defaults,
+    # demoted diagnostics): a standing gate for a name the driver can
+    # no longer run is noise, and the r11 sampled-default renames left
+    # three such ghosts (VERDICT r11 "What's missing" #1).
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entrymod
+
+    current = set(entrymod.queries())
+    dropped = sorted(set(entries) - current)
+    entries = {k: v for k, v in entries.items() if k in current}
+    ungated = sorted(current - set(entries))
     out = {"entries": entries, "rounds": {str(k): v for k, v in sorted(shas.items())}}
     (REPO / "GATES.json").write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
     print(f"GATES.json: {len(entries)} entries across rounds {sorted(shas)}")
+    if dropped:
+        print(f"dropped (no longer registered): {dropped}")
+    if ungated:
+        print(f"registered but never driver-gated yet: {ungated}")
     return 0
 
 
