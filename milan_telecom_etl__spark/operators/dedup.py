@@ -590,7 +590,19 @@ def incremental_near_dups(
     new_b = banded.filter(F.col("doc_id") < new_max_id).select(
         "band_id", "band_hash", F.col("doc_id").alias("new_doc")
     )
-    cand = (
+    cand = _incremental_candidates(banded, new_b, new_max_id)
+    sh = shingle_table(docs, text_col, n, max_shingle_df, words).persist()
+    return _incremental_verify(cand, sh, threshold, new_max_id)
+
+
+def _incremental_candidates(
+    banded: DataFrame, new_b: DataFrame, new_max_id: int
+) -> DataFrame:
+    """Probe join shared by the train-in-run and standing-index forms:
+    the batch's banded signatures broadcast against the (index+batch)
+    banded table; keep probes FROM the batch (any index hit, keep-first
+    within the batch)."""
+    return (
         banded.join(F.broadcast(new_b), ["band_id", "band_hash"])
         .filter(
             (F.col("doc_id") >= F.lit(new_max_id))
@@ -599,7 +611,14 @@ def incremental_near_dups(
         .select("new_doc", F.col("doc_id").alias("dup_of"))
         .distinct()
     )
-    sh = shingle_table(docs, text_col, n, max_shingle_df, words).persist()
+
+
+def _incremental_verify(
+    cand: DataFrame, sh: DataFrame, threshold: float, new_max_id: int
+) -> DataFrame:
+    """Exact-Jaccard verify over the df-capped shingle table, restricted
+    to the candidate probes — shared by both incremental forms so they
+    cannot drift."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("new_doc"), "shingle"), "new_doc")
@@ -628,6 +647,66 @@ def incremental_near_dups(
             (F.col("dup_of") >= F.lit(new_max_id)).alias("in_index"),
         )
     )
+
+
+def incremental_near_dups_serving(
+    batch_docs: DataFrame,
+    index_banded: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str = "text",
+    new_max_id: int = 100,
+    n: int = 3,
+    num_hashes: int = 64,
+    band_size: int = 4,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """The STANDING-INDEX form of `incremental_near_dups` — the "in
+    steady state the index's banded table is a stored artifact"
+    sentence above, realized: the index side arrives as warehouse
+    artifacts (its banded signature table and its UNCAPPED shingle
+    inverted index — the tables an index refresh job writes), and only
+    the arriving batch's signatures and shingles are computed at probe
+    time. Per-batch cost never scans the standing corpus: the batch's
+    banded signatures broadcast against the stored banded table, and
+    the verify join reads only candidate docs' shingle rows.
+
+    Exactness contract vs the train-in-run twin: MinHash signatures
+    are per-doc (map-only over the doc's own shingles), so the stored
+    banded rows are batch-independent — but the df stop-shingle cap
+    must see the UNION's document frequencies (a batch can push a
+    shingle over the cap), which is WHY the artifact stores the index
+    shingles uncapped: the cap applies here to artifact+batch combined,
+    reproducing shingle_table(all_docs, cap) bit-for-bit. Both forms
+    share _incremental_candidates/_incremental_verify, so their plans
+    differ only in where the index tables come from."""
+    # words persists across its two consumers (banded + shingles) until
+    # the caller's materialization/clearCache — same lifecycle as the
+    # train-in-run twin's persists.
+    words = _words_df(batch_docs, text_col).persist()
+    batch_banded = minhash_banded(
+        batch_docs, text_col, n, num_hashes, band_size, words
+    )
+    banded = index_banded.select("doc_id", "band_id", "band_hash").unionByName(
+        batch_banded.select("doc_id", "band_id", "band_hash")
+    )
+    new_b = batch_banded.select(
+        "band_id", "band_hash", F.col("doc_id").alias("new_doc")
+    )
+    cand = _incremental_candidates(banded, new_b, new_max_id)
+    sh_all = index_shingles.select("doc_id", "shingle").unionByName(
+        shingle_table(batch_docs, text_col, n, None, words)
+    )
+    if max_shingle_df is not None:
+        heavy = (
+            sh_all.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh_all = sh_all.join(F.broadcast(heavy), "shingle", "left_anti")
+    sh = sh_all.persist()
+    return _incremental_verify(cand, sh, threshold, new_max_id)
 
 
 def containment_probe_candidates(

@@ -656,6 +656,93 @@ def cosine_knn_ivf(
     )
 
 
+def cosine_knn_ivf_serving(
+    embeddings: DataFrame,
+    cell_assignments: DataFrame,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    n_queries: int = 5,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`cosine_knn_ivf` in its STANDING-INDEX serving form: the corpus
+    cell assignment — the expensive |corpus| x |seeds| E-step — arrives
+    as a stored (vec_id, cell) artifact written by the offline index
+    build, and probe time computes distances only for the QUERY
+    vectors (|queries| x |seeds|, trivially small). Identical results
+    to the train-in-run form for the same corpus: the artifact rows
+    ARE that form's `cells` frame (same struct tie-key discipline at
+    build time). At 100 TB the corpus is additionally written
+    partitioned BY cell so the probe join prunes partitions; here the
+    join on `cell` expresses the same access path."""
+    from .clustering import sq_dist
+
+    seeds = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    d = sq_dist(_as_double(F.col(vec_col)), _as_double(F.col("ce")))
+    w_probe = Window.partitionBy(id_col).orderBy("d", "cid")
+    probes = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .crossJoin(F.broadcast(seeds))
+        .select(F.col(id_col), F.col("cid"), d.alias("d"))
+        .withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select(F.col(id_col).alias("query_id"), F.col("cid").alias("cell"))
+    )
+    corpus = embeddings.join(
+        cell_assignments.select(id_col, "cell"), id_col
+    )
+    queries = embeddings.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qe")
+    )
+    cand = (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.round(cosine(_as_double(F.col("qe")), _as_double(F.col(vec_col))), 6).alias(
+            "cos_sim"
+        ),
+    )
+    w_rk = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def ivf_cell_assignments(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The offline IVF index build: (vec_id, cell) via the same struct
+    tie-key E-step `cosine_knn_ivf` runs inline (that one keeps its
+    own copy because it SHARES the distance-pair subtree between cell
+    assignment and query probes — one crossJoin, two consumers; here
+    the assignment is the whole job)."""
+    from .clustering import sq_dist
+
+    seeds = embeddings.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("ce")
+    )
+    d = sq_dist(_as_double(F.col(vec_col)), _as_double(F.col("ce")))
+    pairs = embeddings.crossJoin(F.broadcast(seeds)).select(
+        F.col(id_col), F.col("cid"), d.alias("d")
+    )
+    tie = F.struct(
+        F.round(F.col("d") * 1e9).cast("long").alias("dq"), F.col("cid")
+    )
+    return pairs.groupBy(id_col).agg(F.min_by("cid", tie).alias("cell"))
+
+
 def l2_normalize(df: DataFrame, vec_col: str = "embedding", out_col: str = "unit") -> DataFrame:
     """Unit-normalize an embedding column (prep for cosine → dot-only
     scoring: normalize once at ingest, then every downstream similarity

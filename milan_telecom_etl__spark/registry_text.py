@@ -353,6 +353,46 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("incremental_dedup_serving", _incremental_dedup_sql())
+def q_incremental_dedup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_dedup` in its STANDING-ARTIFACT serving posture
+    (the r12 streaming-probe discipline applied to the dedup north
+    star): the index side's banded MinHash signature table and its
+    UNCAPPED shingle inverted index are warehouse-parquet artifacts
+    (artifacts.py — built once per corpus fingerprint by the offline
+    index-refresh job `dedup_index_compaction` models), and only the
+    arriving batch's signatures/shingles are computed at probe time.
+    Identical output to `incremental_dedup` (same oracle; the df
+    stop-shingle cap applies to artifact+batch UNION frequencies —
+    see operators/dedup.py incremental_near_dups_serving for why the
+    artifact must store uncapped shingles). At 100 TB this is the form
+    that never rescans the corpus per batch: probe cost is
+    O(batch signatures + candidate shingle rows)."""
+    from .artifacts import load_or_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = _INCR_NEW_MAX_ID
+    index_docs = docs.filter(F.col("doc_id") >= b)
+    banded = load_or_build(
+        spark,
+        sf_dir,
+        f"dedup_banded_64x4_n3_b{b}",
+        lambda: D.minhash_banded(index_docs, num_hashes=64, band_size=4),
+    )
+    shingles = load_or_build(
+        spark,
+        sf_dir,
+        f"dedup_shingles_n3_uncapped_b{b}",
+        lambda: D.shingle_table(index_docs, n=3),
+    )
+    return D.incremental_near_dups_serving(
+        docs.filter(F.col("doc_id") < b),
+        banded,
+        shingles,
+        new_max_id=b,
+    )
+
+
 @register("minhash_lsh_sharp", _lsh_sql(num_hashes=64, band_size=4))
 def q_minhash_lsh_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharp-banding MinHash LSH: 64 hashes in 16 bands of 4 rows —

@@ -96,3 +96,62 @@ def test_fertility_artifact_is_the_trained_vocab(spark):
         "w", F.size(_bpe_syms_col("alpha")).alias("n")
     ).collect()
     assert rows and all(r["n"] >= 1 for r in rows)
+
+
+def test_index_serving_twins_match_train_in_run(spark):
+    """The standing-index serving entries (dedup + ANN) must produce
+    exactly the train-in-run twins' rows — the artifact round-trip and
+    the union-df-cap discipline lose nothing."""
+    from milan_telecom_etl__spark import registry_similarity  # noqa: F401
+    from milan_telecom_etl__spark import registry_text  # noqa: F401
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for serve, train, keys in (
+        ("incremental_dedup_serving", "incremental_dedup", ("new_doc", "dup_of")),
+        ("knn_ivf_serving", "knn_ivf", ("query_id", "rk")),
+    ):
+        s = {tuple(r[k] for k in keys): r for r in QUERIES[serve](spark, sf).collect()}
+        t = {tuple(r[k] for k in keys): r for r in QUERIES[train](spark, sf).collect()}
+        assert s and s.keys() == t.keys(), f"{serve} keys != {train}"
+        assert all(s[k] == t[k] for k in s), f"{serve} != {train}"
+
+
+def test_dedup_serving_df_cap_sees_union_frequencies(spark, tmp_path, monkeypatch):
+    """The reason the dedup shingle artifact stores UNCAPPED rows: a
+    batch can push a shingle over the df cap, and the serving form must
+    drop it exactly as the combined computation would. Crafted corpus:
+    a shingle at df == cap in the index alone crosses the cap once the
+    batch arrives; with cap=2 the serving and train-in-run outputs must
+    still agree (both drop it)."""
+    import pyspark.sql.functions as F
+
+    from milan_telecom_etl__spark.operators.dedup import (
+        incremental_near_dups,
+        incremental_near_dups_serving,
+        minhash_banded,
+        shingle_table,
+    )
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),      # batch
+        (1, "alpha beta gamma delta epsilon zeta"),      # batch dup of 0
+        (100, "alpha beta gamma delta epsilon zeta"),    # index
+        (101, "alpha beta gamma delta epsilon eta"),     # index near-dup
+        (102, "totally different words entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 2
+    train = incremental_near_dups(
+        docs, new_max_id=100, max_shingle_df=cap
+    ).collect()
+    idx = docs.filter(F.col("doc_id") >= 100)
+    serve = incremental_near_dups_serving(
+        docs.filter(F.col("doc_id") < 100),
+        minhash_banded(idx, num_hashes=64, band_size=4),
+        shingle_table(idx, n=3),  # UNCAPPED, by contract
+        new_max_id=100,
+        max_shingle_df=cap,
+    ).collect()
+    key = lambda r: (r["new_doc"], r["dup_of"])
+    assert {key(r): r for r in serve} == {key(r): r for r in train}
