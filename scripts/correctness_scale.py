@@ -25,6 +25,11 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("correctness-scale")
+        # the default 1g driver heap OOMed mid-sweep at 241 entries
+        # (r12): persisted intermediates accumulate across entries and
+        # the driver IS the executor in local mode — size it like the
+        # real bench harness does
+        .config("spark.driver.memory", "24g")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -39,6 +44,9 @@ def main() -> int:
     failures: dict[str, str] = {}
     for name, fn in m.queries().items():
         try:
+            # entries legitimately persist shared subtrees and rely on
+            # the harness clearing between entries (EXECUTION PROTOCOL)
+            spark.catalog.clearCache()
             df = fn(spark, sf_dir)
             if name in oracles:
                 ok, msg = compare(df, con, oracles[name])
