@@ -81,6 +81,10 @@ def main() -> int:
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("saturation-counters")
+        # match the bench harness's heap (session.get_spark default 8g)
+        # so the counters describe the SAME memory envelope the sweep
+        # numbers came from — the default 1g OOMs tfidf at sf10 anyway
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
