@@ -609,3 +609,91 @@ def q_multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") - 1).cast("long").alias("n_dropped"),
         F.max("c").cast("long").alias("max_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prototype-based data pruning (Sorscher et al. 2022, "Beyond neural
+# scaling laws"): rank every example by distance to its cluster
+# prototype and PRUNE the most prototypical (easiest) fraction — the
+# embedding-space answer to "which 30% of a 100 TB corpus can training
+# skip". Extension beyond the reference surface (north-star family).
+# ---------------------------------------------------------------------------
+
+PRUNE_FRAC = 0.3  # drop the closest-to-prototype 30% of each cluster
+PROTO_K = 4
+
+
+@register(
+    "prototype_pruning",
+    f"""
+    WITH s AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+               WHERE vec_id < {PROTO_K}),
+    p AS (SELECT e.vec_id, s.cid, round({_SQDIST}, 9) AS d
+          FROM embeddings e, s),
+    a AS (SELECT vec_id, cid, d FROM (
+            SELECT vec_id, cid, d,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM p) WHERE rn = 1),
+    t AS (SELECT cid, quantile_cont(d, {PRUNE_FRAC}) AS thr FROM a GROUP BY cid)
+    SELECT a.cid AS cluster,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN a.d >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           round(t.thr, 6) AS prune_thr,
+           round(sum(CASE WHEN a.d >= t.thr THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS keep_rate
+    FROM a JOIN t ON a.cid = t.cid
+    GROUP BY a.cid, t.thr
+    """,
+)
+def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density/prototype pruning (Sorscher et al. 2022): assign each
+    embedding to its nearest prototype (deterministic seed centroids,
+    same discipline as kmeans_estep), take the per-cluster PRUNE_FRAC
+    distance quantile as the cutoff, and keep only examples at least
+    that far from the prototype (the hard ones). Report is per-cluster
+    (k rows): size, kept count, cutoff, keep rate.
+
+    Scale shape: assignment is a map-side fold against k broadcast
+    seed rows (no shuffle of the corpus by cluster); the cutoff is ONE
+    k-row aggregation; the keep decision is a map-side filter under a
+    broadcast k-row threshold table. No per-cluster rank window ever
+    touches the corpus — the exact `percentile` here swaps for
+    `approx_percentile` at 100 TB with the same plan (docstring'd so
+    the oracle stays exact). The assigned frame persists for its two
+    bounded consumers and is released by the harness clearCache
+    contract (queries_registry module docstring). Distances are
+    index-ordered folds quantized to 9dp, the kmeans oracle
+    discipline — bit-identical to DuckDB's list_sum."""
+    from .operators.clustering import sq_dist
+    from .operators.similarity import _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < PROTO_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    d = F.round(sq_dist(_as_double(F.col("embedding")), _as_double(F.col("ce"))), 9)
+    pairs = emb.crossJoin(F.broadcast(seeds)).select("vec_id", "cid", d.alias("d"))
+    a = (
+        pairs.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cluster"), F.col("m.d").alias("d"))
+        .persist()
+    )
+    thr = a.groupBy("cluster").agg(F.percentile("d", PRUNE_FRAC).alias("thr"))
+    kept = F.sum(F.when(F.col("d") >= F.col("thr"), 1).otherwise(0))
+    return (
+        a.join(F.broadcast(thr), "cluster")
+        .groupBy("cluster", "thr")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            kept.cast("long").alias("n_kept"),
+        )
+        .select(
+            "cluster",
+            "n_docs",
+            "n_kept",
+            F.round(F.col("thr"), 6).alias("prune_thr"),
+            F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
+        )
+    )

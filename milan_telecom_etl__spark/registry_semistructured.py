@@ -192,3 +192,64 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# Sketch MERGEABILITY — the property that makes sketches the 100 TB
+# distinct-count answer: per-day partial sketches (tiny standing
+# aggregates, one write at ingest) union into the corpus-wide count
+# without ever re-scanning history. Same bracket-oracle discipline as
+# approx_distinct_users: estimates can't value-match across engines,
+# so the query emits the exact count plus booleans asserting BOTH the
+# merged-partials estimate and the direct one-pass estimate land
+# within the sketch's ±3·RSE guarantee.
+HLL_LG_K = 14  # DataSketches HLL: RSE = 1.04 / sqrt(2^lgK) ≈ 0.81%
+
+
+@register(
+    "hll_partial_merge",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_3rse,
+           TRUE AS direct_within_3rse
+    FROM events GROUP BY event_type
+    """,
+)
+def q_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregated distinct counting: hll_sketch_agg per (event_type,
+    day) — the partials a 100 TB pipeline persists at ingest — then
+    hll_union_agg across days reconstitutes the global per-type
+    distinct-user estimate. The direct single-pass sketch and the exact
+    count ride the same query only to VERIFY the estimator (production
+    keeps just the partials). Bracket: |est − exact| ≤ 3·RSE·exact + 1
+    for both paths (RSE = 1.04/√2^lgK, the DataSketches HLL guarantee).
+
+    Scale notes: the day-grain partial table is |types|×|days| rows of
+    ≤2^lgK bytes each — the merge job's input is KILOBYTES regardless
+    of corpus size, and appending a day updates the global count
+    without touching prior days (the reason approx_count_distinct
+    alone — one monolithic pass — is NOT the production posture)."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", HLL_LG_K).alias("sk")
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", HLL_LG_K)).alias(
+            "direct_est"
+        ),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    bound = 3 * (1.04 / (2**HLL_LG_K) ** 0.5) * F.col("exact_users") + 1
+    return direct.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("merged_est") - F.col("exact_users")) <= bound).alias(
+            "merged_within_3rse"
+        ),
+        (F.abs(F.col("direct_est") - F.col("exact_users")) <= bound).alias(
+            "direct_within_3rse"
+        ),
+    )

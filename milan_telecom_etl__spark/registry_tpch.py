@@ -1281,3 +1281,56 @@ def q_revenue_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed-warehouse co-located join — the index substitute demonstrated
+# (SURVEY.md §4.2: idx_traffic_cell / idx_traffic_composite map to
+# bucketing, not to any per-query operator).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bucketed_order_revenue",
+    f"""
+    SELECT l_orderkey,
+           round(sum({_CENTS} * (100 - {_D100})) / 10000.0, 4) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           o_custkey, o_orderdate
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY l_orderkey, o_custkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 orders by revenue over the BUCKETED warehouse copies of
+    lineitem and orders (both hash-clustered + sorted on orderkey into
+    16 buckets, built once per corpus by `bucketed.bucketed_table` —
+    the Spark substitute for the reference's B-tree fact indexes,
+    src/database.py:115-117). The entire plan is exchange-free:
+    groupBy(l_orderkey) is satisfied by the lineitem scan's bucket
+    partitioning (single HashAggregate, no partial/final Exchange
+    pair), the orders join is a co-partitioned sort-merge join (merge
+    hint — orders is corpus-grain, never broadcastable at scale), and
+    the top-10 is TakeOrderedAndProject. At 100 TB this is the
+    pay-the-shuffle-once-at-ingest posture: every orderkey-grain query
+    after ingest reads co-located buckets and shuffles nothing.
+    Plan-pinned in tests/test_plans.py (zero Exchange of any kind)."""
+    from .bucketed import bucketed_table
+
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(_rev_units()) / 10000.0, 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        per_order.join(
+            orders.hint("merge").select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("l_orderkey", "revenue", "n_lines", "o_custkey", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

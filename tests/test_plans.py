@@ -722,3 +722,31 @@ def test_aqe_skew_join_fires_and_matches_salted(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_order_revenue_is_exchange_free(spark):
+    # the bucketed-warehouse demo's whole point: groupBy on the bucket
+    # key, the orderkey SMJ, and the top-10 all run without ANY
+    # exchange (no shuffle, no broadcast) — the shuffle was paid once
+    # at ingest by bucketed.bucketed_table.
+    import __spark_entry__ as m
+
+    df = m.queries()["bucketed_order_revenue"](spark, SF)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_table_reregisters_metadata_only(spark):
+    # a fresh session (here: a dropped catalog entry) re-registers the
+    # existing bucketed files via DDL — the scan must still report the
+    # bucket spec (Bucketed: true path), not degrade to a plain scan.
+    from milan_telecom_etl__spark.bucketed import bucketed_table, _table_name
+
+    name = _table_name(SF, "orders", "o_orderkey")
+    bucketed_table(spark, SF, "orders", "o_orderkey")  # ensure built
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    df = bucketed_table(spark, SF, "orders", "o_orderkey")
+    agg = df.groupBy("o_orderkey").count()
+    assert "Exchange" not in _plan(agg)

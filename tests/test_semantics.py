@@ -3075,3 +3075,60 @@ def test_dedup_cluster_profile_identities(spark):
         assert r["n_droppable"] == r["n_docs"] - r["n_clusters"]
     one = next(r for r in rows if r["cluster_size"] == 1)
     assert one["corpus_share"] > 0.5
+
+
+def test_prototype_pruning_keeps_hard_fraction(spark):
+    # per-cluster keep rate must sit at ~1-PRUNE_FRAC (ties can push it
+    # above, never below), thresholds must be positive, and the kept
+    # set must never exceed the cluster size.
+    import __spark_entry__ as m
+    from milan_telecom_etl__spark.registry_ml import PROTO_K, PRUNE_FRAC
+
+    rows = m.queries()["prototype_pruning"](spark, SF).collect()
+    assert len(rows) == PROTO_K
+    assert sum(r.n_docs for r in rows) > 0
+    for r in rows:
+        assert 0 < r.n_kept <= r.n_docs
+        # quantile_cont interpolates at index frac*(n-1): the strict
+        # >= thr cut can exclude one extra row vs the ideal fraction
+        assert r.keep_rate >= 1 - PRUNE_FRAC - 1.0 / r.n_docs - 1e-9
+        assert r.keep_rate <= 1.0
+        assert r.prune_thr > 0
+    spark.catalog.clearCache()
+
+
+def test_hll_partial_merge_brackets_hold(spark):
+    # both the merged-partials and the direct sketch estimates must
+    # land inside the 3-RSE bracket at every event_type.
+    import __spark_entry__ as m
+
+    rows = m.queries()["hll_partial_merge"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.merged_within_3rse, r
+        assert r.direct_within_3rse, r
+
+
+def test_bucketed_order_revenue_matches_unbucketed(spark):
+    # the bucketed-warehouse copy is a pure physical re-layout: the
+    # top-10 must be identical to the same query over the plain parquet.
+    import __spark_entry__ as m
+    from milan_telecom_etl__spark.sources.parquet import load_table
+    from milan_telecom_etl__spark.registry_tpch import _rev_units
+    from pyspark.sql import functions as F
+
+    got = [tuple(r) for r in m.queries()["bucketed_order_revenue"](spark, SF).collect()]
+    li = load_table(spark, SF, "lineitem")
+    orders = load_table(spark, SF, "orders")
+    plain = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.round(F.sum(_rev_units()) / 10000.0, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "revenue", "n_lines", "o_custkey", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+    assert got == [tuple(r) for r in plain.collect()]
