@@ -1075,3 +1075,69 @@ def q_market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "pa", "pb")
         .limit(20)
     )
+
+
+@register(
+    "bucketed_user_sessions",
+    f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id,
+           CAST(max(session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id
+    ORDER BY n_sessions DESC, user_id LIMIT 20
+    """,
+)
+def q_bucketed_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization + per-user rollup over the BUCKETED events copy
+    (hash-clustered + sorted on user_id — the serving layout for every
+    user-grain query family: sessionize, retention, running totals,
+    gap stats). Both windows (the lag gap-detector and the running
+    session-id sum) require only ClusteredDistribution(user_id), which
+    the bucketed scan already satisfies, and the per-user aggregate
+    rides the same partitioning: the ENTIRE sessionize→rollup→top-k
+    plan runs without any Exchange (plan-pinned) — the per-query
+    shuffle of the event fact (the reference's idx_traffic_cell lookup
+    shape, src/database.py:116) was paid once at bucketed ingest.
+    Semantics are exactly `sessionize`'s 30-minute gap rule; output is
+    the top-20 users by session count (deterministic user_id
+    tiebreak)."""
+    from .bucketed import bucketed_table
+
+    ev = bucketed_table(spark, sf_dir, "events", "user_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_s = F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_id"),
+    )
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("n_sessions"), "user_id")
+        .limit(20)
+    )

@@ -750,3 +750,14 @@ def test_bucketed_table_reregisters_metadata_only(spark):
     df = bucketed_table(spark, SF, "orders", "o_orderkey")
     agg = df.groupBy("o_orderkey").count()
     assert "Exchange" not in _plan(agg)
+
+
+def test_bucketed_user_sessions_is_exchange_free(spark):
+    # windows (lag + running sum) and the per-user rollup all ride the
+    # events bucket partitioning on user_id: no Exchange anywhere.
+    import __spark_entry__ as m
+
+    plan = _plan(m.queries()["bucketed_user_sessions"](spark, SF))
+    assert "Exchange" not in plan
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan
