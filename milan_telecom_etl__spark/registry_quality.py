@@ -2416,3 +2416,55 @@ def q_domain_reweighting(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dw("qw") * dw("nt")).cast("double") / F.col("sw").cast("double"), 6
         ).alias("uplift"),
     )
+
+
+# l-diversity (Machanavajjhala et al. 2007) — k-anonymity's sibling:
+# group size alone doesn't stop attribute disclosure when everyone in
+# a large QI group shares the same sensitive value. Sensitive
+# attribute here: the account-balance band (1000-wide buckets).
+L_DIVERSITY_THRESHOLD = 3
+
+
+@register(
+    "l_diversity_audit",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS group_n,
+             count(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT))
+               AS l_distinct
+      FROM customer GROUP BY 1, 2
+    ),
+    l AS (SELECT min(l_distinct) AS l_diversity FROM g)
+    SELECT g.c_nationkey, g.c_mktsegment,
+           CAST(g.group_n AS BIGINT) AS group_n,
+           CAST(g.l_distinct AS BIGINT) AS l_distinct,
+           CAST(l.l_diversity AS BIGINT) AS l_diversity,
+           g.l_distinct < {L_DIVERSITY_THRESHOLD} AS risky
+    FROM g, l
+    """,
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-l-diversity over the same (nation, segment) QI as
+    k_anonymity_audit with the balance band as the sensitive
+    attribute: per-group distinct sensitive values, the dataset's l
+    (minimum across groups), and the attribute-disclosure flag for
+    groups under l=3. Same shape as the k audit — one hash agg whose
+    output is QI-cardinality-bounded, plus a broadcast 1-row minimum;
+    the distinct-count rides the partial aggregation (map-side
+    distinct on (QI, band)), so nothing corpus-sized shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.count_distinct(band).alias("l_distinct"),
+    )
+    l = g.agg(F.min("l_distinct").alias("l_diversity"))
+    return g.crossJoin(F.broadcast(l)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("group_n").cast("long").alias("group_n"),
+        F.col("l_distinct").cast("long").alias("l_distinct"),
+        F.col("l_diversity").cast("long").alias("l_diversity"),
+        (F.col("l_distinct") < L_DIVERSITY_THRESHOLD).alias("risky"),
+    )
