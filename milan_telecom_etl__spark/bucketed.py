@@ -42,9 +42,11 @@ from .sources.parquet import load_table
 N_BUCKETS = 16
 
 
-def _table_name(sf_dir: str, table: str, key: str) -> str:
+def _table_name(sf_dir: str, table: str, key: str, n: int = N_BUCKETS) -> str:
+    # n is part of the identity: the same table bucketed at two widths
+    # (e.g. a resizing experiment) is two distinct physical layouts
     loc = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return f"bkt_{loc}_{corpus_fingerprint(sf_dir, table)}_{table}_{key}"
+    return f"bkt_{loc}_{corpus_fingerprint(sf_dir, table)}_{table}_{key}_{n}"
 
 
 def bucketed_table(
@@ -54,7 +56,7 @@ def bucketed_table(
     and sorted on `key` into `n` buckets, building the bucketed copy
     exactly once per (corpus, fingerprint) and re-registering existing
     files metadata-only in fresh sessions."""
-    name = _table_name(sf_dir, table, key)
+    name = _table_name(sf_dir, table, key, n)
     if spark.catalog.tableExists(name):
         return spark.table(name)
     path = os.path.join(artifact_root(), "bucketed", name)
