@@ -761,3 +761,22 @@ def test_bucketed_user_sessions_is_exchange_free(spark):
     assert "Exchange" not in plan
     assert "Window" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_half_written_build_is_rebuilt(spark, tmp_path, monkeypatch):
+    # a killed build leaves files without _SUCCESS: the loader must
+    # rebuild, never register the partial files (bucketed._fs_exists
+    # checks the committer marker, same contract as artifacts.py).
+    import os
+    from milan_telecom_etl__spark import bucketed as B
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
+    name = B._table_name(SF, "nation", "n_nationkey")
+    path = os.path.join(str(tmp_path), "bucketed", name)
+    os.makedirs(path)
+    with open(os.path.join(path, "part-garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    df = B.bucketed_table(spark, SF, "nation", "n_nationkey")
+    assert df.count() > 0  # rebuilt (reading the garbage file would throw)
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
