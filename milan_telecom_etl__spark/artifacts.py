@@ -74,8 +74,16 @@ def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
     return h
 
 
+def loc_key(sf_dir: str, extra: str = "") -> str:
+    """Location digest for artifact identity: md5 of the corpus abspath
+    (plus any extra identity material, e.g. the artifact root itself
+    when the derived NAME outlives the root — bucketed catalog names)."""
+    base = os.path.abspath(sf_dir) + ("\0" + extra if extra else "")
+    return hashlib.md5(base.encode()).hexdigest()[:12]
+
+
 def artifact_path(sf_dir: str, name: str, table: str = "documents") -> str:
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = loc_key(sf_dir)
     return os.path.join(
         artifact_root(), f"{key}-{corpus_fingerprint(sf_dir, table)}", name
     )

@@ -31,21 +31,25 @@ Mechanics (and why they hold on a real cluster):
 
 from __future__ import annotations
 
-import hashlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .artifacts import _fs_exists, artifact_root, corpus_fingerprint
+from .artifacts import _fs_exists, artifact_root, corpus_fingerprint, loc_key
 from .sources.parquet import load_table
 
 N_BUCKETS = 16
 
 
 def _table_name(sf_dir: str, table: str, key: str, n: int = N_BUCKETS) -> str:
-    # n is part of the identity: the same table bucketed at two widths
-    # (e.g. a resizing experiment) is two distinct physical layouts
-    loc = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    # identity = (corpus location, corpus fingerprint, table, key, n)
+    # PLUS the artifact root: the catalog entry is keyed by this NAME
+    # while the files live under the root, so a root change mid-session
+    # (e.g. a test monkeypatching SPARK_GRAFT_ARTIFACTS) must miss the
+    # catalog and rebuild instead of serving files under the old root
+    # (r12 review). n is identity too — two widths of the same table
+    # are two distinct physical layouts.
+    loc = loc_key(sf_dir, extra=os.path.abspath(artifact_root()))
     return f"bkt_{loc}_{corpus_fingerprint(sf_dir, table)}_{table}_{key}_{n}"
 
 

@@ -19,6 +19,21 @@ from .sources.parquet import load_table
 SESSION_GAP_MIN = 30
 
 
+def _new_session_flag(w) -> "F.Column":
+    """1 where a session starts under the 30-min gap rule: first event
+    for the user, or gap since the previous one > SESSION_GAP_MIN.
+    Shared by q_sessionize and q_bucketed_user_sessions so the rule
+    can't desynchronize between them. Microsecond-exact (unix_micros):
+    a seconds cast would truncate sub-second timestamps and could flip
+    a session boundary vs the oracle's full-precision INTERVAL compare
+    on a sub-second corpus (r12 review)."""
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    return F.when(
+        gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+
+
 @register(
     "sessionize",
     f"""
@@ -49,10 +64,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     key end-to-end, no repartitioning between steps."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(
-        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
-    ).otherwise(0)
+    new_session = _new_session_flag(w)
     # event_id tie-break keeps tied-timestamp rows deterministic on both
     # sides of the parity gate (ADVICE r2)
     ws = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
@@ -1120,10 +1132,7 @@ def q_bucketed_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = bucketed_table(spark, sf_dir, "events", "user_id")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_s = F.when(
-        gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1
-    ).otherwise(0)
+    new_s = _new_session_flag(w)
     s = ev.select(
         "user_id",
         "ts",

@@ -776,7 +776,10 @@ def test_bucketed_half_written_build_is_rebuilt(spark, tmp_path, monkeypatch):
     os.makedirs(path)
     with open(os.path.join(path, "part-garbage.parquet"), "wb") as f:
         f.write(b"not parquet")
-    df = B.bucketed_table(spark, SF, "nation", "n_nationkey")
-    assert df.count() > 0  # rebuilt (reading the garbage file would throw)
-    assert os.path.exists(os.path.join(path, "_SUCCESS"))
-    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+    try:
+        df = B.bucketed_table(spark, SF, "nation", "n_nationkey")
+        assert df.count() > 0  # rebuilt (reading garbage would throw)
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    finally:
+        # never leak a tmp_path-backed catalog entry into the session
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
