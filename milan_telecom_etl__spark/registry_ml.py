@@ -697,3 +697,117 @@ def q_prototype_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_kept") / F.col("n_docs"), 6).alias("keep_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN label-noise audit (confident-learning-shaped, Northcutt et al.
+# 2021): flag examples whose label disagrees with their neighborhood's
+# majority label — the label-quality gate a supervised corpus runs
+# before training. Sampled-query discipline (hash slice), like every
+# |queries|x|corpus| eval in the registry.
+# ---------------------------------------------------------------------------
+
+LABEL_NOISE_K = 5
+LABEL_NOISE_MAX_Q = 32  # absolute query budget: the audit is an
+# ESTIMATE of per-label noise rates, so its cost must be corpus-LINEAR
+# (fixed queries x corpus), not quadratic via a proportional slice —
+# the same absolute-cap discipline as knn_method_eval's 5-query exact
+# leg (VERDICT r10 #1: no default-gated entry carries a >3x decade;
+# the uncapped slice measured 34.7x at 10x data before the cap)
+_NOISE_SQDIST = (
+    "list_sum(list_transform(range(1, 65), i -> "
+    "(c.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)"
+    " * (c.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)))"
+)
+
+
+@register(
+    "knn_label_noise_audit",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding, label AS qlabel
+               FROM embeddings
+               WHERE vec_id % 97 = 0 AND vec_id < 97 * {LABEL_NOISE_MAX_Q}),
+    p AS (
+      SELECT q.qid, q.qlabel, c.vec_id, c.label,
+             round({_NOISE_SQDIST}, 9) AS d
+      FROM embeddings c, q WHERE c.vec_id <> q.qid
+    ),
+    nn AS (
+      SELECT qid, qlabel, label FROM (
+        SELECT qid, qlabel, label,
+               row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+        FROM p) WHERE rn <= {LABEL_NOISE_K}
+    ),
+    votes AS (
+      SELECT qid, qlabel, label AS maj_label FROM (
+        SELECT qid, qlabel, label, count(*) AS c,
+               row_number() OVER (
+                 PARTITION BY qid ORDER BY count(*) DESC, label) AS rn
+        FROM nn GROUP BY qid, qlabel, label) WHERE rn = 1
+    )
+    SELECT qlabel AS label,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN maj_label <> qlabel THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           round(sum(CASE WHEN maj_label <> qlabel THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS flag_rate
+    FROM votes GROUP BY qlabel
+    """,
+)
+def q_knn_label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label label-noise estimate: for each sampled query (hash
+    slice under an ABSOLUTE budget of LABEL_NOISE_MAX_Q queries, so the
+    brute leg stays corpus-linear at any SF), take its 5 nearest
+    neighbors (squared L2, 9dp-quantized, (d, vec_id) tiebreak) and
+    flag the query when the neighborhood's majority label (count-desc,
+    label-asc tiebreak) disagrees with its own.
+
+    Scale shape: the bounded query slice BROADCASTS and the corpus is
+    scanned once map-side (same plan family as knn_bruteforce); the
+    per-query top-k window partitions on qid (slice-grain, never
+    corpus-grain); votes are k-row-per-query aggregates. At 100 TB the
+    brute leg swaps for the IVF/LSH candidate generators already in
+    operators/similarity.py — the audit downstream of the candidate
+    set is unchanged."""
+    from pyspark.sql.window import Window
+
+    from .operators.clustering import sq_dist
+    from .operators.similarity import _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(
+        (F.col("vec_id") % 97 == 0)
+        & (F.col("vec_id") < 97 * LABEL_NOISE_MAX_Q)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    d = F.round(
+        sq_dist(_as_double(F.col("embedding")), _as_double(F.col("qe"))), 9
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qlabel", "vec_id", "label", d.alias("d"))
+    )
+    wk = Window.partitionBy("qid").orderBy("d", "vec_id")
+    nn = pairs.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= LABEL_NOISE_K
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("c"), F.asc("label"))
+    votes = (
+        nn.groupBy("qid", "qlabel", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("qid", "qlabel", F.col("label").alias("maj_label"))
+    )
+    flagged = F.sum(
+        F.when(F.col("maj_label") != F.col("qlabel"), 1).otherwise(0)
+    )
+    return votes.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        flagged.cast("long").alias("n_flagged"),
+        F.round(flagged / F.count(F.lit(1)), 6).alias("flag_rate"),
+    )

@@ -538,3 +538,72 @@ def q_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("wq") * F.col("st") > F.col("n_tokens") * F.col("swq")).alias("upsampled"),
     )
+
+
+# Group-disjoint splitting (GroupShuffleSplit semantics): the
+# doc-grain hash split above is leakage-safe per DOCUMENT, but a
+# user-behavior model leaks if one user's events straddle train and
+# test. Split on the GROUP key instead — membership is a pure
+# function of user_id, so every event of a user lands in one split on
+# any engine, any re-run, any append.
+@register(
+    "group_disjoint_split",
+    f"""
+    WITH s AS (
+      SELECT user_id,
+             CASE WHEN {_HASH_SQL.format(salt="gsplit:", key="user_id")} < 900
+                    THEN 'train'
+                  WHEN {_HASH_SQL.format(salt="gsplit:", key="user_id")} < 950
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    leak AS (
+      SELECT count(*) AS leaky_users FROM (
+        SELECT user_id FROM (SELECT DISTINCT user_id, split FROM s)
+        GROUP BY user_id HAVING count(*) > 1)
+    )
+    SELECT split,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(leak.leaky_users AS BIGINT) AS leaky_users
+    FROM s CROSS JOIN leak
+    GROUP BY split, leak.leaky_users
+    """,
+)
+def q_group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """90/5/5 split hashed on user_id (the group key), with the
+    leakage audit IN the result: leaky_users counts users observed in
+    more than one split and must be 0 by construction — the column
+    exists so a refactor that breaks group-disjointness (e.g.
+    switching to event-grain hashing) fails the value oracle, not a
+    code review. One hash agg per side; the audit is a user-grain
+    aggregate (bounded by |users|, not |events|)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = _hash_bucket(F.col("user_id"), "gsplit:")
+    s = ev.select(
+        "user_id",
+        F.when(b < 900, "train").when(b < 950, "val").otherwise("test").alias("split"),
+    )
+    leak = (
+        s.select("user_id", "split")
+        .distinct()
+        .groupBy("user_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("leaky_users"))
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select(
+            "split",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("leaky_users").cast("long").alias("leaky_users"),
+        )
+    )

@@ -3132,3 +3132,36 @@ def test_bucketed_order_revenue_matches_unbucketed(spark):
         .limit(10)
     )
     assert got == [tuple(r) for r in plain.collect()]
+
+
+def test_group_disjoint_split_is_leak_free_and_total(spark):
+    import __spark_entry__ as m
+    from milan_telecom_etl__spark.sources.parquet import load_table
+
+    rows = m.queries()["group_disjoint_split"](spark, SF).collect()
+    assert {r.split for r in rows} <= {"train", "val", "test"}
+    assert all(r.leaky_users == 0 for r in rows)  # the audit column
+    ev = load_table(spark, SF, "events")
+    assert sum(r.n_events for r in rows) == ev.count()
+    assert sum(r.n_users for r in rows) == ev.select("user_id").distinct().count()
+    by = {r.split: r for r in rows}
+    assert by["train"].n_events > by["val"].n_events
+    assert by["train"].n_events > by["test"].n_events
+
+
+def test_knn_label_noise_audit_bounds(spark):
+    import __spark_entry__ as m
+    from milan_telecom_etl__spark.sources.parquet import load_table
+
+    rows = m.queries()["knn_label_noise_audit"](spark, SF).collect()
+    assert rows
+    emb = load_table(spark, SF, "embeddings")
+    from milan_telecom_etl__spark.registry_ml import LABEL_NOISE_MAX_Q
+
+    n_queries = emb.filter(
+        f"vec_id % 97 = 0 AND vec_id < 97 * {LABEL_NOISE_MAX_Q}"
+    ).count()
+    assert sum(r.n_checked for r in rows) == n_queries
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_checked
+        assert 0.0 <= r.flag_rate <= 1.0
