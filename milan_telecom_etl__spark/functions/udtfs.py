@@ -15,7 +15,7 @@ import datetime as dt
 from pyspark.sql.functions import udtf
 
 
-@udtf(returnType="hour_start timestamp, hour_index int")
+@udtf(returnType="hour_start timestamp, hour_index int", useArrow=True)
 class ExpandHourly:
     """Emit one row per hour boundary in [start, end) — the calendar
     spine for gap-filling and SCD interval explosion. Bounded fan-out:
@@ -39,7 +39,10 @@ class ExpandHourly:
     returnType=(
         "user_id bigint, session_id bigint, n_events bigint, "
         "session_start timestamp, session_end timestamp"
-    )
+    ),
+    useArrow=True,  # Arrow-batched transfer (ArrowEvalPythonUDTF):
+    # same per-row eval semantics, columnar wire format — keeps the
+    # package's no-row-at-a-time-serialization policy UDTF-inclusive
 )
 class SessionizeUDTF:
     """Per-partition stateful sessionizer — the `UDTF with TABLE(...)

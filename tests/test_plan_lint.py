@@ -1,0 +1,73 @@
+"""Registry-wide physical-plan lint (r12): every queries() entry's
+plan is scanned for the three antipatterns that silently kill 100 TB
+viability. Individual plan-pin tests guard specific entries; this is
+the safety net for entries nobody pinned.
+
+- BatchEvalPython / BatchEvalPythonUDTF: row-at-a-time Python
+  serialization. Policy is zero — Python kernels ride Arrow
+  (mapInPandas / mapInArrow / applyInArrow / Arrow UDTFs).
+- CartesianProduct: an unbounded non-broadcast cross join. Bounded
+  cross joins belong on BroadcastNestedLoopJoin (small side pinned
+  under a broadcast); a CartesianProduct means BOTH sides were deemed
+  too big — never survivable at corpus scale. Policy is zero.
+- Global Sort (Sort [...], true) outside the whitelist: a full-data
+  range-exchange sort. Legitimate ONLY over aggregate-grain frames
+  (final presentation ordering of a k-row / group-grain result);
+  an entry that sorts corpus-grain data must restructure (top-k →
+  TakeOrderedAndProject, ranking → window) or be whitelisted here
+  with a written justification.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# Entries whose global sort orders an AGGREGATE-GRAIN output (group
+# counts, per-nation/supplier rollups, fixup-map-sized frames) — the
+# sorted frame is orders of magnitude smaller than the corpus, so the
+# range exchange is a formality. Additions require the same argument.
+GLOBAL_SORT_OK = {
+    "conform_names",          # dim-grain (provinces) presentation order
+    "dedup_cluster_profile",  # cluster-size census, |distinct sizes| rows
+    "heavy_hitters",          # group-grain count frame
+    "star_join_revenue",      # |nations| output rows
+    "tpch_q5",                # |nations| rows
+    "tpch_q11",               # part-grain value frame (spec output order)
+    "tpch_q12",               # |shipmodes| rows
+    "tpch_q13",               # |order-count buckets| rows
+    "tpch_q15",               # |suppliers with max revenue| rows
+    "tpch_q16",               # (brand,type,size)-grain counts
+    "tpch_q20",               # supplier-grain list
+    "tpch_q22",               # |phone prefixes| rows
+    "vocab_size_curve",       # |vocab brackets| rows
+}
+
+
+def test_registry_plans_have_no_scale_antipatterns(spark):
+    import __spark_entry__ as m
+
+    bad_python, cartesian, gsort = [], [], []
+    for name, fn in m.queries().items():
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "BatchEvalPython" in plan:  # also matches BatchEvalPythonUDTF
+            bad_python.append(name)
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+        if any(
+            "Sort [" in ln and " true, " in ln for ln in plan.splitlines()
+        ) and name not in GLOBAL_SORT_OK:
+            gsort.append(name)
+        spark.catalog.clearCache()
+    assert not bad_python, (
+        f"row-at-a-time Python serialization (use Arrow): {bad_python}"
+    )
+    assert not cartesian, (
+        f"unbounded CartesianProduct (broadcast-pin the bounded side): {cartesian}"
+    )
+    assert not gsort, (
+        "global sort outside the aggregate-grain whitelist (top-k → "
+        f"TakeOrderedAndProject, ranking → window, or whitelist): {gsort}"
+    )
