@@ -607,3 +607,113 @@ def q_group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("leaky_users").cast("long").alias("leaky_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap (the distributed bootstrap: resample weights ~
+# Poisson(1) instead of materializing resamples — Efron's bootstrap as
+# used at cluster scale, cf. bag-of-little-bootstraps literature). All
+# R replicates ride ONE corpus pass as parallel weighted aggregates —
+# no explode, no per-replicate scan — so the CI costs the same single
+# map-side-combine aggregation at any corpus size.
+# ---------------------------------------------------------------------------
+
+BOOT_REPS = 32
+# Poisson(1) CDF, P(X <= k) for k = 0..6 (15 significant digits —
+# identical literals on both engines); u >= last threshold caps w at 7
+_POIS_CDF = (
+    "0.367879441171442", "0.735758882342885", "0.919698602928606",
+    "0.981011843123846", "0.996340153172656", "0.999405815182418",
+    "0.999916758850712",
+)
+_TWO48 = 281474976710656.0  # 2^48: 12 hex chars of md5, exact in double
+
+
+def _boot_u_sql(i: int) -> str:
+    return (
+        f"(('0x' || substr(md5('boot{i}:' || CAST(doc_id AS VARCHAR)), 1, 12))"
+        f"::BIGINT / {_TWO48})"
+    )
+
+
+def _boot_w_sql(i: int) -> str:
+    u = _boot_u_sql(i)
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {cases} ELSE 7 END)"
+
+
+def _bootstrap_sql() -> str:
+    sums = ",\n           ".join(
+        f"sum({_boot_w_sql(i)} * n_chars) AS s{i}, sum({_boot_w_sql(i)}) AS c{i}"
+        for i in range(BOOT_REPS)
+    )
+    means = ", ".join(f"s{i} * 1.0 / c{i}" for i in range(BOOT_REPS))
+    return f"""
+    WITH a AS (
+      SELECT sum(n_chars) * 1.0 / count(*) AS point,
+           {sums}
+      FROM documents
+    ),
+    m AS (SELECT unnest([{means}]) AS m FROM a)
+    SELECT round(a.point, 6) AS mean_chars,
+           round(quantile_cont(m.m, 0.025), 6) AS ci_lo,
+           round(quantile_cont(m.m, 0.975), 6) AS ci_hi,
+           CAST({BOOT_REPS} AS INT) AS n_reps
+    FROM m, a
+    GROUP BY a.point
+    """
+
+
+@register("bootstrap_mean_ci", _bootstrap_sql())
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for the corpus mean document length, via the
+    Poisson bootstrap: replicate r's weight for a doc is
+    Poisson(1)-inverse-CDF of a hash-uniform u_r(doc_id) (12 md5 hex
+    chars / 2^48 — exact in double on both engines, thresholds are
+    shared 15-digit literals), so every replicate is deterministic
+    and engine-identical. All 32 replicates are computed as 64
+    parallel aggregate expressions in ONE corpus scan (map-side
+    partials; the shuffle carries 65 numbers total); replicate means
+    then feed an exact percentile over 32 rows. At 100 TB: same one
+    pass, same 65-number shuffle — the bootstrap costs one
+    aggregation regardless of R x corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def w(i: int):
+        u = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"boot{i}:"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long") / F.lit(_TWO48)
+        expr = F.lit(7)
+        for k in range(len(_POIS_CDF) - 1, -1, -1):
+            expr = F.when(u < float(_POIS_CDF[k]), k).otherwise(expr)
+        return expr
+
+    aggs = [
+        (F.sum("n_chars") * 1.0 / F.count(F.lit(1))).alias("point"),
+    ]
+    for i in range(BOOT_REPS):
+        wi = w(i)
+        aggs.append(F.sum(wi * F.col("n_chars")).alias(f"s{i}"))
+        aggs.append(F.sum(wi).alias(f"c{i}"))
+    a = docs.agg(*aggs)
+    means = F.array(
+        *[F.col(f"s{i}") * 1.0 / F.col(f"c{i}") for i in range(BOOT_REPS)]
+    )
+    m = a.select("point", F.explode(means).alias("m"))
+    return m.groupBy("point").agg(
+        F.round(F.percentile("m", 0.025), 6).alias("ci_lo"),
+        F.round(F.percentile("m", 0.975), 6).alias("ci_hi"),
+    ).select(
+        F.round(F.col("point"), 6).alias("mean_chars"),
+        "ci_lo",
+        "ci_hi",
+        F.lit(BOOT_REPS).cast("int").alias("n_reps"),
+    )

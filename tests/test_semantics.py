@@ -3165,3 +3165,18 @@ def test_knn_label_noise_audit_bounds(spark):
     for r in rows:
         assert 0 <= r.n_flagged <= r.n_checked
         assert 0.0 <= r.flag_rate <= 1.0
+
+
+def test_bootstrap_ci_brackets_mean_and_tightens_with_n(spark):
+    # the Poisson-bootstrap CI must bracket the point estimate, and its
+    # width must shrink roughly as 1/sqrt(n) across a 10x corpus jump
+    # (we assert only strict shrinkage — safe at 10x).
+    import __spark_entry__ as m
+
+    q = m.queries()["bootstrap_mean_ci"]
+    small = q(spark, "/root/testdata/sf0.001").collect()[0]
+    big = q(spark, SF).collect()[0]
+    for r in (small, big):
+        assert r.n_reps == 32
+        assert r.ci_lo < r.mean_chars < r.ci_hi
+    assert (big.ci_hi - big.ci_lo) < (small.ci_hi - small.ci_lo)
