@@ -40,9 +40,13 @@ class ExpandHourly:
         "user_id bigint, session_id bigint, n_events bigint, "
         "session_start timestamp, session_end timestamp"
     ),
-    useArrow=True,  # Arrow-batched transfer (ArrowEvalPythonUDTF):
-    # same per-row eval semantics, columnar wire format — keeps the
-    # package's no-row-at-a-time-serialization policy UDTF-inclusive
+    # useArrow deliberately OFF: measured 2.1 -> 10.6 s at sf0.1 with
+    # the Arrow UDTF path (r12 isolation run) — per-row generator
+    # yields pay Arrow materialization overhead that dwarfs pickle for
+    # this row-in/row-out shape. The UDTF surface is documented
+    # off-hot-path (module docstring); the plan lint allowlists
+    # BatchEvalPythonUDTF specifically, banning only row-at-a-time
+    # UDFs (BatchEvalPython) in registry plans.
 )
 class SessionizeUDTF:
     """Per-partition stateful sessionizer — the `UDTF with TABLE(...)

@@ -52,7 +52,15 @@ def test_registry_plans_have_no_scale_antipatterns(spark):
     for name, fn in m.queries().items():
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if "BatchEvalPython" in plan:  # also matches BatchEvalPythonUDTF
+        if any(
+            "BatchEvalPython" in ln and "BatchEvalPythonUDTF" not in ln
+            for ln in plan.splitlines()
+        ):
+            # BatchEvalPythonUDTF is allowlisted: the UDTF surface is
+            # documented off-hot-path (functions/udtfs.py), and the
+            # Arrow UDTF path measured 5x SLOWER for per-row generator
+            # yields (r12 isolation run) — forcing Arrow there would
+            # optimize the lint, not the engine.
             bad_python.append(name)
         if "CartesianProduct" in plan:
             cartesian.append(name)
