@@ -14,10 +14,19 @@ from .sources.parquet import load_table
 
 _DIM = 64
 
-_SQDIST = (
-    "list_sum(list_transform(range(1, 65), i -> "
-    "(e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE) * (e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE)))"
-)
+def sqdist_sql(a: str, b: str) -> str:
+    """DuckDB squared-L2 over the fixed 64-dim embedding columns —
+    the ONE source for every oracle's distance fold (r12 review: three
+    alias-only copies had accreted; a change to the dim count or the
+    fold convention now lands everywhere or nowhere)."""
+    return (
+        f"list_sum(list_transform(range(1, {_DIM + 1}), i -> "
+        f"({a}[i]::DOUBLE - {b}[i]::DOUBLE)"
+        f" * ({a}[i]::DOUBLE - {b}[i]::DOUBLE)))"
+    )
+
+
+_SQDIST = sqdist_sql("e.embedding", "s.ce")
 
 
 @register(
@@ -714,11 +723,7 @@ LABEL_NOISE_MAX_Q = 32  # absolute query budget: the audit is an
 # the same absolute-cap discipline as knn_method_eval's 5-query exact
 # leg (VERDICT r10 #1: no default-gated entry carries a >3x decade;
 # the uncapped slice measured 34.7x at 10x data before the cap)
-_NOISE_SQDIST = (
-    "list_sum(list_transform(range(1, 65), i -> "
-    "(c.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)"
-    " * (c.embedding[i]::DOUBLE - q.embedding[i]::DOUBLE)))"
-)
+_NOISE_SQDIST = sqdist_sql("c.embedding", "q.embedding")
 
 
 @register(

@@ -575,11 +575,9 @@ def q_embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFram
 
 _SEMDEDUP_K = 8
 _SEMDEDUP_TAU = 0.4
-_SQDIST_ES = (
-    "list_sum(list_transform(range(1, 65), i -> "
-    "(e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE)"
-    " * (e.embedding[i]::DOUBLE - s.ce[i]::DOUBLE)))"
-)
+from .registry_ml import sqdist_sql as _sqdist_sql
+
+_SQDIST_ES = _sqdist_sql("e.embedding", "s.ce")
 
 
 @register(

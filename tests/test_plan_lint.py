@@ -3,9 +3,15 @@ plan is scanned for the three antipatterns that silently kill 100 TB
 viability. Individual plan-pin tests guard specific entries; this is
 the safety net for entries nobody pinned.
 
-- BatchEvalPython / BatchEvalPythonUDTF: row-at-a-time Python
-  serialization. Policy is zero — Python kernels ride Arrow
-  (mapInPandas / mapInArrow / applyInArrow / Arrow UDTFs).
+- BatchEvalPython: row-at-a-time Python UDF serialization. Policy is
+  zero — Python kernels ride Arrow (mapInPandas / mapInArrow /
+  applyInArrow). Pickle-path UDTFs (BatchEvalPythonUDTF) are allowed
+  ONLY for entries named in UDTF_PICKLE_OK: the UDTF surface is
+  documented off-hot-path (functions/udtfs.py), and the Arrow UDTF
+  path measured 5x SLOWER for per-row generator yields (r12
+  isolation run: 2.1 -> 10.6 s), so forcing Arrow there would
+  optimize the lint, not the engine. A future entry running a
+  pickle UDTF must earn its own allowlist line.
 - CartesianProduct: an unbounded non-broadcast cross join. Bounded
   cross joins belong on BroadcastNestedLoopJoin (small side pinned
   under a broadcast); a CartesianProduct means BOTH sides were deemed
@@ -44,6 +50,14 @@ GLOBAL_SORT_OK = {
     "vocab_size_curve",       # |vocab brackets| rows
 }
 
+# Entries allowed a pickle-path UDTF (BatchEvalPythonUDTF) — see the
+# module docstring for the measured justification. By NAME, so a new
+# entry adopting a pickle UDTF fails until consciously listed here.
+UDTF_PICKLE_OK = {
+    "sessionize_udtf",  # per-partition stateful sessionizer demo;
+                        # Arrow variant measured 5x slower (r12)
+}
+
 
 def test_registry_plans_have_no_scale_antipatterns(spark):
     import __spark_entry__ as m
@@ -52,15 +66,12 @@ def test_registry_plans_have_no_scale_antipatterns(spark):
     for name, fn in m.queries().items():
         df = fn(spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
-        if any(
+        has_row_udf = any(
             "BatchEvalPython" in ln and "BatchEvalPythonUDTF" not in ln
             for ln in plan.splitlines()
-        ):
-            # BatchEvalPythonUDTF is allowlisted: the UDTF surface is
-            # documented off-hot-path (functions/udtfs.py), and the
-            # Arrow UDTF path measured 5x SLOWER for per-row generator
-            # yields (r12 isolation run) — forcing Arrow there would
-            # optimize the lint, not the engine.
+        )
+        has_pickle_udtf = "BatchEvalPythonUDTF" in plan
+        if has_row_udf or (has_pickle_udtf and name not in UDTF_PICKLE_OK):
             bad_python.append(name)
         if "CartesianProduct" in plan:
             cartesian.append(name)
@@ -70,7 +81,8 @@ def test_registry_plans_have_no_scale_antipatterns(spark):
             gsort.append(name)
         spark.catalog.clearCache()
     assert not bad_python, (
-        f"row-at-a-time Python serialization (use Arrow): {bad_python}"
+        "row-at-a-time Python serialization (use Arrow, or earn a "
+        f"UDTF_PICKLE_OK line): {bad_python}"
     )
     assert not cartesian, (
         f"unbounded CartesianProduct (broadcast-pin the bounded side): {cartesian}"

@@ -3156,7 +3156,10 @@ def test_knn_label_noise_audit_bounds(spark):
     rows = m.queries()["knn_label_noise_audit"](spark, SF).collect()
     assert rows
     emb = load_table(spark, SF, "embeddings")
-    from milan_telecom_etl__spark.registry_ml import LABEL_NOISE_MAX_Q
+    from milan_telecom_etl__spark.registry_ml import (
+        LABEL_NOISE_K,
+        LABEL_NOISE_MAX_Q,
+    )
 
     n_queries = emb.filter(
         f"vec_id % 97 = 0 AND vec_id < 97 * {LABEL_NOISE_MAX_Q}"
@@ -3165,6 +3168,54 @@ def test_knn_label_noise_audit_bounds(spark):
     for r in rows:
         assert 0 <= r.n_flagged <= r.n_checked
         assert 0.0 <= r.flag_rate <= 1.0
+
+    # independent third implementation (r12 review: the oracle gate
+    # only catches ENGINE divergence, not a shared spec error — at the
+    # test SF every query happens to flag, so bounds alone can't
+    # discriminate an inverted comparison): numpy brute force at
+    # sf0.001, exact per-label expected counts.
+    import collections
+
+    data = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding", "label"
+    ).collect()
+    ids = [r.vec_id for r in data]
+    X = [[float(v) for v in r.embedding] for r in data]
+    y = [r.label for r in data]
+
+    def fold_dist(a, b):
+        # replicate the engine's LEFT FOLD exactly (F.aggregate index
+        # order) — a vectorized sum's different association can flip
+        # the 9dp rounding at a boundary
+        acc = 0.0
+        for xa, xb in zip(a, b):
+            acc += (xa - xb) * (xa - xb)
+        return round(acc, 9)
+
+    expected = collections.Counter()
+    flagged = collections.Counter()
+    for qi in range(len(ids)):
+        if ids[qi] % 97 != 0 or ids[qi] >= 97 * LABEL_NOISE_MAX_Q:
+            continue
+        order = sorted(
+            (fold_dist(X[j], X[qi]), int(ids[j]), int(y[j]))
+            for j in range(len(ids))
+            if j != qi
+        )[:LABEL_NOISE_K]
+        votes = collections.Counter(lbl for _, _, lbl in order)
+        maj = min(votes, key=lambda l: (-votes[l], l))
+        expected[int(y[qi])] += 1
+        if maj != int(y[qi]):
+            flagged[int(y[qi])] += 1
+    tiny = {
+        r.label: (r.n_checked, r.n_flagged)
+        for r in m.queries()["knn_label_noise_audit"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert tiny == {
+        l: (expected[l], flagged[l]) for l in expected
+    }, f"numpy reference disagrees: {tiny}"
 
 
 def test_bootstrap_ci_brackets_mean_and_tightens_with_n(spark):
