@@ -35,11 +35,37 @@ from __future__ import annotations
 
 import hashlib
 import os
+import posixpath
 from typing import Callable
+from urllib.parse import urlparse
 
 from pyspark.sql import DataFrame, SparkSession
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _is_plain_local(path: str) -> bool:
+    """True for a bare filesystem path (no URI scheme). `file://...`
+    URIs count as scheme'd: os.path.abspath would mangle them just
+    like s3a:// (ADVICE r12 #1)."""
+    return urlparse(path).scheme == ""
+
+
+def canon_path(path: str) -> str:
+    """Canonical identity form of a warehouse path: abspath for plain
+    local paths (stable under cwd changes), VERBATIM for scheme'd URIs
+    — abspath on s3a://bucket/... would prepend the process cwd and
+    mangle the URI."""
+    return os.path.abspath(path) if _is_plain_local(path) else path
+
+
+def fs_join(root: str, *parts: str) -> str:
+    """Join path components under a warehouse root: os.path semantics
+    for plain local paths, POSIX/Hadoop-Path semantics for scheme'd
+    URIs (hdfs://, s3a://, file://)."""
+    if _is_plain_local(root):
+        return os.path.join(root, *parts)
+    return posixpath.join(root, *parts)
 
 
 def artifact_root() -> str:
@@ -75,16 +101,17 @@ def corpus_fingerprint(sf_dir: str, table: str = "documents") -> str:
 
 
 def loc_key(sf_dir: str, extra: str = "") -> str:
-    """Location digest for artifact identity: md5 of the corpus abspath
-    (plus any extra identity material, e.g. the artifact root itself
-    when the derived NAME outlives the root — bucketed catalog names)."""
-    base = os.path.abspath(sf_dir) + ("\0" + extra if extra else "")
+    """Location digest for artifact identity: md5 of the canonical
+    corpus path (abspath for local, verbatim for scheme'd URIs — plus
+    any extra identity material, e.g. the artifact root itself when
+    the derived NAME outlives the root — bucketed catalog names)."""
+    base = canon_path(sf_dir) + ("\0" + extra if extra else "")
     return hashlib.md5(base.encode()).hexdigest()[:12]
 
 
 def artifact_path(sf_dir: str, name: str, table: str = "documents") -> str:
     key = loc_key(sf_dir)
-    return os.path.join(
+    return fs_join(
         artifact_root(), f"{key}-{corpus_fingerprint(sf_dir, table)}", name
     )
 
@@ -95,7 +122,7 @@ def _fs_exists(spark: SparkSession, path: str) -> bool:
     so a half-written artifact from a killed job is rebuilt, not
     served."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(os.path.join(path, "_SUCCESS"))
+    p = jvm.org.apache.hadoop.fs.Path(fs_join(path, "_SUCCESS"))
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(p))
 

@@ -20,28 +20,82 @@ Mechanics (and why they hold on a real cluster):
 - Registration is catalog-based (`saveAsTable` external at a
   warehouse path). A FRESH session re-registers the existing files
   with `CREATE TABLE ... USING PARQUET CLUSTERED BY ... SORTED BY ...
-  INTO n BUCKETS LOCATION path` — metadata-only, no rewrite. The
-  build itself runs once per (corpus location, corpus fingerprint),
-  same staleness discipline as `artifacts.py`.
-- At 100 TB the same two statements run against an object store
-  (the path is resolved through the Hadoop FileSystem, never
-  os.path), with n sized so a bucket is a few hundred MB; 16 here
-  matches local[32] testdata.
+  INTO n BUCKETS LOCATION path` — metadata-only, no rewrite, using
+  the schema PERSISTED at build time (`_schema.json` beside
+  `_SUCCESS`), never re-inferred from parquet footers (footer
+  round-trip inference can drift from the catalog schema for
+  annotated types — ADVICE r12 #4).
+- The bucket count is derived from the corpus when not passed
+  (`derived_n_buckets`): the two-sided law SCALE.md measured at sf10
+  (7.03 s plain / 3.64 s @16 / 2.09 s @64) — a bucket must stay a few
+  hundred MB or less (task/memory sizing), AND the bucket count must
+  reach ~2× the cluster parallelism once the data is big enough,
+  because a bucketed scan schedules ONE task per bucket. `n` is part
+  of the table identity, so a width migration is a rebuild beside the
+  old layout, not an in-place mutation.
+- At 100 TB the same statements run against an object store — every
+  path is built with URI-aware joins (`fs_join`) and existence checks
+  go through the Hadoop FileSystem, never os.path.
 """
 
 from __future__ import annotations
 
-import os
+import json
+import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
-from .artifacts import _fs_exists, artifact_root, corpus_fingerprint, loc_key
+from .artifacts import (
+    _fs_exists,
+    artifact_root,
+    canon_path,
+    corpus_fingerprint,
+    fs_join,
+    loc_key,
+)
 from .sources.parquet import load_table
 
-N_BUCKETS = 16
+# The measured sizing law (SCALE.md, bucket-width A/B at sf10):
+# a bucket is AT MOST this many input bytes (above it, split further
+# regardless of core count — task memory / object-store part sizing) …
+TARGET_BUCKET_BYTES = 256 << 20
+# … and AT LEAST this many (below it, extra buckets are pure
+# small-files overhead with no parallelism payoff).
+MIN_BUCKET_BYTES = 4 << 20
+# Parallelism floor once the data can fill it: ~2 waves over the
+# cluster's cores. 1 wave (n == cores) leaves stragglers pinning whole
+# cores idle; the sf10 A/B's 64-bucket winner on local[32] is exactly
+# this point.
+WAVES = 2
 
 
-def _table_name(sf_dir: str, table: str, key: str, n: int = N_BUCKETS) -> str:
+def _derive_n(nbytes: int, parallelism: int) -> int:
+    """Pure sizing law: bytes + parallelism -> bucket count, rounded
+    up to a power of two (stable under small corpus drift)."""
+    n_min = max(1, math.ceil(nbytes / TARGET_BUCKET_BYTES))
+    n_max = max(1, nbytes // MIN_BUCKET_BYTES)
+    n = max(n_min, min(WAVES * parallelism, n_max))
+    return 1 << (n - 1).bit_length()
+
+
+def _table_bytes(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Total input bytes of the source table, through the Hadoop
+    FileSystem (works for local dirs and object stores alike)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(fs_join(sf_dir, f"{table}.parquet"))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(p).getLength())
+
+
+def derived_n_buckets(spark: SparkSession, sf_dir: str, table: str) -> int:
+    """Bucket count `bucketed_table` uses when `n` is not passed."""
+    return _derive_n(
+        _table_bytes(spark, sf_dir, table), spark.sparkContext.defaultParallelism
+    )
+
+
+def _table_name(sf_dir: str, table: str, key: str, n: int) -> str:
     # identity = (corpus location, corpus fingerprint, table, key, n)
     # PLUS the artifact root: the catalog entry is keyed by this NAME
     # while the files live under the root, so a root change mid-session
@@ -49,31 +103,69 @@ def _table_name(sf_dir: str, table: str, key: str, n: int = N_BUCKETS) -> str:
     # catalog and rebuild instead of serving files under the old root
     # (r12 review). n is identity too — two widths of the same table
     # are two distinct physical layouts.
-    loc = loc_key(sf_dir, extra=os.path.abspath(artifact_root()))
+    loc = loc_key(sf_dir, extra=canon_path(artifact_root()))
     return f"bkt_{loc}_{corpus_fingerprint(sf_dir, table)}_{table}_{key}_{n}"
 
 
+def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(p, True)
+    try:
+        out.write(text.encode("utf-8"))
+    finally:
+        out.close()
+
+
+def _read_text(spark: SparkSession, path: str) -> str | None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        return str(jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8"))
+    finally:
+        stream.close()
+
+
+def _register_ddl(
+    spark: SparkSession, name: str, schema: T.StructType, key: str, n: int, path: str
+) -> None:
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    spark.sql(
+        f"CREATE TABLE `{name}` ({cols}) USING PARQUET "
+        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {n} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def bucketed_table(
-    spark: SparkSession, sf_dir: str, table: str, key: str, n: int = N_BUCKETS
+    spark: SparkSession, sf_dir: str, table: str, key: str, n: int | None = None
 ) -> DataFrame:
     """Return `table` as a catalog-registered bucketed table clustered
-    and sorted on `key` into `n` buckets, building the bucketed copy
-    exactly once per (corpus, fingerprint) and re-registering existing
-    files metadata-only in fresh sessions."""
+    and sorted on `key`, building the bucketed copy exactly once per
+    (corpus, fingerprint) and re-registering existing files
+    metadata-only in fresh sessions. When `n` is not passed it is
+    derived from the corpus size and cluster parallelism
+    (`derived_n_buckets` — the SCALE.md sizing law as code)."""
+    if n is None:
+        n = derived_n_buckets(spark, sf_dir, table)
     name = _table_name(sf_dir, table, key, n)
     if spark.catalog.tableExists(name):
         return spark.table(name)
-    path = os.path.join(artifact_root(), "bucketed", name)
+    path = fs_join(artifact_root(), "bucketed", name)
     if _fs_exists(spark, path):
-        ddl = ", ".join(
-            f"`{f.name}` {f.dataType.simpleString()}"
-            for f in spark.read.parquet(path).schema.fields
-        )
-        spark.sql(
-            f"CREATE TABLE `{name}` ({ddl}) USING PARQUET "
-            f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) INTO {n} BUCKETS "
-            f"LOCATION '{path}'"
-        )
+        persisted = _read_text(spark, fs_join(path, "_schema.json"))
+        if persisted is not None:
+            schema = T.StructType.fromJson(json.loads(persisted))
+        else:  # pre-schema-file build: fall back to footer inference
+            schema = spark.read.parquet(path).schema
+        _register_ddl(spark, name, schema, key, n, path)
     else:
         (
             load_table(spark, sf_dir, table)
@@ -83,5 +175,12 @@ def bucketed_table(
             .option("path", path)
             .mode("overwrite")
             .saveAsTable(name)
+        )
+        # persist the exact catalog schema beside the committer marker
+        # so fresh-session re-registration never re-infers (ADVICE r12)
+        _write_text(
+            spark,
+            fs_join(path, "_schema.json"),
+            json.dumps(spark.table(name).schema.jsonValue()),
         )
     return spark.table(name)

@@ -1306,7 +1306,9 @@ def q_revenue_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 orders by revenue over the BUCKETED warehouse copies of
     lineitem and orders (both hash-clustered + sorted on orderkey into
-    16 buckets, built once per corpus by `bucketed.bucketed_table` —
+    an auto-derived bucket count — the SCALE.md sizing law in
+    `bucketed.derived_n_buckets` — built once per corpus by
+    `bucketed.bucketed_table`,
     the Spark substitute for the reference's B-tree fact indexes,
     src/database.py:115-117). The entire plan is exchange-free:
     groupBy(l_orderkey) is satisfied by the lineitem scan's bucket

@@ -742,9 +742,13 @@ def test_bucketed_table_reregisters_metadata_only(spark):
     # a fresh session (here: a dropped catalog entry) re-registers the
     # existing bucketed files via DDL — the scan must still report the
     # bucket spec (Bucketed: true path), not degrade to a plain scan.
-    from milan_telecom_etl__spark.bucketed import bucketed_table, _table_name
+    from milan_telecom_etl__spark.bucketed import (
+        bucketed_table,
+        derived_n_buckets,
+        _table_name,
+    )
 
-    name = _table_name(SF, "orders", "o_orderkey")
+    name = _table_name(SF, "orders", "o_orderkey", derived_n_buckets(spark, SF, "orders"))
     bucketed_table(spark, SF, "orders", "o_orderkey")  # ensure built
     spark.sql(f"DROP TABLE IF EXISTS `{name}`")
     df = bucketed_table(spark, SF, "orders", "o_orderkey")
@@ -771,7 +775,8 @@ def test_bucketed_half_written_build_is_rebuilt(spark, tmp_path, monkeypatch):
     from milan_telecom_etl__spark import bucketed as B
 
     monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path))
-    name = B._table_name(SF, "nation", "n_nationkey")
+    n = B.derived_n_buckets(spark, SF, "nation")
+    name = B._table_name(SF, "nation", "n_nationkey", n)
     path = os.path.join(str(tmp_path), "bucketed", name)
     os.makedirs(path)
     with open(os.path.join(path, "part-garbage.parquet"), "wb") as f:
@@ -783,3 +788,87 @@ def test_bucketed_half_written_build_is_rebuilt(spark, tmp_path, monkeypatch):
     finally:
         # never leak a tmp_path-backed catalog entry into the session
         spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+
+def test_bucket_width_sizing_law():
+    # the SCALE.md bucket-width A/B, as code (VERDICT r12 #2): both
+    # halves of the law pin the derived count.
+    from milan_telecom_etl__spark.bucketed import (
+        MIN_BUCKET_BYTES,
+        TARGET_BUCKET_BYTES,
+        WAVES,
+        _derive_n,
+    )
+
+    # sf0.1 lineitem (~10.8 MB): small-files guard binds — a handful
+    # of buckets, NOT 2x cores.
+    assert _derive_n(10_818_932, 32) == 2
+    # sf10 lineitem (~1.08 GB) on local[32]: the parallelism floor
+    # binds at 2 waves — exactly the measured 64-bucket A/B winner
+    # (7.03 s plain / 3.64 s @16 / 2.09 s @64).
+    assert _derive_n(1_081_893_200, 32) == 64
+    # 100 TB on a 2000-core cluster: the few-hundred-MB-per-bucket
+    # half binds — hundreds of thousands of buckets, each <= TARGET.
+    n = _derive_n(100 << 40, 2000)
+    assert (100 << 40) / n <= TARGET_BUCKET_BYTES
+    assert n >= WAVES * 2000
+
+    # invariants across the whole range
+    for nbytes in (0, 1, MIN_BUCKET_BYTES - 1, 10**6, 10**9, 10**12, 100 << 40):
+        for par in (1, 8, 32, 2000):
+            n = _derive_n(nbytes, par)
+            assert n >= 1 and (n & (n - 1)) == 0  # power of two
+            assert nbytes / n <= TARGET_BUCKET_BYTES  # never over-fat
+            if nbytes >= WAVES * par * MIN_BUCKET_BYTES:
+                assert n >= WAVES * par  # floor once data can fill it
+
+
+def test_bucketed_derived_width_matches_law_on_testdata(spark):
+    # derived_n_buckets = _derive_n(actual bytes, actual parallelism)
+    # at two real SFs (VERDICT r12 #2: "pins the derived value at two
+    # SFs") — the Hadoop-FS byte measurement agrees with a local stat.
+    import os
+    from milan_telecom_etl__spark.bucketed import (
+        _derive_n,
+        _table_bytes,
+        derived_n_buckets,
+    )
+
+    par = spark.sparkContext.defaultParallelism
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        p = os.path.join(sf_dir, "lineitem.parquet")
+        local = (
+            os.path.getsize(p)
+            if os.path.isfile(p)
+            else sum(
+                os.path.getsize(os.path.join(p, f))
+                for f in os.listdir(p)
+                if not f.startswith(".")
+            )
+        )
+        assert _table_bytes(spark, sf_dir, "lineitem") == local
+        assert derived_n_buckets(spark, sf_dir, "lineitem") == _derive_n(local, par)
+
+
+def test_bucketed_reregistration_never_reinfers_schema(spark, monkeypatch):
+    # fresh-session re-registration must come from the PERSISTED
+    # _schema.json, not parquet-footer inference (ADVICE r12 #4):
+    # poison DataFrameReader.parquet and re-register anyway.
+    import pyspark.sql.readwriter as RW
+    from milan_telecom_etl__spark.bucketed import (
+        bucketed_table,
+        derived_n_buckets,
+        _table_name,
+    )
+
+    built = bucketed_table(spark, SF, "orders", "o_orderkey")  # ensure built
+    name = _table_name(SF, "orders", "o_orderkey", derived_n_buckets(spark, SF, "orders"))
+    spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+
+    def _boom(self, *a, **k):
+        raise AssertionError("re-registration re-inferred schema from parquet")
+
+    monkeypatch.setattr(RW.DataFrameReader, "parquet", _boom)
+    df = bucketed_table(spark, SF, "orders", "o_orderkey")
+    assert df.schema == built.schema
+    assert "Exchange" not in _plan(df.groupBy("o_orderkey").count())
