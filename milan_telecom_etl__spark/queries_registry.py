@@ -12,9 +12,14 @@ returned DataFrame is lazy, so there is no in-entry point after the
 terminal action to hook an unpersist without forcing evaluation or
 leaking state anyway. The contract is therefore on the CALLER: run
 `spark.catalog.clearCache()` between entries (bench.py does; the
-plan-pin tests do per-test). A harness that sweeps many entries
-without clearing will accumulate InMemoryRelations — correctness is
-unaffected, but memory pressure and plan pins are.
+plan-pin tests do per-test), or — finer-grained — call
+`caching.release_tracked()`, which unpersists exactly the frames
+entries registered via `caching.tracked_persist` (the materializing
+eval entries use this so their caches stay warm across a harness's
+repeated calls but still have a one-call cleanup — VERDICT r12 #1).
+A harness that sweeps many entries without clearing will accumulate
+InMemoryRelations — correctness is unaffected, but memory pressure
+and plan pins are.
 """
 
 from __future__ import annotations

@@ -201,7 +201,8 @@ def q_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx_distinct_users: estimates can't value-match across engines,
 # so the query emits the exact count plus booleans asserting BOTH the
 # merged-partials estimate and the direct one-pass estimate land
-# within the sketch's ±3·RSE guarantee.
+# within the sketch's ±4·RSE bracket (3·RSE is only ~99.7%
+# per estimate — see q_hll_partial_merge's docstring).
 HLL_LG_K = 14  # DataSketches HLL: RSE = 1.04 / sqrt(2^lgK) ≈ 0.81%
 
 
@@ -210,8 +211,8 @@ HLL_LG_K = 14  # DataSketches HLL: RSE = 1.04 / sqrt(2^lgK) ≈ 0.81%
     """
     SELECT event_type,
            count(DISTINCT user_id) AS exact_users,
-           TRUE AS merged_within_3rse,
-           TRUE AS direct_within_3rse
+           TRUE AS merged_within_4rse,
+           TRUE AS direct_within_4rse
     FROM events GROUP BY event_type
     """,
 )
@@ -221,8 +222,15 @@ def q_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_union_agg across days reconstitutes the global per-type
     distinct-user estimate. The direct single-pass sketch and the exact
     count ride the same query only to VERIFY the estimator (production
-    keeps just the partials). Bracket: |est − exact| ≤ 3·RSE·exact + 1
-    for both paths (RSE = 1.04/√2^lgK, the DataSketches HLL guarantee).
+    keeps just the partials). Bracket: |est − exact| ≤ 4·RSE·exact + 1
+    for both paths (RSE = 1.04/√2^lgK, the DataSketches HLL bound).
+    4·RSE, not 3: the bound is PROBABILISTIC (≈99.7% per estimate at
+    3·RSE under the normal approximation), and this oracle hardcodes
+    TRUE — with 2 checks × |types| rows × several SF tiers, a
+    regenerated corpus could legitimately land one type outside 3·RSE
+    (ADVICE r12 #2). At 4·RSE the per-estimate miss odds are ~1e-4-ish;
+    if a bracket failure ever shows up, triage is re-tune-the-bound
+    (widen or re-seed), not engine bug.
 
     Scale notes: the day-grain partial table is |types|×|days| rows of
     ≤2^lgK bytes each — the merge job's input is KILOBYTES regardless
@@ -242,14 +250,14 @@ def q_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count_distinct("user_id").alias("exact_users"),
     )
-    bound = 3 * (1.04 / (2**HLL_LG_K) ** 0.5) * F.col("exact_users") + 1
+    bound = 4 * (1.04 / (2**HLL_LG_K) ** 0.5) * F.col("exact_users") + 1
     return direct.join(merged, "event_type").select(
         "event_type",
         "exact_users",
         (F.abs(F.col("merged_est") - F.col("exact_users")) <= bound).alias(
-            "merged_within_3rse"
+            "merged_within_4rse"
         ),
         (F.abs(F.col("direct_est") - F.col("exact_users")) <= bound).alias(
-            "direct_within_3rse"
+            "direct_within_4rse"
         ),
     )

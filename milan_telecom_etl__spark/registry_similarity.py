@@ -2087,18 +2087,16 @@ def q_knn_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the deterministic hash slice (the `knn_method_eval`
     default's posture)."""
     out, cand = _ivf_recall_curve_plan(spark, sf_dir)
-    try:
-        rows = out.collect()  # bounded: one row per probe depth
-    finally:
-        cand.unpersist()
+    rows = out.collect()  # bounded: one row per probe depth
     return spark.createDataFrame(rows, out.schema)
 
 
 def _ivf_recall_curve_plan(spark: SparkSession, sf_dir: str):
     """The LAZY curve frame plus its persisted candidate table — split
     out so the plan pins can explain() the distributed plan (the entry
-    returns a materialized local frame, releasing the cache in-entry,
-    VERDICT r11 #4); callers own the unpersist."""
+    returns a materialized local frame); the candidate persist is
+    tracked (caching.py) and released by the harness — warm across a
+    bench's reps, one-call cleanup in long sessions (VERDICT r12 #1)."""
     from pyspark.sql.window import Window
 
     from .operators.clustering import sq_dist
@@ -2140,12 +2138,10 @@ def _ivf_recall_curve_plan(spark: SparkSession, sf_dir: str):
             "pr",
             F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
         )
-        # Released in-entry: the bounded result (|probe depths| rows)
-        # is materialized below, the cache unpersisted, and the rows
-        # returned as a local frame (VERDICT r11 #4 — no reliance on
-        # the harness clearCache contract).
-        .persist()
     )
+    from .caching import tracked_persist
+
+    cand = tracked_persist(cand)
     from .operators.similarity import cosine_knn_bruteforce
 
     exact = cosine_knn_bruteforce(emb, n_queries, k).select(

@@ -61,6 +61,7 @@ UDTF_PICKLE_OK = {
 
 def test_registry_plans_have_no_scale_antipatterns(spark):
     import __spark_entry__ as m
+    from milan_telecom_etl__spark.caching import release_tracked
 
     bad_python, cartesian, gsort = [], [], []
     for name, fn in m.queries().items():
@@ -75,11 +76,10 @@ def test_registry_plans_have_no_scale_antipatterns(spark):
             bad_python.append(name)
         if "CartesianProduct" in plan:
             cartesian.append(name)
-        if any(
-            "Sort [" in ln and " true, " in ln for ln in plan.splitlines()
-        ) and name not in GLOBAL_SORT_OK:
+        if _detects_global_sort(plan) and name not in GLOBAL_SORT_OK:
             gsort.append(name)
         spark.catalog.clearCache()
+        release_tracked()
     assert not bad_python, (
         "row-at-a-time Python serialization (use Arrow, or earn a "
         f"UDTF_PICKLE_OK line): {bad_python}"
@@ -91,3 +91,29 @@ def test_registry_plans_have_no_scale_antipatterns(spark):
         "global sort outside the aggregate-grain whitelist (top-k → "
         f"TakeOrderedAndProject, ranking → window, or whitelist): {gsort}"
     )
+
+
+def _detects_global_sort(plan: str) -> bool:
+    # the exact predicate the registry lint uses (kept in one place so
+    # the canary below cannot drift from the real detector)
+    return any("Sort [" in ln and " true, " in ln for ln in plan.splitlines())
+
+
+def test_global_sort_detector_canary(spark):
+    """ADVICE r12 #3: the global-sort lint matches Spark's rendered
+    Sort node ("Sort [...], true, ..."), which a Spark upgrade could
+    silently change — making the lint pass vacuously. This canary
+    fails loudly instead: a known global sort MUST be detected, a
+    partition-local sort MUST NOT."""
+    from pyspark.sql import functions as F
+
+    # sort key must not match range()'s natural ascending-id ordering,
+    # or EliminateSorts removes the node entirely
+    g = spark.range(100).orderBy((F.col("id") % 7).asc())
+    assert _detects_global_sort(
+        g._jdf.queryExecution().executedPlan().toString()
+    ), "global-sort detector no longer matches Spark's Sort rendering"
+    l = spark.range(100).repartition(4).sortWithinPartitions("id")
+    assert not _detects_global_sort(
+        l._jdf.queryExecution().executedPlan().toString()
+    ), "detector misfires on partition-local sorts"

@@ -3105,8 +3105,8 @@ def test_hll_partial_merge_brackets_hold(spark):
     rows = m.queries()["hll_partial_merge"](spark, SF).collect()
     assert len(rows) > 0
     for r in rows:
-        assert r.merged_within_3rse, r
-        assert r.direct_within_3rse, r
+        assert r.merged_within_4rse, r
+        assert r.direct_within_4rse, r
 
 
 def test_bucketed_order_revenue_matches_unbucketed(spark):
