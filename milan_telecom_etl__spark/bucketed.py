@@ -95,16 +95,21 @@ def derived_n_buckets(spark: SparkSession, sf_dir: str, table: str) -> int:
     )
 
 
-def _table_name(sf_dir: str, table: str, key: str, n: int) -> str:
-    # identity = (corpus location, corpus fingerprint, table, key, n)
-    # PLUS the artifact root: the catalog entry is keyed by this NAME
-    # while the files live under the root, so a root change mid-session
-    # (e.g. a test monkeypatching SPARK_GRAFT_ARTIFACTS) must miss the
-    # catalog and rebuild instead of serving files under the old root
-    # (r12 review). n is identity too — two widths of the same table
-    # are two distinct physical layouts.
+def _table_name(
+    sf_dir: str, table: str, key: str, n: int, variant: str = ""
+) -> str:
+    # identity = (corpus location, corpus fingerprint, table, variant,
+    # key, n) PLUS the artifact root: the catalog entry is keyed by
+    # this NAME while the files live under the root, so a root change
+    # mid-session (e.g. a test monkeypatching SPARK_GRAFT_ARTIFACTS)
+    # must miss the catalog and rebuild instead of serving files under
+    # the old root (r12 review). n is identity too — two widths of the
+    # same table are two distinct physical layouts; `variant` tags a
+    # derived-column layout (a different derive fn must use a
+    # different variant).
     loc = loc_key(sf_dir, extra=canon_path(artifact_root()))
-    return f"bkt_{loc}_{corpus_fingerprint(sf_dir, table)}_{table}_{key}_{n}"
+    var = f"_{variant}" if variant else ""
+    return f"bkt_{loc}_{corpus_fingerprint(sf_dir, table)}_{table}{var}_{key}_{n}"
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
@@ -145,17 +150,34 @@ def _register_ddl(
 
 
 def bucketed_table(
-    spark: SparkSession, sf_dir: str, table: str, key: str, n: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n: int | None = None,
+    derive=None,
+    variant: str = "",
 ) -> DataFrame:
     """Return `table` as a catalog-registered bucketed table clustered
     and sorted on `key`, building the bucketed copy exactly once per
     (corpus, fingerprint) and re-registering existing files
     metadata-only in fresh sessions. When `n` is not passed it is
     derived from the corpus size and cluster parallelism
-    (`derived_n_buckets` — the SCALE.md sizing law as code)."""
+    (`derived_n_buckets` — the SCALE.md sizing law as code).
+
+    `derive` (with a mandatory `variant` identity tag) transforms the
+    source frame before bucketing — the standing-index posture for a
+    COMPUTED key: e.g. project documents to (doc_id, fingerprint) and
+    cluster on the fingerprint, so every later dedup-family query on
+    that key is exchange-free, exactly like the reference's B-tree
+    over a computed column. `derive` must be deterministic: the build
+    runs once per corpus fingerprint and is served from files
+    thereafter."""
+    if derive is not None and not variant:
+        raise ValueError("derive requires a variant identity tag")
     if n is None:
         n = derived_n_buckets(spark, sf_dir, table)
-    name = _table_name(sf_dir, table, key, n)
+    name = _table_name(sf_dir, table, key, n, variant)
     if spark.catalog.tableExists(name):
         return spark.table(name)
     path = fs_join(artifact_root(), "bucketed", name)
@@ -167,8 +189,11 @@ def bucketed_table(
             schema = spark.read.parquet(path).schema
         _register_ddl(spark, name, schema, key, n, path)
     else:
+        src = load_table(spark, sf_dir, table)
+        if derive is not None:
+            src = derive(src)
         (
-            load_table(spark, sf_dir, table)
+            src
             .repartition(n, key)
             .write.bucketBy(n, key)
             .sortBy(key)

@@ -150,6 +150,25 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _fingerprint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standing dedup index: documents projected to (doc_id,
+    fingerprint) and BUCKETED on the fingerprint — built once per
+    corpus by `bucketed.bucketed_table` (derive + variant identity),
+    the reference's computed-column B-tree re-expressed as a
+    pay-the-shuffle-once layout. Every exact-dedup-family query on
+    the fingerprint key then runs without any Exchange."""
+    from .bucketed import bucketed_table
+
+    def derive(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id", F.md5(X.normalize_text("text")).alias("fingerprint")
+        )
+
+    return bucketed_table(
+        spark, sf_dir, "documents", "fingerprint", derive=derive, variant="fpidx"
+    )
+
+
 @register(
     "exact_dup_groups",
     f"""
@@ -159,7 +178,34 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dup groups by normalized-content hash."""
+    """Exact-dup groups by normalized-content hash, SERVED from the
+    standing bucketed fingerprint index (VERDICT r12 #4): the groupBy
+    on the fingerprint is satisfied by the index's bucket partitioning
+    — a single HashAggregate with zero Exchange (plan-pinned). The
+    md5 + shuffle cost that made exact dedup memory-bandwidth-bound at
+    sf10 (SCALE.md saturation counters) is paid once at index build,
+    not per query. `exact_dup_groups_plain` keeps the scan-and-shuffle
+    twin on the clock for measurement."""
+    idx = _fingerprint_index(spark, sf_dir)
+    return (
+        idx.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "exact_dup_groups_plain",
+    f"""
+    SELECT md5({_norm()}) AS fingerprint,
+           count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_exact_dup_groups_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measurement twin of `exact_dup_groups`: same semantics,
+    computed from the raw documents scan (md5 + shuffle per query) —
+    what every query pays WITHOUT the standing index."""
     return D.exact_duplicates(load_table(spark, sf_dir, "documents"))
 
 
@@ -172,8 +218,16 @@ def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The kept doc ids after exact dedup (min doc_id per content)."""
-    return D.dedupe_exact(load_table(spark, sf_dir, "documents")).select("doc_id")
+    """The kept doc ids after exact dedup (min doc_id per content),
+    served from the standing bucketed fingerprint index — the
+    keeper-per-group aggregate rides the index's bucket partitioning
+    (zero Exchange) and never touches the text again. Semantics
+    identical to `D.dedupe_exact(docs).select("doc_id")` (the plain
+    operator keeps full rows; this entry needs only the ids)."""
+    idx = _fingerprint_index(spark, sf_dir)
+    return idx.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
 
 
 @register(

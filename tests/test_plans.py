@@ -900,3 +900,18 @@ def test_tracked_persists_warm_across_reps_and_release(spark):
     n = caching.release_tracked()
     assert n >= 3 and not caching._TRACKED
     assert not any(df.is_cached for df in first)
+
+
+def test_exact_dedup_serves_from_bucketed_index_exchange_free(spark):
+    # VERDICT r12 #4: the exact-dedup defaults consume the standing
+    # bucketed fingerprint index — groupBy(fingerprint) rides the
+    # bucket partitioning, zero Exchange anywhere; the plain twin
+    # keeps its per-query shuffle (sanity: the two plans differ).
+    import __spark_entry__ as m
+
+    for name in ("exact_dup_groups", "dedup_exact_keepers"):
+        plan = _plan(m.queries()[name](spark, SF))
+        assert "Exchange" not in plan, name
+        assert "Bucketed: true" in plan, name
+    plain = _plan(m.queries()["exact_dup_groups_plain"](spark, SF))
+    assert "Exchange" in plain
