@@ -18,3 +18,26 @@ def test_operators_md_is_fresh():
         assert f.read() == gen_operators_md.render(), (
             "OPERATORS.md is stale — run scripts/gen_operators_md.py"
         )
+
+
+def test_taxonomy_is_total_and_known():
+    # every entry resolves to exactly one known category; override
+    # names must exist in the registry (a rename would otherwise leave
+    # a ghost override behind)
+    sys.path.insert(0, REPO)
+    import __spark_entry__  # noqa: F401  (fills the registry)
+    from milan_telecom_etl__spark.queries_registry import (
+        CATEGORY_OVERRIDES,
+        MODULE_CATEGORY,
+        QUERIES,
+        categories,
+    )
+
+    cats = categories()  # raises KeyError if any entry is unmapped
+    assert set(cats) == set(QUERIES)
+    known = set(MODULE_CATEGORY.values()) | {
+        "llm-dedup", "eval", "serving", "multimodal"
+    }
+    assert set(cats.values()) <= known
+    ghosts = set(CATEGORY_OVERRIDES) - set(QUERIES)
+    assert not ghosts, f"overrides for unregistered entries: {sorted(ghosts)}"
