@@ -31,7 +31,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
-ENTRIES = ["exact_dup_groups", "simhash", "minhash_signatures", "tfidf_top_terms"]
+ENTRIES = [
+    n
+    for n in os.environ.get(
+        "SPARK_GRAFT_SAT_ENTRIES",
+        "exact_dup_groups,simhash,minhash_signatures,tfidf_top_terms",
+    ).split(",")
+    if n
+]
 UI_PORT = 4055
 
 
@@ -106,8 +113,10 @@ def main() -> int:
         print(name, json.dumps(out[name]), flush=True)
     spark.stop()
 
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                        "BENCH_SCALE_SF10.json")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        os.environ.get("SPARK_GRAFT_SAT_OUT", "BENCH_SCALE_SF10.json"),
+    )
     blob = json.load(open(path))
     blob["saturation_counters"] = {
         "entries": out,
