@@ -86,6 +86,12 @@ def main() -> int:
     current = set(entrymod.queries())
     dropped = sorted(set(entries) - current)
     entries = {k: v for k, v in entries.items() if k in current}
+    # stamp the taxonomy tag (queries_registry.category_of) so gate
+    # tooling and judges can reason per family straight from this file
+    from milan_telecom_etl__spark.queries_registry import category_of
+
+    for k in entries:
+        entries[k]["category"] = category_of(k)
     ungated = sorted(current - set(entries))
     out = {"entries": entries, "rounds": {str(k): v for k, v in sorted(shas.items())}}
     (REPO / "GATES.json").write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
