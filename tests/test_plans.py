@@ -915,3 +915,26 @@ def test_exact_dedup_serves_from_bucketed_index_exchange_free(spark):
         assert "Bucketed: true" in plan, name
     plain = _plan(m.queries()["exact_dup_groups_plain"](spark, SF))
     assert "Exchange" in plain
+
+
+def test_bucketed_derive_requires_variant_and_separates_identity(spark):
+    import pytest as _pytest
+    from milan_telecom_etl__spark import bucketed as B
+
+    with _pytest.raises(ValueError, match="variant"):
+        B.bucketed_table(spark, SF, "nation", "n_nationkey", derive=lambda d: d)
+    # a derived layout must never collide with the base table's name
+    n = B.derived_n_buckets(spark, SF, "documents")
+    assert B._table_name(SF, "documents", "fingerprint", n, "fpidx") != B._table_name(
+        SF, "documents", "fingerprint", n
+    )
+
+
+def test_fingerprint_index_schema_is_projection(spark):
+    # the standing dedup index is (doc_id, fingerprint) ONLY — the
+    # text column must not ride along (the index stays kilobyte-grain
+    # per doc at 100 TB)
+    from milan_telecom_etl__spark.registry_text import _fingerprint_index
+
+    idx = _fingerprint_index(spark, SF)
+    assert [f.name for f in idx.schema.fields] == ["doc_id", "fingerprint"]
