@@ -157,6 +157,7 @@ def bucketed_table(
     n: int | None = None,
     derive=None,
     variant: str = "",
+    size_fraction: float = 1.0,
 ) -> DataFrame:
     """Return `table` as a catalog-registered bucketed table clustered
     and sorted on `key`, building the bucketed copy exactly once per
@@ -172,11 +173,22 @@ def bucketed_table(
     that key is exchange-free, exactly like the reference's B-tree
     over a computed column. `derive` must be deterministic: the build
     runs once per corpus fingerprint and is served from files
-    thereafter."""
+    thereafter.
+
+    `size_fraction` scales the byte estimate the width derivation
+    sees: a derived layout is often a narrow PROJECTION of the source
+    (the fingerprint index is ~50 bytes/row of multi-KB documents), so
+    sizing its buckets on source bytes would at 100 TB produce
+    hundreds of thousands of near-empty files — the caller states the
+    projection's expected size as a fraction of the source and the
+    sizing law applies to THAT."""
     if derive is not None and not variant:
         raise ValueError("derive requires a variant identity tag")
     if n is None:
-        n = derived_n_buckets(spark, sf_dir, table)
+        n = _derive_n(
+            max(1, int(_table_bytes(spark, sf_dir, table) * size_fraction)),
+            spark.sparkContext.defaultParallelism,
+        )
     name = _table_name(sf_dir, table, key, n, variant)
     if spark.catalog.tableExists(name):
         return spark.table(name)

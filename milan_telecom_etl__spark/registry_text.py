@@ -164,8 +164,17 @@ def _fingerprint_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.md5(X.normalize_text("text")).alias("fingerprint")
         )
 
+    # size_fraction: the index is (int64, 32-char hash) ≈ 50 B/row of
+    # multi-KB document rows — size its buckets on ITS bytes, not the
+    # corpus's (bucketed_table docstring; 1/32 is ~2x conservative)
     return bucketed_table(
-        spark, sf_dir, "documents", "fingerprint", derive=derive, variant="fpidx"
+        spark,
+        sf_dir,
+        "documents",
+        "fingerprint",
+        derive=derive,
+        variant="fpidx",
+        size_fraction=1 / 32,
     )
 
 

@@ -938,3 +938,24 @@ def test_fingerprint_index_schema_is_projection(spark):
 
     idx = _fingerprint_index(spark, SF)
     assert [f.name for f in idx.schema.fields] == ["doc_id", "fingerprint"]
+
+
+def test_derived_layout_width_uses_size_fraction(spark):
+    # the fingerprint index's bucket count must be sized on the
+    # PROJECTION's bytes (size_fraction), not the multi-KB document
+    # rows — at 100 TB source-byte sizing would make near-empty files
+    from milan_telecom_etl__spark import bucketed as B
+    from milan_telecom_etl__spark.registry_text import _fingerprint_index
+
+    par = spark.sparkContext.defaultParallelism
+    src_bytes = B._table_bytes(spark, SF, "documents")
+    n_source_sized = B._derive_n(src_bytes, par)
+    n_index = B._derive_n(max(1, int(src_bytes / 32)), par)
+    assert n_index <= n_source_sized
+    # and the registered index really carries the fraction-sized width
+    idx = _fingerprint_index(spark, SF)
+    plan = _plan(idx.groupBy("fingerprint").count())
+    assert "Exchange" not in plan
+    assert f"SelectedBucketsCount: {n_index} out of {n_index}" in plan or (
+        "Bucketed: true" in plan
+    )
