@@ -72,11 +72,18 @@ WAVES = 2
 
 def _derive_n(nbytes: int, parallelism: int) -> int:
     """Pure sizing law: bytes + parallelism -> bucket count, rounded
-    up to a power of two (stable under small corpus drift)."""
+    to a power of two (stable under small corpus drift). The round
+    prefers UP, but never lets the rounding itself breach the
+    MIN_BUCKET_BYTES small-files bound the clamp just enforced: if
+    rounding up would undershoot MIN and halving still respects the
+    TARGET ceiling, round down instead (r13 review)."""
     n_min = max(1, math.ceil(nbytes / TARGET_BUCKET_BYTES))
     n_max = max(1, nbytes // MIN_BUCKET_BYTES)
     n = max(n_min, min(WAVES * parallelism, n_max))
-    return 1 << (n - 1).bit_length()
+    n_up = 1 << (n - 1).bit_length()
+    if n_up > 1 and nbytes / n_up < MIN_BUCKET_BYTES and n_up >> 1 >= n_min:
+        return n_up >> 1
+    return n_up
 
 
 def _table_bytes(spark: SparkSession, sf_dir: str, table: str) -> int:
@@ -88,11 +95,26 @@ def _table_bytes(spark: SparkSession, sf_dir: str, table: str) -> int:
     return int(fs.getContentSummary(p).getLength())
 
 
-def derived_n_buckets(spark: SparkSession, sf_dir: str, table: str) -> int:
-    """Bucket count `bucketed_table` uses when `n` is not passed."""
-    return _derive_n(
-        _table_bytes(spark, sf_dir, table), spark.sparkContext.defaultParallelism
-    )
+_DERIVED_N_MEMO: dict[tuple[str, str, float, int], int] = {}
+
+
+def derived_n_buckets(
+    spark: SparkSession, sf_dir: str, table: str, size_fraction: float = 1.0
+) -> int:
+    """Bucket count `bucketed_table` uses when `n` is not passed.
+    Memoized per (corpus location, table, fraction, parallelism): the
+    serving entries call this on every invocation, and the byte probe
+    is a recursive listing — O(#objects) LIST calls on an object
+    store. A corpus REPLACED under the same path mid-process keeps the
+    memoized width (fingerprint-keyed identity still rebuilds the
+    files; width drift on a same-order corpus is a pow2 no-op)."""
+    key = (canon_path(sf_dir), table, size_fraction, spark.sparkContext.defaultParallelism)
+    if key not in _DERIVED_N_MEMO:
+        _DERIVED_N_MEMO[key] = _derive_n(
+            max(1, int(_table_bytes(spark, sf_dir, table) * size_fraction)),
+            spark.sparkContext.defaultParallelism,
+        )
+    return _DERIVED_N_MEMO[key]
 
 
 def _table_name(
@@ -185,10 +207,7 @@ def bucketed_table(
     if derive is not None and not variant:
         raise ValueError("derive requires a variant identity tag")
     if n is None:
-        n = _derive_n(
-            max(1, int(_table_bytes(spark, sf_dir, table) * size_fraction)),
-            spark.sparkContext.defaultParallelism,
-        )
+        n = derived_n_buckets(spark, sf_dir, table, size_fraction)
     name = _table_name(sf_dir, table, key, n, variant)
     if spark.catalog.tableExists(name):
         return spark.table(name)

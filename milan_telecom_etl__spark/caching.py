@@ -29,7 +29,14 @@ _TRACKED: list[DataFrame] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
-    """persist() the frame and register it for harness release."""
+    """persist() the frame and register it for harness release.
+
+    Self-pruning: frames whose cache is already gone (a caller that
+    follows the clearCache-only branch of the EXECUTION PROTOCOL and
+    never calls release_tracked) are dropped here, so the list — and
+    the JVM Dataset refs it pins — stays bounded by the number of
+    LIVE caches, not the number of calls (r13 review)."""
+    _TRACKED[:] = [d for d in _TRACKED if d.is_cached]
     _TRACKED.append(df.persist())
     return df
 

@@ -106,7 +106,10 @@ _DEDUP_TEXT = {
     "containment_pairs", "cross_source_overlap", "dedup_cluster_profile",
     "dedup_index_compaction", "dedup_keep_best", "dedup_rate_report",
     "dedup_span_excise", "doc_fingerprint", "duplicate_span_islands",
-    "duplicate_spans", "exact_dup_groups", "exact_dup_groups_plain",
+    "duplicate_spans", "exact_dup_groups_plain",
+    # (exact_dup_groups is tagged "serving" in CATEGORY_OVERRIDES —
+    # do NOT also list it here: a duplicate dict key would silently
+    # depend on literal ordering, r13 review)
     "incremental_containment", "incremental_dedup", "lsh_verified_pairs",
     "minhash_lsh_candidates", "minhash_lsh_sharp", "minhash_signatures",
     "near_dup_clusters", "ngram_jaccard_pairs", "setsim_prefix_join",

@@ -1319,10 +1319,16 @@ def q_bucketed_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     pay-the-shuffle-once-at-ingest posture: every orderkey-grain query
     after ingest reads co-located buckets and shuffles nothing.
     Plan-pinned in tests/test_plans.py (zero Exchange of any kind)."""
-    from .bucketed import bucketed_table
+    from .bucketed import bucketed_table, derived_n_buckets
 
-    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey")
-    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey")
+    # JOIN PAIRS MUST SHARE ONE WIDTH: Spark only removes the SMJ
+    # exchange when both sides report the SAME bucket count (bucket
+    # coalescing is off by default), and per-table derivation gives
+    # lineitem/orders different widths at most tiers (r13 review).
+    # Size the pair on the LARGER side — the table the law exists for.
+    n = derived_n_buckets(spark, sf_dir, "lineitem")
+    li = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey", n=n)
+    orders = bucketed_table(spark, sf_dir, "orders", "o_orderkey", n=n)
     per_order = li.groupBy("l_orderkey").agg(
         F.round(F.sum(_rev_units()) / 10000.0, 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),

@@ -117,7 +117,7 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         os.environ.get("SPARK_GRAFT_SAT_OUT", "BENCH_SCALE_SF10.json"),
     )
-    blob = json.load(open(path))
+    blob = json.load(open(path)) if os.path.exists(path) else {}
     blob["saturation_counters"] = {
         "entries": out,
         "small_dir": small,

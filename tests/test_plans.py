@@ -813,12 +813,18 @@ def test_bucket_width_sizing_law():
     assert (100 << 40) / n <= TARGET_BUCKET_BYTES
     assert n >= WAVES * 2000
 
+    # the pow2 round-up must not breach the MIN bound it clamped to:
+    # 40 MB / 32 cores clamps to 10, and 16 (up) would give 2.6 MB
+    # buckets — the law rounds DOWN to 8 instead (r13 review)
+    assert _derive_n(40 << 20, 32) == 8
+
     # invariants across the whole range
-    for nbytes in (0, 1, MIN_BUCKET_BYTES - 1, 10**6, 10**9, 10**12, 100 << 40):
+    for nbytes in (0, 1, MIN_BUCKET_BYTES - 1, 10**6, 40 << 20, 10**9, 10**12, 100 << 40):
         for par in (1, 8, 32, 2000):
             n = _derive_n(nbytes, par)
             assert n >= 1 and (n & (n - 1)) == 0  # power of two
             assert nbytes / n <= TARGET_BUCKET_BYTES  # never over-fat
+            assert n == 1 or nbytes / n >= MIN_BUCKET_BYTES  # never under-fed
             if nbytes >= WAVES * par * MIN_BUCKET_BYTES:
                 assert n >= WAVES * par  # floor once data can fill it
 
@@ -950,12 +956,38 @@ def test_derived_layout_width_uses_size_fraction(spark):
     par = spark.sparkContext.defaultParallelism
     src_bytes = B._table_bytes(spark, SF, "documents")
     n_source_sized = B._derive_n(src_bytes, par)
-    n_index = B._derive_n(max(1, int(src_bytes / 32)), par)
+    n_index = B.derived_n_buckets(spark, SF, "documents", size_fraction=1 / 32)
+    assert n_index == B._derive_n(max(1, int(src_bytes / 32)), par)
     assert n_index <= n_source_sized
-    # and the registered index really carries the fraction-sized width
+    # and the registered index really carries the fraction-sized
+    # width: one file per bucket is the module's write invariant, so
+    # the part-file count IS the bucket count (no vacuous fallback arm)
+    import os as _os
+    from milan_telecom_etl__spark.bucketed import _table_name
+
     idx = _fingerprint_index(spark, SF)
     plan = _plan(idx.groupBy("fingerprint").count())
     assert "Exchange" not in plan
-    assert f"SelectedBucketsCount: {n_index} out of {n_index}" in plan or (
-        "Bucketed: true" in plan
-    )
+    name = _table_name(SF, "documents", "fingerprint", n_index, "fpidx")
+    path = B.fs_join(B.artifact_root(), "bucketed", name)
+    parts = [f for f in _os.listdir(path) if f.startswith("part-")]
+    assert len(parts) == n_index, (n_index, parts)
+
+
+def test_bucketed_join_pair_shares_one_width_at_divergent_tier(spark):
+    # r13 review: per-table width derivation gives lineitem/orders
+    # DIFFERENT widths at most tiers (here sf0.1: 2 vs 1), and unequal
+    # bucket counts silently reintroduce the SMJ exchange. The entry
+    # must size the pair on the larger side — pin zero Exchange at a
+    # tier where the per-table widths actually diverge (sf0.001, where
+    # the old plan-pin runs, derives 1 for BOTH sides — vacuous).
+    import __spark_entry__ as m
+    from milan_telecom_etl__spark import bucketed as B
+
+    sf = "/root/testdata/sf0.1"
+    n_li = B.derived_n_buckets(spark, sf, "lineitem")
+    n_ord = B.derived_n_buckets(spark, sf, "orders")
+    assert n_li != n_ord, "tier no longer divergent — move this pin"
+    plan = _plan(m.queries()["bucketed_order_revenue"](spark, sf))
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" in plan
