@@ -991,3 +991,38 @@ def test_bucketed_join_pair_shares_one_width_at_divergent_tier(spark):
     plan = _plan(m.queries()["bucketed_order_revenue"](spark, sf))
     assert "Exchange" not in plan
     assert "SortMergeJoin" in plan
+
+
+def test_derived_key_bucketing_exchange_free_at_n_gt_1(spark):
+    # the shipped tiers all derive n=1 for the fingerprint index (a
+    # 50 B/row projection), where zero-Exchange is trivial — force a
+    # multi-bucket build of the same derived-key layout and pin that
+    # groupBy(fingerprint) still rides the bucket partitioning with
+    # zero Exchange (the mechanism the 100 TB posture relies on).
+    from pyspark.sql import functions as F
+    from milan_telecom_etl__spark import bucketed as B
+    from milan_telecom_etl__spark.operators.text import normalize_text
+
+    def derive(docs):
+        return docs.select(
+            "doc_id", F.md5(normalize_text("text")).alias("fingerprint")
+        )
+
+    name = B._table_name(SF, "documents", "fingerprint", 4, "fpidx")
+    try:
+        idx = B.bucketed_table(
+            spark, SF, "documents", "fingerprint", n=4, derive=derive, variant="fpidx"
+        )
+        agg = idx.groupBy("fingerprint").agg(
+            F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper")
+        )
+        plan = _plan(agg)
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # one file per bucket is the write invariant
+        import os as _os
+        path = B.fs_join(B.artifact_root(), "bucketed", name)
+        parts = [f for f in _os.listdir(path) if f.startswith("part-")]
+        assert len(parts) == 4, parts
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
