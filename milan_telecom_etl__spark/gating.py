@@ -24,6 +24,7 @@ into the verified head.
 
 from __future__ import annotations
 
+import ast
 import json
 import re
 import subprocess
@@ -162,20 +163,114 @@ def _latest_round_sha() -> str | None:
     return rounds[str(max(int(k) for k in rounds))]
 
 
+@lru_cache(maxsize=None)
+def _module_fn_sources(sha: str | None, relpath: str) -> dict[str, str] | None:
+    """name -> ``ast.unparse``d module-level (decorated) function source
+    in `relpath` at revision `sha` (None = working tree). Unparse
+    normalizes formatting, so whitespace/comment churn doesn't read as
+    a change. None when the revision/file/parse is unavailable."""
+    try:
+        if sha is None:
+            text = (_REPO_ROOT / relpath).read_text(errors="replace")
+        else:
+            out = subprocess.run(
+                ["git", "show", f"{sha}:{relpath}"],
+                cwd=_REPO_ROOT,
+                capture_output=True,
+                text=True,
+                timeout=30,
+            )
+            if out.returncode != 0:
+                return None
+            text = out.stdout
+        tree = ast.parse(text)
+    except (OSError, SyntaxError, ValueError, subprocess.TimeoutExpired):
+        return None
+    return {
+        node.name: ast.unparse(node)
+        for node in tree.body
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
+    }
+
+
+def fn_changed_since(fn: Callable, sha: str) -> bool | None:
+    """Did this entry's own decorated function body (including its
+    ``@register(..., oracle=...)`` decorator, hence the oracle SQL)
+    change between `sha` and the working tree? None = undecidable
+    (renamed file, non-module-level fn, unreadable revision) — callers
+    fall back to module-closure staleness.
+
+    This is the per-ENTRY change signal module closures can't give
+    (VERDICT r13 #1): registry_text.py hosts 60+ entries, so a serving
+    rewrite of two of them marks all of them module-stale; only the
+    rewritten functions' sources actually differ."""
+    mod = getattr(fn, "__module__", "") or ""
+    if mod == _PKG:
+        dotted = ""
+    elif mod.startswith(_PKG + "."):
+        dotted = mod[len(_PKG) + 1 :]
+    else:
+        return None
+    f = _module_file(dotted) if dotted else None
+    if f is None:
+        return None
+    relpath = f.relative_to(_REPO_ROOT).as_posix()
+    cur = _module_fn_sources(None, relpath)
+    old = _module_fn_sources(sha, relpath)
+    if cur is None or old is None:
+        return None
+    name = getattr(fn, "__name__", "")
+    if name not in cur:
+        return None
+    if name not in old:
+        return True  # function didn't exist at the gate sha
+    return cur[name] != old[name]
+
+
+def universal_dep_files(queries_map: dict[str, Callable]) -> frozenset[str]:
+    """Files in EVERY entry's dep closure (the ``register()`` hub and
+    whatever it drags in). An edit to one of these marks all entries
+    stale at once, so it carries zero information about WHICH entry's
+    behavior changed — it must never count as a *direct* change signal
+    (VERDICT r13 #1: a taxonomy edit in queries_registry.py collapsed
+    gate_order to oldest-gate-first and the round's behavior-changed
+    entries missed the driver's ~50-entry gate)."""
+    dep_sets = [entry_dep_files(fn) for fn in queries_map.values()]
+    return frozenset.intersection(*dep_sets) if dep_sets else frozenset()
+
+
 def gate_order(queries_map: dict[str, Callable]) -> list[str]:
     """Order registry entry names: never-gated first, then gated-but-
     changed-since-gate, then the proven tail in registration order.
 
     The driver artifact caps at ~50 entries, so the stale tier is itself
-    prioritized: entries whose modules changed since the LATEST snapshot
-    (this round's edits) outrank older staleness, and older staleness is
-    re-gated oldest-gate-first so coverage rotates rather than starves.
+    prioritized by HOW the entry went stale (VERDICT r13 #1): the
+    finest signal first, because coarse signals cannot distinguish
+    entries (a registry module hosts 60+ of them; the universal hub
+    hosts all 250).
+
+      tier 0: the entry's OWN decorated function source (incl. its
+              oracle SQL in the decorator) differs from its gate-sha
+              version — a direct behavior edit was never re-gated;
+      tier 1: own (non-universal) module-closure deps changed since its
+              gate but the fn source is unchanged/undecidable — a
+              helper it may depend on moved (also: gate sha unknown to
+              git, treated conservatively);
+      tier 2: only universal-closure files changed since the latest
+              round snapshot (registry metadata edits this round);
+      tier 3: only universal-closure files changed since its gate.
+
+    Within a tier, oldest-gate-first so coverage rotates rather than
+    starves. Entries implemented IN the universal hub itself (the core
+    queries_registry entries) still get tier 0 via their fn fingerprint;
+    their module tier collapses to 2/3 by construction.
     """
     gates = load_gates()
     latest = _latest_round_sha()
     fresh_changed = _changed_since(latest) if latest else None
+    universal = universal_dep_files(queries_map)
     never: list[str] = []
-    stale: list[tuple[int, int, str]] = []  # (not-this-round, gate-round, name)
+    stale: list[tuple[int, int, str]] = []  # (tier, gate-round, name)
     tail: list[str] = []
     for idx, (name, fn) in enumerate(queries_map.items()):
         rec = gates.get(name)
@@ -187,7 +282,16 @@ def gate_order(queries_map: dict[str, Callable]) -> list[str]:
         if changed is not None and not (deps & changed):
             tail.append(name)
             continue
-        this_round = bool(fresh_changed and (deps & fresh_changed))
-        stale.append((0 if this_round else 1, rec.get("round", 0), name))
+        own = deps - universal
+        direct = fn_changed_since(fn, rec["sha"])
+        if direct is True:
+            tier = 0
+        elif changed is None or (own & changed):
+            tier = 1
+        elif fresh_changed and (deps & fresh_changed):
+            tier = 2
+        else:
+            tier = 3
+        stale.append((tier, rec.get("round", 0), name))
     stale.sort(key=lambda t: (t[0], t[1]))
     return never + [name for _, _, name in stale] + tail

@@ -86,9 +86,9 @@ def main() -> int:
     current = set(entrymod.queries())
     dropped = sorted(set(entries) - current)
     entries = {k: v for k, v in entries.items() if k in current}
-    # stamp the taxonomy tag (queries_registry.category_of) so gate
+    # stamp the taxonomy tag (taxonomy.category_of) so gate
     # tooling and judges can reason per family straight from this file
-    from milan_telecom_etl__spark.queries_registry import category_of
+    from milan_telecom_etl__spark.taxonomy import category_of
 
     for k in entries:
         entries[k]["category"] = category_of(k)

@@ -26,10 +26,10 @@ def test_taxonomy_is_total_and_known():
     # a ghost override behind)
     sys.path.insert(0, REPO)
     import __spark_entry__  # noqa: F401  (fills the registry)
-    from milan_telecom_etl__spark.queries_registry import (
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+    from milan_telecom_etl__spark.taxonomy import (
         CATEGORY_OVERRIDES,
         MODULE_CATEGORY,
-        QUERIES,
         categories,
     )
 

@@ -1,0 +1,163 @@
+"""gate_order tiering pins (VERDICT r13 #1).
+
+The r13 failure mode: a metadata edit to queries_registry.py — a file
+in EVERY entry's import closure — marked all 250 entries "this-round
+changed", so gate_order degenerated to oldest-gate-first and the
+entries whose behavior actually changed that round missed the driver's
+~50-entry gate. Two defenses are pinned here:
+
+1. the taxonomy module is OUTSIDE every entry's dep closure, so
+   metadata edits there never mark anything stale;
+2. gate_order ranks the stale tier by direct-vs-closure change: own
+   (non-universal) dep edits outrank promotion via a universally
+   imported module, at both this-round and since-own-gate horizons.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import __spark_entry__  # noqa: F401  (fills the registry)
+from milan_telecom_etl__spark import gating
+from milan_telecom_etl__spark.gating import (
+    entry_dep_files,
+    gate_order,
+    universal_dep_files,
+)
+from milan_telecom_etl__spark.queries_registry import QUERIES
+
+_REG = "milan_telecom_etl__spark/queries_registry.py"
+_TAX = "milan_telecom_etl__spark/taxonomy.py"
+
+
+def test_taxonomy_is_outside_every_entry_closure():
+    offenders = [
+        name for name, fn in QUERIES.items() if _TAX in entry_dep_files(fn)
+    ]
+    assert not offenders, (
+        f"taxonomy.py imported into entry closures {offenders[:5]} — "
+        "metadata edits there would mark those entries stale (r13 #1)"
+    )
+
+
+def test_universal_closure_contains_registry_hub():
+    universal = universal_dep_files(QUERIES)
+    assert _REG in universal
+    # and it must NOT swallow per-family implementation modules
+    assert "milan_telecom_etl__spark/registry_text.py" not in universal
+    assert "milan_telecom_etl__spark/operators/similarity.py" not in universal
+
+
+def _fake_env(monkeypatch, gates, latest_sha, changed_map):
+    monkeypatch.setattr(gating, "load_gates", lambda: gates)
+    monkeypatch.setattr(gating, "_latest_round_sha", lambda: latest_sha)
+    monkeypatch.setattr(
+        gating, "_changed_since", lambda sha: changed_map.get(sha)
+    )
+
+
+def _pick(module_tail: str) -> str:
+    for name, fn in QUERIES.items():
+        if fn.__module__.endswith(module_tail):
+            return name
+    raise AssertionError(f"no registry entry from {module_tail}")
+
+
+def test_taxonomy_only_edit_puts_behavior_changed_entries_first(monkeypatch):
+    """Synthetic r13 scenario: this round edits ONLY the universal hub
+    (queries_registry.py). One entry's own module was edited in a prior
+    round after its gate — it must outrank the closure-only crowd even
+    though every entry's closure intersects the edit."""
+    flagship = _pick("registry_text")
+    own_file = "milan_telecom_etl__spark/registry_text.py"
+    gates = {
+        name: {"sha": ("old-" + name if name == flagship else "old"), "round": 5}
+        for name in QUERIES
+    }
+    # make the flagship's gate OLDER-ranked NOT by round (same round for
+    # all) — ranking must come from the direct-change tier alone
+    changed_map = {
+        "latest": frozenset({_REG}),  # this round: metadata-only edit
+        "old": frozenset({_REG}),  # everyone stale only via the hub
+        "old-" + flagship: frozenset({_REG, own_file}),  # direct, prior round
+    }
+    _fake_env(monkeypatch, gates, "latest", changed_map)
+    order = gate_order(QUERIES)
+    # only the flagship's since-gate diff touches a non-universal file,
+    # so it alone is tier-1; under the r13 (pre-fix) logic the metadata
+    # edit would have flattened everything into one this-round tier and
+    # registration order would have buried it
+    assert order[0] == flagship
+    assert set(order) == set(QUERIES)
+
+
+def test_module_stale_outranks_closure_only_and_tail_is_clean(monkeypatch):
+    sim_file = "milan_telecom_etl__spark/registry_similarity.py"
+    gates = {name: {"sha": "old", "round": 5} for name in QUERIES}
+    changed_map = {
+        # this round edited registry_similarity.py (+ hub metadata)
+        "latest": frozenset({sim_file, _REG}),
+        "old": frozenset({sim_file, _REG}),
+    }
+    _fake_env(monkeypatch, gates, "latest", changed_map)
+    monkeypatch.setattr(gating, "fn_changed_since", lambda fn, sha: False)
+    order = gate_order(QUERIES)
+    sim_stale = {n for n, f in QUERIES.items()
+                 if sim_file in entry_dep_files(f) - {_REG}}
+    closure_only = set(QUERIES) - sim_stale
+    # tier 1 (module-stale) strictly precedes tier 2 (closure-only)
+    worst_t1 = max(order.index(n) for n in sim_stale)
+    best_t2 = min(order.index(n) for n in closure_only)
+    assert worst_t1 < best_t2
+    assert set(order) == set(QUERIES)
+
+
+def test_fn_fingerprint_discriminates_within_a_module(monkeypatch):
+    """The r13 gap in its pure form: EVERY entry is module-stale (the
+    hub changed this round AND each entry's own module changed since
+    its gate), but only one entry's function source actually differs —
+    it must gate first."""
+    flagship = _pick("registry_text")
+    gates = {name: {"sha": "old", "round": 5} for name in QUERIES}
+    changed_map = {
+        "latest": frozenset({_REG}),
+        # every registry module changed since everyone's gate
+        "old": frozenset(
+            {_REG}
+            | {f"milan_telecom_etl__spark/registry_{m}.py"
+               for m in ("text", "quality", "similarity", "sampling",
+                          "tpch", "streaming", "ml", "geo", "analytics",
+                          "series", "temporal", "semistructured")}
+        ),
+    }
+    _fake_env(monkeypatch, gates, "latest", changed_map)
+    monkeypatch.setattr(
+        gating, "fn_changed_since",
+        lambda fn, sha: fn is QUERIES[flagship],
+    )
+    order = gate_order(QUERIES)
+    assert order[0] == flagship
+
+
+def test_fn_fingerprint_reads_false_for_unedited_fn_at_head():
+    # real-git smoke: a committed entry fn vs HEAD must read unchanged
+    # (this test breaks only if run with uncommitted edits to the
+    # sampled module — keep it on a module this round doesn't touch)
+    name = _pick("registry_geo")
+    res = gating.fn_changed_since(QUERIES[name], "HEAD")
+    assert res is False
+
+
+def test_unknown_gate_sha_promotes_conservatively(monkeypatch):
+    some = next(iter(QUERIES))
+    gates = {name: {"sha": "known", "round": 5} for name in QUERIES}
+    gates[some] = {"sha": "vanished", "round": 5}
+    changed_map = {"latest": frozenset(), "known": frozenset()}
+    # "vanished" absent from the map -> _changed_since returns None
+    _fake_env(monkeypatch, gates, "latest", changed_map)
+    order = gate_order(QUERIES)
+    assert order[0] == some  # tier 1 ahead of the clean tail
