@@ -54,6 +54,18 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    # Sweep in stable REGISTRATION order, not gate order (VERDICT r13
+    # #3): entrymod.queries() is gate-ordered for the driver's ~50-entry
+    # correctness cap, which re-shuffles every round — r13's
+    # oldest-gate-first head put a block of small entries at sweep
+    # position 1-19 where they absorbed the early-sweep JIT ramp plus
+    # post-correctness contention (4-15x spikes, refuted in isolation).
+    # Registration order is fixed by module import order, so each
+    # entry's sweep position — and therefore its share of positional
+    # noise — is comparable round-over-round.
+    from milan_telecom_etl__spark.queries_registry import QUERIES as _reg_order
+
+    qs = {n: qs[n] for n in _reg_order if n in qs}
     # smoke-subset knob: comma-separated entry names. Subset runs skip
     # the sidecar writes so a quick check can never clobber the
     # committed full-registry BENCH_DETAIL artifacts.

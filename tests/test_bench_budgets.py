@@ -44,11 +44,71 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ARTIFACT = os.path.join(REPO, "BENCH_DETAIL.json")
+
+# SWEEP-MEDIAN DEFLATION (VERDICT r13 #2, mechanizing the PLANS.md
+# "1.36x machine day" protocol). The on-disk BENCH_DETAIL.json may be
+# a sweep taken on a loaded/slow machine (the driver overwrites it at
+# judge time); the per-entry ratio MEDIAN against the last COMMITTED
+# sweep is the environment factor — a whole-machine slowdown moves
+# every entry, while a genuine regression moves only the entries whose
+# code changed. Family medians are compared AFTER dividing by that
+# factor, so a uniformly-inflated sweep stays green and a family-wide
+# code regression (which barely moves the 250-entry sweep median)
+# still trips. The factor is clamped to [1, 2]: never inflate values
+# on a fast machine, and never silently absorb more than a 2x
+# environment claim (a >2x "machine day" needs the human isolation
+# protocol, not an automatic pass).
+
+_MIN_COMMON = 20  # below this the ratio median is noise; don't deflate
+_MAX_FACTOR = 2.0
+
+
+def environment_factor(
+    queries: dict[str, float], reference: dict[str, float] | None
+) -> float:
+    if not reference:
+        return 1.0
+    ratios = [
+        t / reference[name]
+        for name, t in queries.items()
+        if t > 0 and reference.get(name, 0) > 0
+    ]
+    if len(ratios) < _MIN_COMMON:
+        return 1.0
+    return max(1.0, min(statistics.median(ratios), _MAX_FACTOR))
+
+
+def _committed_reference() -> dict[str, float] | None:
+    """queries map of the committed BENCH_REFERENCE.json — the
+    builder-pinned STEADY sweep. Deliberately NOT BENCH_DETAIL.json:
+    the driver overwrites (and its round commit re-commits) that file
+    with whatever the judge-time machine produced, so it can't anchor
+    an environment comparison (the r13 contaminated sweep was itself
+    the committed artifact). BENCH_REFERENCE.json is only ever written
+    by the builder on an idle machine. Read via `git show HEAD:` so a
+    working-tree overwrite can't move the anchor either."""
+    try:
+        out = subprocess.run(
+            ["git", "show", "HEAD:BENCH_REFERENCE.json"],
+            cwd=REPO,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        if out.returncode != 0:
+            return None
+        data = json.loads(out.stdout)
+        if str(data.get("sf")) != "0.1":
+            return None
+        return {k: v for k, v in data["queries"].items() if v > 0}
+    except Exception:
+        return None
 
 # Ceiling on the family's MEDIAN seconds/query at sf0.1 (local[32]).
 # ~1.4x the worse of the two committed same-code r9 sweeps (builder
@@ -90,14 +150,17 @@ def _load_detail() -> dict:
     return detail
 
 
-def _families() -> dict[str, list[tuple[str, float]]]:
-    detail = _load_detail()
+def _families(
+    queries: dict[str, float] | None = None,
+) -> dict[str, list[tuple[str, float]]]:
+    if queries is None:
+        queries = _load_detail()["queries"]
     import __spark_entry__  # noqa: F401  (registration side effects)
 
     from milan_telecom_etl__spark.queries_registry import QUERIES
 
     fams: dict[str, list[tuple[str, float]]] = {}
-    for name, t in detail["queries"].items():
+    for name, t in queries.items():
         if t < 0 or name not in QUERIES:
             continue
         fam = QUERIES[name].__module__.rsplit(".", 1)[-1]
@@ -139,21 +202,102 @@ def test_every_family_is_budgeted():
     )
 
 
-def test_family_medians_within_budget():
+def _family_budget_violations(
+    queries: dict[str, float], reference: dict[str, float] | None
+) -> list[str]:
+    factor = environment_factor(queries, reference)
     over = []
-    for fam, entries in _families().items():
+    for fam, entries in _families(queries).items():
         budget = FAMILY_MEDIAN_BUDGET_S.get(fam)
         if budget is None:
             continue  # test_every_family_is_budgeted reports it
-        med = statistics.median(t for _, t in entries)
+        med = statistics.median(t for _, t in entries) / factor
         if med > budget:
             worst = sorted(entries, key=lambda kv: -kv[1])[:3]
-            over.append(f"{fam}: median {med:.3f}s > {budget}s (worst {worst})")
-    assert not over, (
-        "family bench MEDIAN budgets exceeded (load-immune statistic — a trip "
-        "means at least half the family regressed; reproduce in isolation per "
-        "PLANS.md before re-pinning):\n" + "\n".join(over)
+            over.append(
+                f"{fam}: deflated median {med:.3f}s > {budget}s "
+                f"(env factor {factor:.3f}, worst {worst})"
+            )
+    return over
+
+
+def test_family_medians_within_budget():
+    over = _family_budget_violations(
+        _load_detail()["queries"], _committed_reference()
     )
+    assert not over, (
+        "family bench MEDIAN budgets exceeded (load-immune statistic, "
+        "environment-deflated vs the committed sweep — a trip means at "
+        "least half the family regressed beyond the whole-sweep shift; "
+        "reproduce in isolation per PLANS.md before re-pinning):\n"
+        + "\n".join(over)
+    )
+
+
+# --- synthetic fixtures for the deflation mechanism (VERDICT r13 #2) --
+
+
+def _synthetic_reference() -> dict[str, float]:
+    """A steady sweep: every registered entry at a value 25% under its
+    family budget (so the synthetic cases exercise ONLY the deflation
+    arithmetic, not the committed artifact)."""
+    import __spark_entry__  # noqa: F401
+
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    ref = {}
+    for name, fn in QUERIES.items():
+        fam = fn.__module__.rsplit(".", 1)[-1]
+        budget = FAMILY_MEDIAN_BUDGET_S.get(fam)
+        if budget:
+            ref[name] = budget * 0.75
+    return ref
+
+
+def test_uniformly_inflated_sweep_stays_green():
+    ref = _synthetic_reference()
+    loaded = {k: v * 1.5 for k, v in ref.items()}  # 1.5x machine day
+    assert environment_factor(loaded, ref) == pytest.approx(1.5)
+    assert _family_budget_violations(loaded, ref) == []
+
+
+def test_spot_contaminated_sweep_stays_green():
+    # the r13 judge-sweep shape: a ~10% cluster of entries spiked 4-15x
+    # on a machine running ~1.14x slow; family medians must survive
+    ref = _synthetic_reference()
+    loaded = {k: v * 1.14 for k, v in ref.items()}
+    names = sorted(loaded)
+    for name in names[:: max(1, len(names) // 20)]:  # ~5% spread spikes
+        loaded[name] *= 6.0
+    assert _family_budget_violations(loaded, ref) == []
+
+
+def test_genuine_family_regression_still_trips():
+    import __spark_entry__  # noqa: F401
+
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    ref = _synthetic_reference()
+    loaded = dict(ref)
+    for name in loaded:
+        if QUERIES[name].__module__.endswith("registry_quality"):
+            loaded[name] *= 2.0  # the r6 incident class
+    over = _family_budget_violations(loaded, ref)
+    assert any(v.startswith("registry_quality") for v in over), over
+    # and ONLY that family trips
+    assert all(v.startswith("registry_quality") for v in over), over
+
+
+def test_environment_factor_clamps():
+    ref = _synthetic_reference()
+    # >2x whole-sweep shift is not silently absorbed
+    crazy = {k: v * 3.0 for k, v in ref.items()}
+    assert environment_factor(crazy, ref) == _MAX_FACTOR
+    # fast machines never get inflated into the budgets
+    fast = {k: v * 0.5 for k, v in ref.items()}
+    assert environment_factor(fast, ref) == 1.0
+    # too few common entries -> no deflation claim
+    assert environment_factor(dict(list(ref.items())[:5]), ref) == 1.0
 
 
 def test_no_entry_catastrophic():
