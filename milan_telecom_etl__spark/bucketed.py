@@ -135,14 +135,22 @@ def _table_name(
 
 
 def _write_text(spark: SparkSession, path: str, text: str) -> None:
+    # whole-or-absent: write a temp sibling then rename. This runs
+    # AFTER _SUCCESS exists, so a job killed mid-write must not leave a
+    # truncated file that poisons every future fresh-session
+    # re-registration (ADVICE r13 #2); HDFS/local rename is atomic.
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "._tmp")
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-    out = fs.create(p, True)
+    out = fs.create(tmp, True)
     try:
         out.write(text.encode("utf-8"))
     finally:
         out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    fs.rename(tmp, p)
 
 
 def _read_text(spark: SparkSession, path: str) -> str | None:
@@ -214,9 +222,16 @@ def bucketed_table(
     path = fs_join(artifact_root(), "bucketed", name)
     if _fs_exists(spark, path):
         persisted = _read_text(spark, fs_join(path, "_schema.json"))
+        schema = None
         if persisted is not None:
-            schema = T.StructType.fromJson(json.loads(persisted))
-        else:  # pre-schema-file build: fall back to footer inference
+            try:
+                schema = T.StructType.fromJson(json.loads(persisted))
+            except (ValueError, KeyError, TypeError):
+                # truncated/corrupt sidecar (writer killed mid-write on
+                # a pre-atomic build): footer inference still serves
+                # the table rather than failing the entry forever
+                schema = None
+        if schema is None:  # pre-schema-file build or corrupt sidecar
             schema = spark.read.parquet(path).schema
         _register_ddl(spark, name, schema, key, n, path)
     else:

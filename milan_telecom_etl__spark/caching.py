@@ -28,6 +28,19 @@ from pyspark.sql import DataFrame
 _TRACKED: list[DataFrame] = []
 
 
+def _is_cached(df: DataFrame) -> bool:
+    """is_cached, treating a frame bound to a stopped SparkContext as
+    not cached. _TRACKED is process-global and survives spark.stop():
+    in a multi-session process (scripts/spill_ab.py runs three
+    sessions) the prune must not raise on dead-session frames and fail
+    whatever entry happens to call tracked_persist next (ADVICE r13
+    #3)."""
+    try:
+        return bool(df.is_cached)
+    except Exception:
+        return False
+
+
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() the frame and register it for harness release.
 
@@ -36,16 +49,21 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     never calls release_tracked) are dropped here, so the list — and
     the JVM Dataset refs it pins — stays bounded by the number of
     LIVE caches, not the number of calls (r13 review)."""
-    _TRACKED[:] = [d for d in _TRACKED if d.is_cached]
+    _TRACKED[:] = [d for d in _TRACKED if _is_cached(d)]
     _TRACKED.append(df.persist())
     return df
 
 
 def release_tracked() -> int:
     """Unpersist every tracked frame (idempotent — unpersisting an
-    already-released frame is a no-op). Returns how many were
-    tracked, for tests."""
+    already-released frame is a no-op; frames from an already-stopped
+    session are dropped silently). Returns how many were tracked, for
+    tests."""
     n = len(_TRACKED)
     while _TRACKED:
-        _TRACKED.pop().unpersist()
+        df = _TRACKED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
     return n

@@ -880,6 +880,29 @@ def test_bucketed_reregistration_never_reinfers_schema(spark, monkeypatch):
     assert "Exchange" not in _plan(df.groupBy("o_orderkey").count())
 
 
+def test_bucketed_corrupt_schema_sidecar_falls_back_to_footer(spark):
+    # ADVICE r13 #2: a writer killed mid-write (pre-atomic builds)
+    # could leave a truncated _schema.json; re-registration must fall
+    # back to footer inference, not raise forever until manual cleanup.
+    from milan_telecom_etl__spark import bucketed as B
+
+    built = B.bucketed_table(spark, SF, "orders", "o_orderkey")
+    n = B.derived_n_buckets(spark, SF, "orders")
+    name = B._table_name(SF, "orders", "o_orderkey", n)
+    path = B.fs_join(B.artifact_root(), "bucketed", name)
+    sidecar = B.fs_join(path, "_schema.json")
+    original = B._read_text(spark, sidecar)
+    assert original is not None
+    try:
+        B._write_text(spark, sidecar, original[: len(original) // 2])
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        df = B.bucketed_table(spark, SF, "orders", "o_orderkey")
+        assert df.schema == built.schema
+        assert "Exchange" not in _plan(df.groupBy("o_orderkey").count())
+    finally:
+        B._write_text(spark, sidecar, original)
+
+
 def test_tracked_persists_warm_across_reps_and_release(spark):
     # VERDICT r12 #1: the materializing eval entries register their
     # persisted subtrees with caching.tracked_persist — warm across a
@@ -906,6 +929,32 @@ def test_tracked_persists_warm_across_reps_and_release(spark):
     n = caching.release_tracked()
     assert n >= 3 and not caching._TRACKED
     assert not any(df.is_cached for df in first)
+
+
+def test_tracked_list_survives_dead_session_frames(spark):
+    # ADVICE r13 #3: _TRACKED is process-global and survives
+    # spark.stop() — in a multi-session process (scripts/spill_ab.py)
+    # the prune inside tracked_persist and the release loop must treat
+    # a frame bound to a stopped SparkContext as simply not cached,
+    # not raise into the entry under test.
+    from milan_telecom_etl__spark import caching
+
+    class _DeadFrame:
+        @property
+        def is_cached(self):
+            raise RuntimeError("SparkContext was shut down")
+
+        def unpersist(self):
+            raise RuntimeError("SparkContext was shut down")
+
+    caching.release_tracked()
+    caching._TRACKED.append(_DeadFrame())
+    live = caching.tracked_persist(spark.range(3))  # must not raise
+    assert live.is_cached
+    assert all(not isinstance(d, _DeadFrame) for d in caching._TRACKED)
+    caching._TRACKED.append(_DeadFrame())
+    caching.release_tracked()  # must not raise either
+    assert not caching._TRACKED and not live.is_cached
 
 
 def test_exact_dedup_serves_from_bucketed_index_exchange_free(spark):
