@@ -153,6 +153,14 @@ def _write_text(spark: SparkSession, path: str, text: str) -> None:
     fs.rename(tmp, p)
 
 
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, False)
+
+
 def _read_text(spark: SparkSession, path: str) -> str | None:
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -254,4 +262,185 @@ def bucketed_table(
             fs_join(path, "_schema.json"),
             json.dumps(spark.table(name).schema.jsonValue()),
         )
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Append-only standing index (VERDICT r13 #5)
+# ---------------------------------------------------------------------------
+
+# Width-migration trigger: an appendable layout keeps its creation-time
+# bucket count while the corpus grows (n is physical layout, appends
+# must match it) until the CURRENT corpus would derive a width this
+# many pow2 steps wider — then the next serve pays one full rebuild at
+# the new width instead of letting buckets grow without bound. 4x in
+# derived width ≈ buckets averaging ~4x TARGET_BUCKET_BYTES.
+WIDTH_MIGRATION_FACTOR = 4
+
+
+def _corpus_files(
+    spark: SparkSession, sf_dir: str, table: str
+) -> dict[str, list[int]]:
+    """name -> [size, mtime_ms] for every data file of the source
+    table, through the Hadoop FileSystem (local dir, single file, or
+    object-store prefix alike). The appendable index's change
+    detector: a NEW name is an appendable shard; a changed/vanished
+    name breaks append-only identity and forces a rebuild."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(fs_join(sf_dir, f"{table}.parquet"))
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    st = fs.getFileStatus(p)
+    if st.isFile():
+        return {p.getName(): [int(st.getLen()), int(st.getModificationTime())]}
+    out: dict[str, list[int]] = {}
+    for s in fs.listStatus(p):
+        name = s.getPath().getName()
+        if s.isFile() and not name.startswith((".", "_")):
+            out[name] = [int(s.getLen()), int(s.getModificationTime())]
+    return out
+
+
+def appendable_bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    n: int | None = None,
+    derive=None,
+    variant: str = "",
+    size_fraction: float = 1.0,
+) -> DataFrame:
+    """The append-only refresh posture for a standing bucketed index
+    (VERDICT r13 #5). `bucketed_table` keys its identity on a corpus
+    FINGERPRINT, so any corpus change — including pure growth — pays a
+    whole-history rewrite. At 100 TB the corpus only ever GROWS (new
+    parquet files land under the table prefix per ingest batch), so
+    this variant keys identity on the LAYOUT (location, table, variant,
+    key) and tracks content per source FILE in a `_shards.json`
+    manifest beside the data:
+
+    - first serve: build from all current files, record them;
+    - corpus grew (manifest ⊂ current): read ONLY the new files,
+      derive, and `bucketBy(n).mode("append")` them into the SAME
+      catalog table — history files are untouched, the delta pays one
+      shuffle of ITS rows into the standing width;
+    - a manifest file changed or vanished (not append-only growth), or
+      the corpus outgrew the creation width by WIDTH_MIGRATION_FACTOR
+      pow2 steps: full rebuild at the freshly derived width.
+
+    Reads serve the union (old buckets + delta files) as ONE bucketed
+    scan: Spark groups a bucket's files across appends into one task,
+    so aggregations and joins on `key` stay Exchange-free — the same
+    zero-shuffle contract as `bucketed_table`, minus the per-file sort
+    guarantee (appended buckets hold >1 file, so downstream sorts are
+    the optimizer's call again; the dedup family needs only the hash
+    clustering). The bucket count is pinned at creation in the
+    manifest — appends must match the physical layout — and the width
+    sizing law re-enters only through the migration rebuild.
+
+    The source table must need no loader adaptation (delta batches are
+    read with `spark.read.parquet` on the new files); `documents` —
+    the dedup corpus — qualifies."""
+    if derive is not None and not variant:
+        raise ValueError("derive requires a variant identity tag")
+    loc = loc_key(sf_dir, extra=canon_path(artifact_root()))
+    var = f"_{variant}" if variant else ""
+    name = f"bkta_{loc}_{table}{var}_{key}"
+    path = fs_join(artifact_root(), "bucketed", name)
+    manifest_path = fs_join(path, "_shards.json")
+    current = _corpus_files(spark, sf_dir, table)
+
+    manifest = None
+    if _fs_exists(spark, path):
+        raw = _read_text(spark, manifest_path)
+        if raw is not None:
+            try:
+                manifest = json.loads(raw)
+                int(manifest["n"])
+                dict(manifest["files"])
+            except (ValueError, KeyError, TypeError):
+                manifest = None  # corrupt/truncated: rebuild below
+
+    def _register(n_buckets: int) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        persisted = _read_text(spark, fs_join(path, "_schema.json"))
+        schema = None
+        if persisted is not None:
+            try:
+                schema = T.StructType.fromJson(json.loads(persisted))
+            except (ValueError, KeyError, TypeError):
+                schema = None
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+        _register_ddl(spark, name, schema, key, n_buckets, path)
+
+    def _rebuild() -> DataFrame:
+        n_new = n if n is not None else derived_n_buckets(
+            spark, sf_dir, table, size_fraction
+        )
+        src = load_table(spark, sf_dir, table)
+        if derive is not None:
+            src = derive(src)
+        spark.sql(f"DROP TABLE IF EXISTS `{name}`")
+        (
+            src.repartition(n_new, key)
+            .write.bucketBy(n_new, key)
+            .sortBy(key)
+            .option("path", path)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        _write_text(
+            spark,
+            fs_join(path, "_schema.json"),
+            json.dumps(spark.table(name).schema.jsonValue()),
+        )
+        _write_text(
+            spark, manifest_path, json.dumps({"n": n_new, "files": current})
+        )
+        return spark.table(name)
+
+    if manifest is None:
+        return _rebuild()
+
+    known: dict[str, list[int]] = manifest["files"]
+    n_built = int(manifest["n"])
+    mutated = any(
+        fname not in current or current[fname] != meta
+        for fname, meta in known.items()
+    )
+    if mutated:
+        return _rebuild()
+    # crash-safety: an append is (data job commit, manifest rename) —
+    # two steps with no transaction between them. The pending marker
+    # brackets them: if a previous process died inside the bracket,
+    # delta rows may be committed but unrecorded, and re-appending
+    # would double-count them — rebuild instead (whole-or-rebuild).
+    pending = fs_join(path, "_append_pending")
+    if _read_text(spark, pending) is not None:
+        return _rebuild()
+    if n is None:
+        n_now = derived_n_buckets(spark, sf_dir, table, size_fraction)
+        if n_now >= n_built * WIDTH_MIGRATION_FACTOR:
+            return _rebuild()  # width migration: deliberate, not drift
+    new_files = sorted(set(current) - set(known))
+    _register(n_built)
+    if new_files:
+        _write_text(spark, pending, json.dumps(new_files))
+        base = fs_join(sf_dir, f"{table}.parquet")
+        delta = spark.read.parquet(*[fs_join(base, f) for f in new_files])
+        if derive is not None:
+            delta = derive(delta)
+        (
+            delta.repartition(n_built, key)
+            .write.bucketBy(n_built, key)
+            .sortBy(key)
+            .mode("append")
+            .saveAsTable(name)
+        )
+        _write_text(
+            spark, manifest_path, json.dumps({"n": n_built, "files": current})
+        )
+        _fs_delete(spark, pending)
     return spark.table(name)

@@ -240,6 +240,50 @@ def q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_dup_groups_appendable",
+    f"""
+    SELECT md5({_norm()}) AS fingerprint,
+           count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_exact_dup_groups_appendable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup groups served from the APPEND-ONLY fingerprint index
+    (VERDICT r13 #5): same semantics and zero-Exchange serving plan as
+    `exact_dup_groups`, but the standing index refreshes on corpus
+    GROWTH by bucketing only the newly arrived files into the standing
+    width (`bucketed.appendable_bucketed_table`) instead of rewriting
+    history — the missing piece of the 100 TB ingest story, where the
+    corpus only ever grows and a fingerprint-keyed identity would pay
+    a whole-corpus rewrite per ingest batch. The union read (history
+    buckets + delta files) is one bucketed scan, so the groupBy still
+    rides the bucket partitioning with no Exchange (plan-pinned, and
+    pinned equal to a full rebuild after an append in
+    tests/test_plans.py)."""
+    from .bucketed import appendable_bucketed_table
+
+    def derive(docs: DataFrame) -> DataFrame:
+        return docs.select(
+            "doc_id", F.md5(X.normalize_text("text")).alias("fingerprint")
+        )
+
+    idx = appendable_bucketed_table(
+        spark,
+        sf_dir,
+        "documents",
+        "fingerprint",
+        derive=derive,
+        variant="fpidx",
+        size_fraction=1 / 32,
+    )
+    return (
+        idx.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     f"""
     WITH {_SHINGLE_CTE},

@@ -83,6 +83,7 @@ CATEGORY_OVERRIDES: dict[str, str] = {
     "bucketed_order_revenue": "serving",
     "bucketed_user_sessions": "serving",
     "exact_dup_groups": "serving",
+    "exact_dup_groups_appendable": "serving",
     "dedup_exact_keepers": "serving",
     "streaming_fertility_batch": "serving",
     "streaming_quality_probe_batch": "serving",
