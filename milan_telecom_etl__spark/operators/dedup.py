@@ -498,15 +498,26 @@ def minhash_banded(
     num_hashes: int = 16,
     band_size: int = 2,
     words: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_id, band_hash): the banded MinHash signature table
     — the LSH index layout. Banding slices `_minhash_sig_arr`'s array
     directly (band_hash = md5 of the comma-joined band values, same
     bytes as the former concat_ws over mh_* columns); both the full
     self-join candidates and the incremental probe path build on it.
-    A pure projection over the signatures — banding 100 TB is map-only."""
-    w = words if words is not None else _words_df(docs, text_col)
-    sig = _minhash_sig_arr(w, n, num_hashes)
+    A pure projection over the signatures — banding 100 TB is map-only.
+
+    `sig` shares a PRE-COMPUTED (doc_id, __sig) signature table with
+    ≥ num_hashes elements: `_hash_params` derives (a_i, b_i) from the
+    function INDEX, so `_hash_params(k)` is a strict prefix of
+    `_hash_params(K)` for k ≤ K and the first `num_hashes` elements of
+    a wider signature ARE this preset's signature (prefix property,
+    test-pinned). Multi-preset evals (the S-curve) compute one widest
+    signature and slice, instead of re-folding the shingle stream per
+    preset (VERDICT r13 #7)."""
+    if sig is None:
+        w = words if words is not None else _words_df(docs, text_col)
+        sig = _minhash_sig_arr(w, n, num_hashes)
     n_bands = num_hashes // band_size
     bands = [
         F.struct(
@@ -535,11 +546,13 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     band_size: int = 2,
     words: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of their signature become a
     candidate pair. Equality join per band on (band_id, band_hash) —
-    distributed-friendly; no cross join anywhere."""
-    banded = minhash_banded(docs, text_col, n, num_hashes, band_size, words)
+    distributed-friendly; no cross join anywhere. `sig` shares a
+    pre-computed wider signature table (see minhash_banded)."""
+    banded = minhash_banded(docs, text_col, n, num_hashes, band_size, words, sig)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -4114,6 +4114,17 @@ def _s_curve_plan(docs: DataFrame):
             col = col * col
         return col
 
+    # ONE signature fold at the widest preset, shared by all legs
+    # (VERDICT r13 #7): _hash_params is index-derived, so the first k
+    # elements of the 128-hash signature ARE the k-hash signature
+    # (prefix property, pinned in tests/test_clustering.py) — each
+    # preset's banding is a projection over this table instead of its
+    # own shingle-stream re-fold, which the r14 profile measured as
+    # the entry's dominant cost (3 folds of 16+64+128 hashes vs one
+    # of 128).
+    max_h = max(h for _, h, _ in _S_CURVE_PRESETS)
+    sig = tracked_persist(D._minhash_sig_arr(words, 3, max_h))
+
     out = None
     for label, h, r in _S_CURVE_PRESETS:
         b = h // r
@@ -4121,7 +4132,7 @@ def _s_curve_plan(docs: DataFrame):
         qb = sq_chain(F.lit(1.0) - jr, {8: 3, 16: 4, 32: 5}[b])
         theory = F.round(F.lit(1.0) - qb, 6)
         cand = D.minhash_lsh_candidates(
-            docs, num_hashes=h, band_size=r, words=words
+            docs, num_hashes=h, band_size=r, sig=sig
         ).withColumn("hit", F.lit(1))
         leg = (
             exact.join(cand, ["doc_a", "doc_b"], "left")

@@ -17,11 +17,48 @@ merely *tested* on local[N]:
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# The spill lever as a sizing law (VERDICT r13 #6). The sf30 A/B
+# (scripts/spill_ab.py, SCALE.md) measured that candidate-join spill is
+# defaultParallelism-bound, not shuffle-width-bound: dp 32->128 at
+# identical shuffle.partitions dropped spill 20x/90x at identical
+# results. A real cluster moves this lever by construction (1000
+# executors x cores); a fixed-core tier sweep must move it with DATA
+# VOLUME instead, the same spirit as bucketed.derived_n_buckets. The
+# divisor is ~64 MB of SOURCE bytes per task — conservative because the
+# candidate-join family inflates input ~8x before the first shuffle
+# (SCALE.md replicated-density law) — and reproduces both measured
+# points: sf10 (1.8 GB) -> 32 (measured spill-free), sf30 (5.0 GB) ->
+# 128 (the measured spill-free leg).
+TARGET_DP_SOURCE_BYTES = 64 << 20
+
+
+def derived_default_parallelism(tier_bytes: int, cores: int) -> int:
+    """Data-volume-derived spark.default.parallelism for a scale tier,
+    rounded to a power of two (stable under small corpus drift), never
+    below the core count."""
+    n = max(cores, math.ceil(tier_bytes / TARGET_DP_SOURCE_BYTES))
+    return 1 << (n - 1).bit_length()
+
+
+def tier_bytes(sf_dir: str) -> int:
+    """Total bytes under a LOCAL tier directory (the scale scripts run
+    against local dirs; a cluster derives dp from its executor count
+    instead and never needs this)."""
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def get_spark(

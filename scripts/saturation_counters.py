@@ -85,14 +85,31 @@ def run_entry(spark, fn, sf_dir) -> dict:
 def main() -> int:
     small = sys.argv[1] if len(sys.argv) > 1 else ".scaledata/sf3"
     big = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf10"
+    from milan_telecom_etl__spark.session import (
+        derived_default_parallelism,
+        tier_bytes,
+    )
+
+    # tier-derived spill lever (VERDICT r13 #6) — overridable so the
+    # fixed-dp legacy measurement stays reproducible
+    dp = int(
+        os.environ.get("SPARK_GRAFT_DP", "0")
+    ) or derived_default_parallelism(tier_bytes(big), 32)
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("saturation-counters")
+        .config("spark.default.parallelism", str(dp))
+        # width of SQL shuffles (the band self-join / distinct side of
+        # the candidate family) — separate lever from dp, overridable
+        # for per-lever attribution
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SP", "32"),
+        )
         # match the bench harness's heap (session.get_spark default 8g)
         # so the counters describe the SAME memory envelope the sweep
         # numbers came from — the default 1g OOMs tfidf at sf10 anyway
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
-        .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
         .config("spark.ui.showConsoleProgress", "false")
@@ -118,10 +135,16 @@ def main() -> int:
         os.environ.get("SPARK_GRAFT_SAT_OUT", "BENCH_SCALE_SF10.json"),
     )
     blob = json.load(open(path)) if os.path.exists(path) else {}
-    blob["saturation_counters"] = {
+    # SPARK_GRAFT_SAT_BLOCK names the merge key so a re-sweep under a
+    # different config (e.g. the derived-dp legs) lands BESIDE the
+    # legacy counters instead of clobbering them (the r13
+    # BENCH_SCALE_SF30 restore incident)
+    block = os.environ.get("SPARK_GRAFT_SAT_BLOCK", "saturation_counters")
+    blob[block] = {
         "entries": out,
         "small_dir": small,
         "big_dir": big,
+        "default_parallelism": dp,
         "method": "UI REST stage sums (new stages per run) + GC MXBean delta; "
         "cold single run per tier, local[32]",
     }

@@ -30,9 +30,23 @@ def main() -> None:
     out_path = sys.argv[3] if len(sys.argv) > 3 else "BENCH_SCALE.json"
     growth = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
 
-    from milan_telecom_etl__spark.session import get_spark
+    from milan_telecom_etl__spark.session import (
+        derived_default_parallelism,
+        get_spark,
+        tier_bytes,
+    )
 
-    spark = get_spark(app_name="scale-bench")
+    # derive the spill lever from the BIG tier's data volume (VERDICT
+    # r13 #6): on a real cluster defaultParallelism grows with the
+    # executor fleet; a fixed-core tier sweep must grow it with data
+    # or the sf30 candidate-join family spills on a lever no plan can
+    # move (the spill_ab.py measurement, as a default)
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    dp = derived_default_parallelism(tier_bytes(big), cores)
+    spark = get_spark(
+        app_name="scale-bench",
+        extra_conf={"spark.default.parallelism": str(dp)},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
@@ -104,6 +118,7 @@ def main() -> None:
         "protocol": "noop-materialize-all-columns" if force_noop else "count",
         "small_dir": small,
         "big_dir": big,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "data_growth_x": growth,
         "git_sha": sha,
         "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

@@ -790,6 +790,17 @@ def test_bucketed_half_written_build_is_rebuilt(spark, tmp_path, monkeypatch):
         spark.sql(f"DROP TABLE IF EXISTS `{name}`")
 
 
+def test_derived_default_parallelism_law():
+    # the sf30 spill A/B as a sizing law (VERDICT r13 #6): both
+    # measured points reproduce, cores floor holds, pow2 growth
+    from milan_telecom_etl__spark.session import derived_default_parallelism
+
+    assert derived_default_parallelism(1_810_000_000, 32) == 32  # sf10: spill-free at cores
+    assert derived_default_parallelism(4_985_000_000, 32) == 128  # sf30: measured spill-free leg
+    assert derived_default_parallelism(100, 32) == 32  # never below cores
+    assert derived_default_parallelism(10**12, 32) == 16384  # grows with volume, pow2
+
+
 def test_bucket_width_sizing_law():
     # the SCALE.md bucket-width A/B, as code (VERDICT r12 #2): both
     # halves of the law pin the derived count.
@@ -1078,11 +1089,11 @@ def test_tracked_persists_warm_across_reps_and_release(spark):
     caching.release_tracked()
     m.queries()["lsh_s_curve"](spark, SF).count()
     first = list(caching._TRACKED)
-    assert len(first) == 2  # words + exact
+    assert len(first) == 3  # words + exact + shared wide signature
     assert all(df.is_cached for df in first)
 
     m.queries()["knn_ivf_recall_curve"](spark, SF).count()
-    assert len(caching._TRACKED) == 3  # + candidate table
+    assert len(caching._TRACKED) == 4  # + candidate table
     # second rep of the same entry re-registers the SAME logical plans;
     # the CacheManager serves the live cache (warm rep), so the frames
     # stay cached throughout

@@ -73,6 +73,46 @@ def test_minhash_lsh_recalls_planted_near_dups(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
 
 
+def test_hash_params_prefix_property():
+    # the invariant shared-signature slicing rests on (VERDICT r13 #7):
+    # the (a, b) of hash i depends only on i, so a wider signature's
+    # first k elements ARE the k-hash signature
+    from milan_telecom_etl__spark.operators.dedup import _hash_params
+
+    assert _hash_params(16) == _hash_params(128)[:16]
+    assert _hash_params(64) == _hash_params(128)[:64]
+
+
+def test_shared_wide_signature_yields_identical_candidates(spark):
+    # minhash_lsh_candidates(sig=<128-wide table>) must emit EXACTLY
+    # the pairs the dedicated-signature pipeline emits, per preset —
+    # the s-curve's shared-fold legs are a pure cost optimization
+    from milan_telecom_etl__spark.operators.dedup import (
+        _minhash_sig_arr,
+        _words_df,
+    )
+    from milan_telecom_etl__spark.operators.dedup import (
+        minhash_lsh_candidates as mlc,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    words = _words_df(docs)
+    sig128 = _minhash_sig_arr(words, 3, 128).persist()
+    try:
+        for h, r in [(16, 2), (64, 4), (128, 4)]:
+            dedicated = {
+                (x["doc_a"], x["doc_b"])
+                for x in mlc(docs, num_hashes=h, band_size=r).collect()
+            }
+            shared = {
+                (x["doc_a"], x["doc_b"])
+                for x in mlc(docs, num_hashes=h, band_size=r, sig=sig128).collect()
+            }
+            assert shared == dedicated, (h, r)
+    finally:
+        sig128.unpersist()
+
+
 def test_minhash_sharp_banding_recalls_planted_near_dups(spark):
     """The 64-hash/16x4-band sharp twin must still recover the planted
     high-Jaccard pairs (they sit well above the J=0.5 S-curve midpoint,
