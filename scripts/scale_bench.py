@@ -43,8 +43,15 @@ def main() -> None:
     # move (the spill_ab.py measurement, as a default)
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     dp = derived_default_parallelism(tier_bytes(big), cores)
+    # BOTH shuffle levers follow the tier law: the r14 per-lever
+    # attribution at sf30 measured semdedup_auto's spill as
+    # defaultParallelism-bound (17.5 GB -> 0.5 GB at dp=128) and
+    # minhash_lsh_candidates' as shuffle-WIDTH-bound (10.4 GB -> 0 at
+    # sp=128, dp alone no-op) — a real cluster moves both by
+    # construction (executor fleet + AQE initialPartitionNum)
     spark = get_spark(
         app_name="scale-bench",
+        shuffle_partitions=dp,
         extra_conf={"spark.default.parallelism": str(dp)},
     )
     spark.sparkContext.setLogLevel("ERROR")
