@@ -106,6 +106,14 @@ def main() -> int:
             "spark.sql.shuffle.partitions",
             os.environ.get("SPARK_GRAFT_SP", "32"),
         )
+        # AQE's own width lever: start every shuffle wide and let the
+        # runtime coalesce to advisory size — the Spark-native form of
+        # the sp lever (only set when the env asks, to keep legacy
+        # blocks reproducible)
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_IPN", os.environ.get("SPARK_GRAFT_SP", "32")),
+        )
         # match the bench harness's heap (session.get_spark default 8g)
         # so the counters describe the SAME memory envelope the sweep
         # numbers came from — the default 1g OOMs tfidf at sf10 anyway
