@@ -300,6 +300,26 @@ def _corpus_files(
     return out
 
 
+def append_plan(
+    known: dict[str, list[int]] | None, current: dict[str, list[int]]
+) -> tuple[str, list[str]]:
+    """The append-only state machine, as a pure decision: given the
+    manifest's per-file metadata (None = no/corrupt manifest) and the
+    corpus's current files, return ('rebuild'|'append'|'serve',
+    new_files). Shared by the bucketed index and the sketch-partials
+    store so the two write paths can't drift on WHEN to rebuild."""
+    if known is None:
+        return "rebuild", []
+    mutated = any(
+        fname not in current or current[fname] != meta
+        for fname, meta in known.items()
+    )
+    if mutated:
+        return "rebuild", []
+    new_files = sorted(set(current) - set(known))
+    return ("append", new_files) if new_files else ("serve", [])
+
+
 def appendable_bucketed_table(
     spark: SparkSession,
     sf_dir: str,
@@ -404,13 +424,9 @@ def appendable_bucketed_table(
     if manifest is None:
         return _rebuild()
 
-    known: dict[str, list[int]] = manifest["files"]
     n_built = int(manifest["n"])
-    mutated = any(
-        fname not in current or current[fname] != meta
-        for fname, meta in known.items()
-    )
-    if mutated:
+    action, new_files = append_plan(manifest["files"], current)
+    if action == "rebuild":
         return _rebuild()
     # crash-safety: an append is (data job commit, manifest rename) —
     # two steps with no transaction between them. The pending marker
@@ -424,7 +440,6 @@ def appendable_bucketed_table(
         n_now = derived_n_buckets(spark, sf_dir, table, size_fraction)
         if n_now >= n_built * WIDTH_MIGRATION_FACTOR:
             return _rebuild()  # width migration: deliberate, not drift
-    new_files = sorted(set(current) - set(known))
     _register(n_built)
     if new_files:
         _write_text(spark, pending, json.dumps(new_files))

@@ -261,3 +261,61 @@ def q_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "direct_within_4rse"
         ),
     )
+
+
+@register(
+    "hll_partial_append_serving",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_4rse
+    FROM events GROUP BY event_type
+    """,
+)
+def q_hll_partial_append_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`hll_partial_merge`'s partials as a STANDING APPEND-ONLY store
+    (VERDICT r13 #5's ingest posture applied to mergeable aggregates):
+    per-(event_type, day, source-batch) HLL sketches persist in a
+    per-file-manifested warehouse artifact
+    (`artifacts.load_or_append_partials`) — when new event files land,
+    ONLY their rows are sketched and their partial rows appended
+    beside history; prior partials are never recomputed or rewritten.
+    Query time is `hll_union_agg` over the partial table (kilobytes
+    regardless of corpus size — mergeability makes the result
+    identical to one-shot partials whatever the refresh history,
+    pinned against a physically grown corpus in tests). The exact
+    count rides the query only to VERIFY the estimator inside the
+    4-RSE bracket (same oracle discipline as `hll_partial_merge`).
+    At 100 TB this is the distinct-counting ingest loop: sketch the
+    arriving batch, append kilobytes, serve global counts without
+    re-scanning history."""
+    from .artifacts import load_or_append_partials
+    from .sources.parquet import adapt_table
+
+    def build(raw: DataFrame) -> DataFrame:
+        ev = adapt_table(raw, "events")
+        return ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.hll_sketch_agg("user_id", HLL_LG_K).alias("sk")
+        )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    partials = load_or_append_partials(
+        spark, sf_dir, f"hll_user_partials_lgk{HLL_LG_K}", build, table="events"
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est")
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    bound = 4 * (1.04 / (2**HLL_LG_K) ** 0.5) * F.col("exact_users") + 1
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("merged_est") - F.col("exact_users")) <= bound).alias(
+            "merged_within_4rse"
+        ),
+    )

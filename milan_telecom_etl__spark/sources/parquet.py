@@ -34,10 +34,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _EVENT_TS_COLS = {"events": ["ts"]}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def adapt_table(df: DataFrame, name: str) -> DataFrame:
+    """The per-table physical-type normalization load_table applies —
+    exposed so callers that read a SUBSET of a table's files directly
+    (the append-only partials/index paths) get identical semantics."""
     for c in _EVENT_TS_COLS.get(name, []):
         if isinstance(df.schema[c].dataType, T.LongType):
             # `div` = integer division: ns/1000 as a double would lose
@@ -46,6 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(df.schema[c].dataType, T.TimestampNTZType):
             df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return adapt_table(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
 # last-registered sf_dir per session (app id) — re-registering on every

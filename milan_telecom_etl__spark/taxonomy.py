@@ -85,6 +85,7 @@ CATEGORY_OVERRIDES: dict[str, str] = {
     "exact_dup_groups": "serving",
     "exact_dup_groups_appendable": "serving",
     "dedup_exact_keepers": "serving",
+    "hll_partial_append_serving": "serving",
     "streaming_fertility_batch": "serving",
     "streaming_quality_probe_batch": "serving",
     # multimodal columns family (module default ml)
