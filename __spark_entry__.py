@@ -41,14 +41,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # The order is DERIVED, not hand-curated: GATES.json records each
 # entry's last green driver gate (round + git sha of the gated code
 # state; rebuilt by scripts/update_gates.py), and gating.gate_order()
-# leads with (1) entries never gated green, then (2) entries whose own
-# decorated function source (incl. oracle SQL) differs from its
-# gate-sha version, then (3) module-closure staleness, then (4)
-# universal-closure-only staleness, then the proven tail in
-# registration order (VERDICT r13 #1: fn-level fingerprints keep a
-# metadata edit to the universally-imported hub from flattening the
-# prioritization). Edits can no longer hide behind prior-round green
-# artifacts.
+# leads with (1) entries never gated green, then (2) entries whose
+# behavior-bearing source — the decorated entry fn (incl. oracle SQL)
+# plus its static reference closure of package functions/classes/
+# constants, minus universal modules — differs from the gate-sha
+# version, then (3) module-closure staleness, then (4) universal-
+# closure-only staleness, then the proven tail in registration order
+# (VERDICT r13 #1: fingerprints keep a metadata edit to the
+# universally-imported hub from flattening the prioritization, and
+# the closure catches helper rewrites sibling-entry edits don't).
+# Edits can no longer hide behind prior-round green artifacts.
 from milan_telecom_etl__spark.gating import gate_order as _gate_order
 
 

@@ -163,47 +163,192 @@ def _latest_round_sha() -> str | None:
     return rounds[str(max(int(k) for k in rounds))]
 
 
-@lru_cache(maxsize=None)
-def _module_fn_sources(sha: str | None, relpath: str) -> dict[str, str] | None:
-    """name -> ``ast.unparse``d module-level (decorated) function source
-    in `relpath` at revision `sha` (None = working tree). Unparse
-    normalizes formatting, so whitespace/comment churn doesn't read as
-    a change. None when the revision/file/parse is unavailable."""
+class _ModuleAnalysis:
+    """Static per-module symbol table at one revision: top-level
+    definition sources (functions, classes, constants), the names each
+    definition references (bare names + one-level `alias.attr`
+    attribute roots), and the import aliases needed to resolve those
+    references across package modules."""
+
+    __slots__ = ("sources", "refs", "mod_aliases", "direct_imports")
+
+    def __init__(self) -> None:
+        self.sources: dict[str, str] = {}
+        self.refs: dict[str, set[tuple[str | None, str]]] = {}
+        self.mod_aliases: dict[str, str] = {}  # alias -> dotted module
+        self.direct_imports: dict[str, tuple[str, str]] = {}  # name -> (mod, name)
+
+
+def _read_at(sha: str | None, relpath: str) -> str | None:
     try:
         if sha is None:
-            text = (_REPO_ROOT / relpath).read_text(errors="replace")
-        else:
-            out = subprocess.run(
-                ["git", "show", f"{sha}:{relpath}"],
-                cwd=_REPO_ROOT,
-                capture_output=True,
-                text=True,
-                timeout=30,
-            )
-            if out.returncode != 0:
-                return None
-            text = out.stdout
-        tree = ast.parse(text)
-    except (OSError, SyntaxError, ValueError, subprocess.TimeoutExpired):
+            return (_REPO_ROOT / relpath).read_text(errors="replace")
+        out = subprocess.run(
+            ["git", "show", f"{sha}:{relpath}"],
+            cwd=_REPO_ROOT,
+            capture_output=True,
+            text=True,
+            timeout=30,
+        )
+        return out.stdout if out.returncode == 0 else None
+    except (OSError, subprocess.TimeoutExpired):
         return None
-    return {
-        node.name: ast.unparse(node)
-        for node in tree.body
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef))
-    }
 
 
-def fn_changed_since(fn: Callable, sha: str) -> bool | None:
-    """Did this entry's own decorated function body (including its
-    ``@register(..., oracle=...)`` decorator, hence the oracle SQL)
-    change between `sha` and the working tree? None = undecidable
-    (renamed file, non-module-level fn, unreadable revision) — callers
-    fall back to module-closure staleness.
+def _collect_refs(node: ast.AST) -> set[tuple[str | None, str]]:
+    refs: set[tuple[str | None, str]] = set()
+    for sub in ast.walk(node):
+        if isinstance(sub, ast.Attribute) and isinstance(sub.value, ast.Name):
+            refs.add((sub.value.id, sub.attr))
+        elif isinstance(sub, ast.Name):
+            refs.add((None, sub.id))
+    return refs
 
-    This is the per-ENTRY change signal module closures can't give
-    (VERDICT r13 #1): registry_text.py hosts 60+ entries, so a serving
-    rewrite of two of them marks all of them module-stale; only the
-    rewritten functions' sources actually differ."""
+
+@lru_cache(maxsize=None)
+def _module_analysis(sha: str | None, dotted: str) -> _ModuleAnalysis | None:
+    """Analyze one package module at one revision. None if the module
+    file is unavailable/unparseable at that revision."""
+    rel = dotted.replace(".", "/") if dotted else ""
+    relpath = None
+    for cand in (f"{_PKG}/{rel}.py", f"{_PKG}/{rel}/__init__.py"):
+        if sha is None:
+            if (_REPO_ROOT / cand).is_file():
+                relpath = cand
+                break
+        else:
+            relpath = cand  # probe via git show below
+            if _read_at(sha, relpath) is not None:
+                break
+            relpath = None
+    if relpath is None:
+        return None
+    text = _read_at(sha, relpath)
+    if text is None:
+        return None
+    try:
+        tree = ast.parse(text)
+    except (SyntaxError, ValueError):
+        return None
+    an = _ModuleAnalysis()
+    for node in tree.body:
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            if isinstance(node, ast.ImportFrom):
+                spec = "." * node.level + (node.module or "")
+                base = _resolve_import(dotted, spec) if spec else None
+                if base is None and node.level == 0 and (node.module or "").startswith(_PKG):
+                    base = _resolve_import(dotted, node.module)
+                for alias in node.names:
+                    name = alias.asname or alias.name
+                    if base is None:
+                        continue
+                    child = f"{base}.{alias.name}" if base else alias.name
+                    if _module_file(child) is not None:
+                        an.mod_aliases[name] = child
+                    else:
+                        an.direct_imports[name] = (base, alias.name)
+            else:
+                for alias in node.names:
+                    if alias.name.startswith(_PKG):
+                        name = alias.asname or alias.name.split(".")[-1]
+                        target = alias.name[len(_PKG) + 1 :]
+                        if _module_file(target) is not None:
+                            an.mod_aliases[name] = target
+            continue
+        names: list[str] = []
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+            names = [node.name]
+        elif isinstance(node, ast.Assign):
+            names = [t.id for t in node.targets if isinstance(t, ast.Name)]
+        elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
+            names = [node.target.id]
+        if not names:
+            continue
+        src = ast.unparse(node)
+        refs = _collect_refs(node)
+        for n in names:
+            an.sources[n] = src
+            an.refs[n] = refs
+    return an
+
+
+def _closure_sources(
+    sha: str | None,
+    dotted: str,
+    name: str,
+    universal_modules: frozenset[str],
+) -> frozenset[tuple[str, str, str]] | None:
+    """(module, name, source) for `name` in `dotted` plus every
+    package-level definition it transitively references — the static
+    call/constant graph an entry's behavior actually lives in.
+    Definitions in universal modules (imported by EVERY entry) are
+    excluded: they cannot discriminate entries, and a behavior-
+    preserving refactor there would otherwise mark all 250+ entries
+    changed at once. None when the ROOT module is unavailable."""
+    root = _module_analysis(sha, dotted)
+    if root is None or name not in root.sources:
+        return None
+    out: set[tuple[str, str, str]] = set()
+    seen: set[tuple[str, str]] = set()
+    stack: list[tuple[str, str]] = [(dotted, name)]
+    while stack:
+        mod, sym = stack.pop()
+        if (mod, sym) in seen:
+            continue
+        seen.add((mod, sym))
+        an = _module_analysis(sha, mod)
+        if an is None:
+            continue
+        if sym not in an.sources:
+            tgt = an.direct_imports.get(sym)
+            if tgt:
+                stack.append(tgt)
+            continue
+        if mod not in universal_modules:
+            out.add((mod, sym, an.sources[sym]))
+        for alias, attr in an.refs.get(sym, ()):
+            if alias is None:
+                if attr != sym and (
+                    attr in an.sources or attr in an.direct_imports
+                ):
+                    stack.append((mod, attr))
+                elif attr in an.mod_aliases:
+                    pass  # bare module reference; attributes handled below
+            else:
+                target_mod = an.mod_aliases.get(alias)
+                if target_mod is not None:
+                    stack.append((target_mod, attr))
+    return frozenset(out)
+
+
+def _file_to_dotted(relpath: str) -> str:
+    """'milan_telecom_etl__spark/sources/parquet.py' -> 'sources.parquet'."""
+    inner = relpath[len(_PKG) + 1 :]
+    if inner.endswith("/__init__.py"):
+        inner = inner[: -len("/__init__.py")]
+    elif inner.endswith(".py"):
+        inner = inner[:-3]
+    return inner.replace("/", ".")
+
+
+def fn_changed_since(
+    fn: Callable, sha: str, universal_modules: frozenset[str] = frozenset()
+) -> bool | None:
+    """Did this entry's BEHAVIOR-bearing source change between `sha`
+    and the working tree? The fingerprint is the entry's decorated
+    function (including the ``@register(..., oracle=...)`` decorator,
+    hence the oracle SQL) PLUS every package-level function/class/
+    constant it transitively references through the static reference
+    graph — so a rewrite of a helper the entry serves through
+    (``_s_curve_plan``, an operator in ``operators/dedup.py``) counts,
+    while edits to sibling entries in the same 60-entry registry
+    module do not. Definitions in `universal_modules` (imported by
+    every entry — the register hub, load_table) are excluded: they
+    cannot discriminate, and a behavior-preserving refactor there
+    must not mark the whole registry changed (VERDICT r13 #1's
+    collapse, one level down). None = undecidable (renamed file,
+    unreadable revision) — callers fall back to module-closure
+    staleness."""
     mod = getattr(fn, "__module__", "") or ""
     if mod == _PKG:
         dotted = ""
@@ -211,20 +356,19 @@ def fn_changed_since(fn: Callable, sha: str) -> bool | None:
         dotted = mod[len(_PKG) + 1 :]
     else:
         return None
-    f = _module_file(dotted) if dotted else None
-    if f is None:
-        return None
-    relpath = f.relative_to(_REPO_ROOT).as_posix()
-    cur = _module_fn_sources(None, relpath)
-    old = _module_fn_sources(sha, relpath)
-    if cur is None or old is None:
-        return None
     name = getattr(fn, "__name__", "")
-    if name not in cur:
+    cur = _closure_sources(None, dotted, name, universal_modules)
+    if cur is None:
         return None
-    if name not in old:
-        return True  # function didn't exist at the gate sha
-    return cur[name] != old[name]
+    old_root = _module_analysis(sha, dotted)
+    if old_root is None:
+        return None
+    if name not in old_root.sources:
+        return True  # entry didn't exist at the gate sha
+    old = _closure_sources(sha, dotted, name, universal_modules)
+    if old is None:
+        return None
+    return cur != old
 
 
 def universal_dep_files(queries_map: dict[str, Callable]) -> frozenset[str]:
@@ -269,6 +413,7 @@ def gate_order(queries_map: dict[str, Callable]) -> list[str]:
     latest = _latest_round_sha()
     fresh_changed = _changed_since(latest) if latest else None
     universal = universal_dep_files(queries_map)
+    universal_mods = frozenset(_file_to_dotted(p) for p in universal)
     never: list[str] = []
     stale: list[tuple[int, int, str]] = []  # (tier, gate-round, name)
     tail: list[str] = []
@@ -283,7 +428,7 @@ def gate_order(queries_map: dict[str, Callable]) -> list[str]:
             tail.append(name)
             continue
         own = deps - universal
-        direct = fn_changed_since(fn, rec["sha"])
+        direct = fn_changed_since(fn, rec["sha"], universal_mods)
         if direct is True:
             tier = 0
         elif changed is None or (own & changed):

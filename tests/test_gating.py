@@ -104,7 +104,7 @@ def test_module_stale_outranks_closure_only_and_tail_is_clean(monkeypatch):
         "old": frozenset({sim_file, _REG}),
     }
     _fake_env(monkeypatch, gates, "latest", changed_map)
-    monkeypatch.setattr(gating, "fn_changed_since", lambda fn, sha: False)
+    monkeypatch.setattr(gating, "fn_changed_since", lambda fn, sha, uni=frozenset(): False)
     order = gate_order(QUERIES)
     sim_stale = {n for n, f in QUERIES.items()
                  if sim_file in entry_dep_files(f) - {_REG}}
@@ -137,7 +137,7 @@ def test_fn_fingerprint_discriminates_within_a_module(monkeypatch):
     _fake_env(monkeypatch, gates, "latest", changed_map)
     monkeypatch.setattr(
         gating, "fn_changed_since",
-        lambda fn, sha: fn is QUERIES[flagship],
+        lambda fn, sha, uni=frozenset(): fn is QUERIES[flagship],
     )
     order = gate_order(QUERIES)
     assert order[0] == flagship
@@ -150,6 +150,31 @@ def test_fn_fingerprint_reads_false_for_unedited_fn_at_head():
     name = _pick("registry_geo")
     res = gating.fn_changed_since(QUERIES[name], "HEAD")
     assert res is False
+
+
+def test_closure_fingerprint_spans_helpers_across_modules():
+    # the r14 upgrade: the fingerprint is the entry fn PLUS its static
+    # reference closure, so a helper rewrite (the s-curve's
+    # _s_curve_plan, an operator in operators/dedup.py) counts as a
+    # direct change even though the entry fn's own source is untouched
+    uni = frozenset(
+        gating._file_to_dotted(p)
+        for p in gating.universal_dep_files(QUERIES)
+    )
+    fn = QUERIES["lsh_s_curve"]
+    closure = gating._closure_sources(
+        None, "registry_text", fn.__name__, uni
+    )
+    names = {(m, n) for m, n, _ in closure}
+    assert ("registry_text", "_s_curve_plan") in names
+    assert ("registry_text", "_s_curve_df") in names
+    assert ("operators.dedup", "minhash_lsh_candidates") in names
+    assert ("operators.dedup", "_minhash_sig_arr") in names
+    # module-level constants ride the closure too (preset changes are
+    # behavior changes)
+    assert ("registry_text", "_S_CURVE_PRESETS") in names
+    # and universal-module symbols are excluded (load_table et al.)
+    assert not any(m in uni for m, _ in names)
 
 
 def test_unknown_gate_sha_promotes_conservatively(monkeypatch):
