@@ -395,9 +395,10 @@ def appendable_bucketed_table(
             schema = spark.read.parquet(path).schema
         _register_ddl(spark, name, schema, key, n_buckets, path)
 
-    def _rebuild() -> DataFrame:
-        n_new = n if n is not None else derived_n_buckets(
-            spark, sf_dir, table, size_fraction
+    def _rebuild(n_override: int | None = None) -> DataFrame:
+        n_new = n if n is not None else (
+            n_override
+            or derived_n_buckets(spark, sf_dir, table, size_fraction)
         )
         src = load_table(spark, sf_dir, table)
         if derive is not None:
@@ -437,9 +438,17 @@ def appendable_bucketed_table(
     if _read_text(spark, pending) is not None:
         return _rebuild()
     if n is None:
-        n_now = derived_n_buckets(spark, sf_dir, table, size_fraction)
+        # FRESH byte probe, deliberately bypassing derived_n_buckets's
+        # process-lifetime memo: the migration trigger exists precisely
+        # for a long-lived ingest process whose corpus grows under the
+        # same path, which the memo by design never re-observes (r14
+        # review finding #2). The rebuild then uses this fresh width.
+        n_now = _derive_n(
+            max(1, int(_table_bytes(spark, sf_dir, table) * size_fraction)),
+            spark.sparkContext.defaultParallelism,
+        )
         if n_now >= n_built * WIDTH_MIGRATION_FACTOR:
-            return _rebuild()  # width migration: deliberate, not drift
+            return _rebuild(n_now)  # width migration: deliberate, not drift
     _register(n_built)
     if new_files:
         _write_text(spark, pending, json.dumps(new_files))

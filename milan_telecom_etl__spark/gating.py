@@ -170,13 +170,22 @@ class _ModuleAnalysis:
     attribute roots), and the import aliases needed to resolve those
     references across package modules."""
 
-    __slots__ = ("sources", "refs", "mod_aliases", "direct_imports")
+    __slots__ = ("sources", "refs", "mod_aliases", "direct_imports", "local_imports")
 
     def __init__(self) -> None:
         self.sources: dict[str, str] = {}
         self.refs: dict[str, set[tuple[str | None, str]]] = {}
         self.mod_aliases: dict[str, str] = {}  # alias -> dotted module
         self.direct_imports: dict[str, tuple[str, str]] = {}  # name -> (mod, name)
+        # per-definition overlays for imports INSIDE function bodies
+        # (`from .bucketed import appendable_bucketed_table` at the top
+        # of an entry fn — the dominant lazy-import idiom here; without
+        # these the closure walk would drop exactly the helper the
+        # entry exists to exercise, r14 review finding #1):
+        # def name -> (mod_aliases, direct_imports)
+        self.local_imports: dict[
+            str, tuple[dict[str, str], dict[str, tuple[str, str]]]
+        ] = {}
 
 
 def _read_at(sha: str | None, relpath: str) -> str | None:
@@ -210,50 +219,49 @@ def _module_analysis(sha: str | None, dotted: str) -> _ModuleAnalysis | None:
     """Analyze one package module at one revision. None if the module
     file is unavailable/unparseable at that revision."""
     rel = dotted.replace(".", "/") if dotted else ""
-    relpath = None
+    text = None
     for cand in (f"{_PKG}/{rel}.py", f"{_PKG}/{rel}/__init__.py"):
-        if sha is None:
-            if (_REPO_ROOT / cand).is_file():
-                relpath = cand
-                break
-        else:
-            relpath = cand  # probe via git show below
-            if _read_at(sha, relpath) is not None:
-                break
-            relpath = None
-    if relpath is None:
-        return None
-    text = _read_at(sha, relpath)
+        text = _read_at(sha, cand)
+        if text is not None:
+            break
     if text is None:
         return None
     try:
         tree = ast.parse(text)
     except (SyntaxError, ValueError):
         return None
+
+    def register_imports(
+        node: ast.Import | ast.ImportFrom,
+        mod_aliases: dict[str, str],
+        direct_imports: dict[str, tuple[str, str]],
+    ) -> None:
+        if isinstance(node, ast.ImportFrom):
+            spec = "." * node.level + (node.module or "")
+            base = _resolve_import(dotted, spec) if spec else None
+            if base is None and node.level == 0 and (node.module or "").startswith(_PKG):
+                base = _resolve_import(dotted, node.module)
+            for alias in node.names:
+                name = alias.asname or alias.name
+                if base is None:
+                    continue
+                child = f"{base}.{alias.name}" if base else alias.name
+                if _module_file(child) is not None:
+                    mod_aliases[name] = child
+                else:
+                    direct_imports[name] = (base, alias.name)
+        else:
+            for alias in node.names:
+                if alias.name.startswith(_PKG):
+                    name = alias.asname or alias.name.split(".")[-1]
+                    target = alias.name[len(_PKG) + 1 :]
+                    if _module_file(target) is not None:
+                        mod_aliases[name] = target
+
     an = _ModuleAnalysis()
     for node in tree.body:
         if isinstance(node, (ast.Import, ast.ImportFrom)):
-            if isinstance(node, ast.ImportFrom):
-                spec = "." * node.level + (node.module or "")
-                base = _resolve_import(dotted, spec) if spec else None
-                if base is None and node.level == 0 and (node.module or "").startswith(_PKG):
-                    base = _resolve_import(dotted, node.module)
-                for alias in node.names:
-                    name = alias.asname or alias.name
-                    if base is None:
-                        continue
-                    child = f"{base}.{alias.name}" if base else alias.name
-                    if _module_file(child) is not None:
-                        an.mod_aliases[name] = child
-                    else:
-                        an.direct_imports[name] = (base, alias.name)
-            else:
-                for alias in node.names:
-                    if alias.name.startswith(_PKG):
-                        name = alias.asname or alias.name.split(".")[-1]
-                        target = alias.name[len(_PKG) + 1 :]
-                        if _module_file(target) is not None:
-                            an.mod_aliases[name] = target
+            register_imports(node, an.mod_aliases, an.direct_imports)
             continue
         names: list[str] = []
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
@@ -266,9 +274,17 @@ def _module_analysis(sha: str | None, dotted: str) -> _ModuleAnalysis | None:
             continue
         src = ast.unparse(node)
         refs = _collect_refs(node)
+        # imports INSIDE the definition body resolve its refs too
+        local_mod: dict[str, str] = {}
+        local_direct: dict[str, tuple[str, str]] = {}
+        for sub in ast.walk(node):
+            if isinstance(sub, (ast.Import, ast.ImportFrom)):
+                register_imports(sub, local_mod, local_direct)
         for n in names:
             an.sources[n] = src
             an.refs[n] = refs
+            if local_mod or local_direct:
+                an.local_imports[n] = (local_mod, local_direct)
     return an
 
 
@@ -306,16 +322,17 @@ def _closure_sources(
             continue
         if mod not in universal_modules:
             out.add((mod, sym, an.sources[sym]))
+        local_mod, local_direct = an.local_imports.get(sym, ({}, {}))
         for alias, attr in an.refs.get(sym, ()):
             if alias is None:
-                if attr != sym and (
-                    attr in an.sources or attr in an.direct_imports
-                ):
+                if attr == sym:
+                    continue
+                if attr in local_direct:  # in-body `from .x import y`
+                    stack.append(local_direct[attr])
+                elif attr in an.sources or attr in an.direct_imports:
                     stack.append((mod, attr))
-                elif attr in an.mod_aliases:
-                    pass  # bare module reference; attributes handled below
             else:
-                target_mod = an.mod_aliases.get(alias)
+                target_mod = local_mod.get(alias) or an.mod_aliases.get(alias)
                 if target_mod is not None:
                     stack.append((target_mod, attr))
     return frozenset(out)
@@ -371,6 +388,9 @@ def fn_changed_since(
     return cur != old
 
 
+_GATE_ORDER_MEMO: dict[tuple[str, ...], list[str]] = {}
+
+
 def universal_dep_files(queries_map: dict[str, Callable]) -> frozenset[str]:
     """Files in EVERY entry's dep closure (the ``register()`` hub and
     whatever it drags in). An edit to one of these marks all entries
@@ -409,6 +429,15 @@ def gate_order(queries_map: dict[str, Callable]) -> list[str]:
     queries_registry entries) still get tier 0 via their fn fingerprint;
     their module tier collapses to 2/3 by construction.
     """
+    # memoized per registry composition: __spark_entry__ calls this
+    # from both queries() and oracle_sql() every harness startup, and
+    # the closure-fingerprint pass shells out to git per (sha, module).
+    # Same staleness window as the lru caches below: working-tree
+    # edits made mid-process are not re-observed.
+    key = tuple(queries_map)
+    cached = _GATE_ORDER_MEMO.get(key)
+    if cached is not None:
+        return list(cached)
     gates = load_gates()
     latest = _latest_round_sha()
     fresh_changed = _changed_since(latest) if latest else None
@@ -439,4 +468,6 @@ def gate_order(queries_map: dict[str, Callable]) -> list[str]:
             tier = 3
         stale.append((tier, rec.get("round", 0), name))
     stale.sort(key=lambda t: (t[0], t[1]))
-    return never + [name for _, _, name in stale] + tail
+    result = never + [name for _, _, name in stale] + tail
+    _GATE_ORDER_MEMO[key] = result
+    return list(result)

@@ -466,7 +466,14 @@ def _minhash_sig_arr(w: DataFrame, n: int, num_hashes: int) -> DataFrame:
             1,
         ),
     )
-    return w.filter(F.size("__words") >= F.lit(n)).select("doc_id", sig.alias("__sig"))
+    # the width rides as column metadata so consumers of a SHARED
+    # signature table can fail fast instead of silently banding nulls
+    # (element_at past the array end is null; concat_ws drops nulls,
+    # so an under-wide sig would collide every doc on degenerate band
+    # hashes — r14 review finding #3)
+    return w.filter(F.size("__words") >= F.lit(n)).select(
+        "doc_id", sig.alias("__sig", metadata={"num_hashes": num_hashes})
+    )
 
 
 def minhash_signatures(
@@ -518,6 +525,17 @@ def minhash_banded(
     if sig is None:
         w = words if words is not None else _words_df(docs, text_col)
         sig = _minhash_sig_arr(w, n, num_hashes)
+    else:
+        try:
+            declared = sig.schema["__sig"].metadata.get("num_hashes")
+        except (KeyError, AttributeError):
+            declared = None
+        if declared is not None and declared < num_hashes:
+            raise ValueError(
+                f"shared signature table is {declared} hashes wide; "
+                f"this banding needs {num_hashes} (prefix property only "
+                "allows slicing NARROWER presets from a wider signature)"
+            )
     n_bands = num_hashes // band_size
     bands = [
         F.struct(

@@ -4117,7 +4117,7 @@ def _s_curve_plan(docs: DataFrame):
     # ONE signature fold at the widest preset, shared by all legs
     # (VERDICT r13 #7): _hash_params is index-derived, so the first k
     # elements of the 128-hash signature ARE the k-hash signature
-    # (prefix property, pinned in tests/test_clustering.py) — each
+    # (prefix property, pinned in tests/test_semantics.py) — each
     # preset's banding is a projection over this table instead of its
     # own shingle-stream re-fold, which the r14 profile measured as
     # the entry's dominant cost (3 folds of 16+64+128 hashes vs one

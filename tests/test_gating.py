@@ -53,6 +53,9 @@ def test_universal_closure_contains_registry_hub():
 
 
 def _fake_env(monkeypatch, gates, latest_sha, changed_map):
+    # swap (don't clear) the memo: monkeypatch restores the real one,
+    # so fake-env orderings can't leak into later real queries() calls
+    monkeypatch.setattr(gating, "_GATE_ORDER_MEMO", {})
     monkeypatch.setattr(gating, "load_gates", lambda: gates)
     monkeypatch.setattr(gating, "_latest_round_sha", lambda: latest_sha)
     monkeypatch.setattr(
@@ -175,6 +178,33 @@ def test_closure_fingerprint_spans_helpers_across_modules():
     assert ("registry_text", "_S_CURVE_PRESETS") in names
     # and universal-module symbols are excluded (load_table et al.)
     assert not any(m in uni for m, _ in names)
+
+
+def test_closure_fingerprint_sees_in_body_imports():
+    # the dominant lazy-import idiom (`from .bucketed import ...` at
+    # the top of an entry fn) must resolve into the closure — both r14
+    # entries use it, so without this the new mechanisms' own helpers
+    # would be invisible to the fingerprint (r14 review finding #1)
+    uni = frozenset(
+        gating._file_to_dotted(p)
+        for p in gating.universal_dep_files(QUERIES)
+    )
+    c1 = gating._closure_sources(
+        None, "registry_text",
+        QUERIES["exact_dup_groups_appendable"].__name__, uni,
+    )
+    assert ("bucketed", "appendable_bucketed_table") in {
+        (m, n) for m, n, _ in c1
+    }
+    c2 = gating._closure_sources(
+        None, "registry_semistructured",
+        QUERIES["hll_partial_append_serving"].__name__, uni,
+    )
+    names2 = {(m, n) for m, n, _ in c2}
+    assert ("artifacts", "load_or_append_partials") in names2
+    # and one hop further: the partials helper's own in-body import of
+    # the shared state machine rides along too
+    assert ("bucketed", "append_plan") in names2
 
 
 def test_unknown_gate_sha_promotes_conservatively(monkeypatch):

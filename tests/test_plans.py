@@ -1010,7 +1010,7 @@ def test_appendable_index_rebuilds_on_mutation_pending_and_width(
 
     monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "art"))
     corp, tdir = _appendable_corpus(spark, tmp_path)
-    widths = iter([2, 2, 2, 8, 8])
+    widths = iter([2, 2, 2])
     monkeypatch.setattr(
         B, "derived_n_buckets", lambda *a, **k: next(widths)
     )
@@ -1044,8 +1044,11 @@ def test_appendable_index_rebuilds_on_mutation_pending_and_width(
         gen2 = {f for f in os.listdir(ipath) if f.endswith(".parquet")}
         assert gen2 != gen1
 
-        # 3. width migration: corpus-derived width grew past the
-        # factor (2 -> 8 >= 2*WIDTH_MIGRATION_FACTOR) -> rebuild at 8
+        # 3. width migration: the FRESH byte probe (not the memoized
+        # derived_n_buckets — a long-lived ingest process's memo never
+        # re-observes growth) sees a corpus that derives width 8
+        # >= 2 * WIDTH_MIGRATION_FACTOR -> rebuild at the fresh width
+        monkeypatch.setattr(B, "_table_bytes", lambda *a, **k: 34 << 20)
         serve()
         manifest = _json.loads(B._read_text(spark, B.fs_join(ipath, "_shards.json")))
         assert manifest["n"] == 8

@@ -109,6 +109,12 @@ def test_shared_wide_signature_yields_identical_candidates(spark):
                 for x in mlc(docs, num_hashes=h, band_size=r, sig=sig128).collect()
             }
             assert shared == dedicated, (h, r)
+        # an under-wide shared signature must fail fast, not band nulls
+        sig16 = _minhash_sig_arr(words, 3, 16)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="hashes wide"):
+            mlc(docs, num_hashes=64, band_size=4, sig=sig16)
     finally:
         sig128.unpersist()
 
