@@ -183,8 +183,15 @@ def main() -> None:
             if (m := _re.search(r"r(\d+)\.json$", p))
         ]
         cur_round = max(rounds, default=0) + 1
+    # Sidecar NAMESPACE (VERDICT r14 #6): BENCH_DETAIL_r{N}.json belongs
+    # to the DRIVER's judge-time sweep — it is the comparable
+    # round-over-round series PLANS.md cites, and r13's was clobbered by
+    # builder closing sweeps reusing the name (recovered via git show
+    # 5175744:BENCH_DETAIL_r14.json). Builder-initiated sweeps set
+    # SPARK_GRAFT_BENCH_CLOSE=1 and land in BENCH_CLOSE_r{N}.json.
+    side = "CLOSE" if os.environ.get("SPARK_GRAFT_BENCH_CLOSE") else "DETAIL"
     with open(
-        os.path.join(repo, f"BENCH_DETAIL_r{cur_round:02d}.json"), "w"
+        os.path.join(repo, f"BENCH_{side}_r{cur_round:02d}.json"), "w"
     ) as f:
         json.dump(detail, f, sort_keys=True)
     slowest = dict(sorted(ok.items(), key=lambda kv: -kv[1])[:5])
