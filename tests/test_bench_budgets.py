@@ -93,6 +93,13 @@ def _committed_reference() -> dict[str, float] | None:
     the committed artifact). BENCH_REFERENCE.json is only ever written
     by the builder on an idle machine. Read via `git show HEAD:` so a
     working-tree overwrite can't move the anchor either."""
+    data = _committed_reference_detail()
+    if not data:
+        return None
+    return {k: v for k, v in data["queries"].items() if v > 0}
+
+
+def _committed_reference_detail() -> dict | None:
     try:
         out = subprocess.run(
             ["git", "show", "HEAD:BENCH_REFERENCE.json"],
@@ -106,32 +113,73 @@ def _committed_reference() -> dict[str, float] | None:
         data = json.loads(out.stdout)
         if str(data.get("sf")) != "0.1":
             return None
-        return {k: v for k, v in data["queries"].items() if v > 0}
+        return data
     except Exception:
         return None
 
 # Ceiling on the family's MEDIAN seconds/query at sf0.1 (local[32]).
-# ~1.4x the worse of the two committed same-code r9 sweeps (builder
-# r09 + driver r10) — loose enough for measured cross-run drift
-# (<=11% on medians), tight enough that a 2x family-wide regression
-# (the r6 incident size) trips. Re-baseline deliberately when a family
-# legitimately changes shape, in the same commit, with the reason in
-# the message.
+# Re-based r15 (VERDICT r14 #1a): ~1.4x the WORSE of the two committed
+# same-code r14-close sweeps (builder anchor BENCH_REFERENCE e01061d +
+# driver judge BENCH_DETAIL_r15 4d7d7a7, cross-sweep median ratio
+# 1.01) — loose enough for measured cross-run drift, tight enough that
+# a 2x family-wide regression (the r6 incident size) trips. The r14
+# trips (0.8-1% overshoots on two families) were composition drift:
+# `hll_partial_append_serving` joined registry_semistructured with no
+# re-base. That discipline is now ENFORCED IN CODE: each family pins
+# its (entry count, composition hash) below; adding/removing/renaming
+# an entry fails test_family_composition_pinned until the budget is
+# deliberately re-based in the same commit.
 FAMILY_MEDIAN_BUDGET_S = {
-    "queries_registry": 0.38,  # worse-run median 0.265 s, n=12
-    "registry_analytics": 0.46,  # 0.323 s, n=25
-    "registry_geo": 0.37,  # 0.261 s, n=3
-    "registry_ml": 0.73,  # 0.519 s, n=10
-    "registry_quality": 0.73,  # 0.519 s, n=24
-    "registry_sampling": 0.41,  # 0.288 s, n=11
-    "registry_semistructured": 0.27,  # 0.186 s, n=7
-    "registry_series": 0.55,  # 0.393 s, n=10
-    "registry_similarity": 1.33,  # 0.950 s, n=27
-    "registry_streaming": 1.96,  # 1.397 s, n=9
-    "registry_temporal": 0.31,  # 0.221 s, n=11
-    "registry_text": 1.07,  # 0.762 s, n=54
-    "registry_tpch": 0.87,  # 0.620 s, n=23
+    "queries_registry": 0.55,  # worse-run median 0.387 s, n=12
+    "registry_analytics": 0.46,  # 0.328 s, n=26
+    "registry_geo": 0.46,  # 0.322 s, n=3
+    "registry_ml": 0.66,  # 0.466 s, n=13
+    "registry_quality": 0.54,  # 0.379 s, n=27
+    "registry_sampling": 0.44,  # 0.314 s, n=13
+    "registry_semistructured": 0.39,  # 0.275 s, n=9
+    "registry_series": 0.50,  # 0.357 s, n=10
+    "registry_similarity": 1.22,  # 0.870 s, n=28
+    "registry_streaming": 1.62,  # 1.156 s, n=13
+    "registry_temporal": 0.26,  # 0.179 s, n=11
+    "registry_text": 1.02,  # 0.723 s, n=63
+    "registry_tpch": 0.72,  # 0.509 s, n=24
 }
+
+# (entry count, sha256-head of the sorted entry-name list) pinned at
+# the same moment as each family's budget. The r14 judge-time red was
+# exactly this rule being prose-only: a new entry shifted a family
+# median past a zero-headroom budget. Changing a family's membership
+# without re-pinning here is now a test failure with instructions.
+FAMILY_COMPOSITION = {
+    "queries_registry": (12, "cda84514"),
+    "registry_analytics": (26, "268d67d7"),
+    "registry_geo": (3, "7f62b4ba"),
+    "registry_ml": (13, "542602e3"),
+    "registry_quality": (27, "a613e1bb"),
+    "registry_sampling": (13, "7536b2c1"),
+    "registry_semistructured": (9, "7298dd04"),
+    "registry_series": (10, "03612e09"),
+    "registry_similarity": (28, "cc49213d"),
+    "registry_streaming": (13, "9409b2b2"),
+    "registry_temporal": (11, "1c70816c"),
+    "registry_text": (63, "f97263e7"),
+    "registry_tpch": (24, "46f68c3f"),
+}
+
+# Trip margin (VERDICT r14 #1c): the measured cross-sweep noise on
+# family medians between same-code committed sweeps is ~1% (r14
+# anchor-vs-judge per-entry median ratio 1.006-1.01), so a trip
+# requires exceeding budget by MORE than 2x that floor — a 0.8%
+# overshoot can never redden the suite again.
+_NOISE_FLOOR = 0.02
+
+# Raw (undeflated) backstop (ADVICE r14): environment deflation clamps
+# at 2x, which means a GENUINE uniform 2x code regression across the
+# whole registry would ride the clamp through the deflated check. No
+# honest machine day has exceeded 1.36x (PLANS.md r13); a raw family
+# median at 2x budget is a regression or a >2x machine day, both of
+# which need a human either way.
+_RAW_CAP_FACTOR = 2.0
 
 # No single registry entry may exceed this wall at sf0.1, ever. The
 # worst honest steady-state entry is ~4 s (curation_funnel /
@@ -188,6 +236,14 @@ ENTRY_BUDGET_S = {
     "top_cells_sql": 0.6,  # r9 steady 0.23 s — front-door overhead was
     # per-call re-registration of 10 temp views (footer re-reads), now
     # memoized per (session, sf_dir); see sources/parquet.py
+    "lsh_s_curve": 4.5,  # WRITTEN BUDGET (r14, retiring the watch-list
+    # item): ~4 s fresh-session / ~2.8 s steady at sf0.1 is the honest
+    # price — after the r14 shared-128-hash-fold win (~8-10%), the
+    # residual is three genuine LSH band self-joins plus the
+    # exact-Jaccard verify join, which IS the eval's fidelity. Judge
+    # sweeps read 3.0-3.2 s (r14/r15). Not a regression to chase; this
+    # pin exists so a real one (lost broadcast, re-fold per preset)
+    # trips without re-deriving the history from PLANS.md.
 }
 
 
@@ -209,8 +265,45 @@ def test_every_family_is_budgeted():
     )
 
 
+def _spill_annotation(
+    entries: list[tuple[str, float]],
+    counters: dict[str, dict] | None,
+    ref_counters: dict[str, dict] | None,
+) -> str:
+    """Contamination tell (VERDICT r14 #2): the r14 judge sweep inflated
+    the nine highest-memory shuffle entries 1.8-2.9x while the run
+    median stayed 1.01 — background memory pressure makes heavy entries
+    SPILL where the committed anchor shows none. When a tripped family's
+    entries show spill the anchor lacks, say so in the failure message
+    so adjudication starts at 'suspect environment', not 'suspect code'."""
+    if not counters:
+        return ""
+
+    def spill_mb(c: dict | None) -> float:
+        if not c:
+            return 0.0
+        return float(c.get("spill_mem_mb", 0)) + float(c.get("spill_disk_mb", 0))
+
+    anomalous = [
+        name
+        for name, _ in entries
+        if spill_mb(counters.get(name)) > 10.0
+        and spill_mb((ref_counters or {}).get(name)) < 1.0
+    ]
+    if anomalous:
+        return (
+            f" [ANOMALOUS SPILL vs anchor: {sorted(anomalous)} — "
+            "suspected sweep contamination (memory pressure); run the "
+            "isolation protocol before treating as a regression]"
+        )
+    return ""
+
+
 def _family_budget_violations(
-    queries: dict[str, float], reference: dict[str, float] | None
+    queries: dict[str, float],
+    reference: dict[str, float] | None,
+    counters: dict[str, dict] | None = None,
+    ref_counters: dict[str, dict] | None = None,
 ) -> list[str]:
     factor = environment_factor(queries, reference)
     over = []
@@ -218,19 +311,96 @@ def _family_budget_violations(
         budget = FAMILY_MEDIAN_BUDGET_S.get(fam)
         if budget is None:
             continue  # test_every_family_is_budgeted reports it
-        med = statistics.median(t for _, t in entries) / factor
-        if med > budget:
+        raw = statistics.median(t for _, t in entries)
+        med = raw / factor
+        if med > budget * (1.0 + _NOISE_FLOOR):
             worst = sorted(entries, key=lambda kv: -kv[1])[:3]
             over.append(
                 f"{fam}: deflated median {med:.3f}s > {budget}s "
-                f"(env factor {factor:.3f}, worst {worst})"
+                f"(+{_NOISE_FLOOR:.0%} noise floor; env factor "
+                f"{factor:.3f}, worst {worst})"
+                + _spill_annotation(entries, counters, ref_counters)
+            )
+        elif raw > budget * _RAW_CAP_FACTOR:
+            over.append(
+                f"{fam}: RAW median {raw:.3f}s > {_RAW_CAP_FACTOR}x budget "
+                f"{budget}s — a uniform regression this large cannot hide "
+                "behind the deflation clamp"
+                + _spill_annotation(entries, counters, ref_counters)
             )
     return over
 
 
+def _composition_drift(pins: dict[str, tuple[int, str]]) -> list[str]:
+    import hashlib
+
+    fams = _families({n: 0.0 for n in _all_entry_names()})
+    drift = []
+    for fam, entries in fams.items():
+        names = sorted(n for n, _ in entries)
+        got = (len(names), hashlib.sha256(",".join(names).encode()).hexdigest()[:8])
+        want = pins.get(fam)
+        if want != got:
+            drift.append(f"{fam}: pinned {want}, registry now {got}")
+    for fam in sorted(set(pins) - set(fams)):
+        drift.append(f"{fam}: pinned but no longer in the registry")
+    return drift
+
+
+def test_family_composition_pinned():
+    """Budgets are pinned against a specific family membership; a new /
+    removed / renamed entry moves the median without any code slowdown
+    (the r14 judge-time red). Fail loudly until the budget is re-based
+    WITH the membership change, in the same commit."""
+    drift = _composition_drift(FAMILY_COMPOSITION)
+    assert not drift, (
+        "family composition changed since its budget was pinned — re-base "
+        "FAMILY_MEDIAN_BUDGET_S and FAMILY_COMPOSITION for these families "
+        "in THIS commit (re-derive from the committed anchor + latest judge "
+        "sweep; see the r15 re-base commit for the method):\n"
+        + "\n".join(drift)
+    )
+
+
+def _all_entry_names() -> list[str]:
+    import __spark_entry__  # noqa: F401
+
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    return list(QUERIES)
+
+
+def test_budgets_carry_minimum_margin():
+    """VERDICT r14 #1c: a budget must exceed the committed anchor's
+    family median by >=15%, so sweep-to-sweep noise (~1%) can never
+    consume the whole headroom again. Runs only when the committed
+    anchor exists and families match."""
+    ref = _committed_reference()
+    if not ref:
+        pytest.skip("no committed BENCH_REFERENCE.json anchor")
+    thin = []
+    for fam, entries in _families(ref).items():
+        budget = FAMILY_MEDIAN_BUDGET_S.get(fam)
+        if budget is None or len(entries) < 3:
+            continue
+        med = statistics.median(t for _, t in entries)
+        if budget < med * 1.15:
+            thin.append(f"{fam}: budget {budget}s < 1.15x anchor median {med:.3f}s")
+    assert not thin, (
+        "budgets with <15% margin over the committed anchor — re-base "
+        "(zero-headroom budgets redden the suite on pure noise):\n"
+        + "\n".join(thin)
+    )
+
+
 def test_family_medians_within_budget():
+    detail = _load_detail()
+    ref_detail = _committed_reference_detail()
     over = _family_budget_violations(
-        _load_detail()["queries"], _committed_reference()
+        detail["queries"],
+        _committed_reference(),
+        detail.get("counters"),
+        (ref_detail or {}).get("counters"),
     )
     assert not over, (
         "family bench MEDIAN budgets exceeded (load-immune statistic, "
@@ -293,6 +463,67 @@ def test_genuine_family_regression_still_trips():
     assert any(v.startswith("registry_quality") for v in over), over
     # and ONLY that family trips
     assert all(v.startswith("registry_quality") for v in over), over
+
+
+def test_composition_drift_fixture_trips():
+    # synthetic membership change: the tripwire must name the family,
+    # for (a) a stale count/hash and (b) a vanished pinned family
+    tampered = dict(FAMILY_COMPOSITION)
+    n, _h = tampered["registry_text"]
+    tampered["registry_text"] = (n + 1, "00000000")
+    tampered["registry_retired"] = (4, "deadbeef")
+    drift = _composition_drift(tampered)
+    assert any(d.startswith("registry_text:") for d in drift), drift
+    assert any(d.startswith("registry_retired:") for d in drift), drift
+    assert len(drift) == 2, drift
+
+
+def test_sub_noise_overshoot_stays_green():
+    # the r14 judge-time red: family median 0.8-1% over a zero-headroom
+    # budget on a clean machine. Any overshoot inside the noise floor
+    # must not trip.
+    ref = _synthetic_reference()
+    loaded = {k: v * (1.0 / 0.75) * (1.0 + _NOISE_FLOOR * 0.5) for k, v in ref.items()}
+    # loaded medians sit exactly budget * (1 + floor/2); env factor is
+    # clamped at >=1 so no deflation hides this — the floor alone must
+    assert _family_budget_violations(loaded, None) == []
+
+
+def test_uniform_2x_regression_trips_raw_cap():
+    # ADVICE r14: a genuine uniform ~2.7x regression inflates the
+    # environment factor to its 2.0 clamp, and 2.7/2 * 0.75 = 1.0125x
+    # budget squeaks under the deflated check + noise floor — exactly
+    # the ride-the-clamp hole. The RAW cap must still fire (0.75 * 2.7
+    # = 2.025x budget > 2x).
+    ref = _synthetic_reference()
+    loaded = {k: v * 2.7 for k, v in ref.items()}
+    over = _family_budget_violations(loaded, ref)
+    assert over and all("RAW median" in v for v in over), over
+
+
+def test_spill_annotation_marks_contaminated_family():
+    # the r14 shape: a family trips while its entries spill and the
+    # anchor shows none — the message must say so
+    import __spark_entry__  # noqa: F401
+
+    from milan_telecom_etl__spark.queries_registry import QUERIES
+
+    ref = _synthetic_reference()
+    loaded = dict(ref)
+    fam_names = [
+        n for n in loaded if QUERIES[n].__module__.endswith("registry_similarity")
+    ]
+    for n in fam_names:
+        loaded[n] *= 2.5
+    counters = {n: {"spill_mem_mb": 900.0, "spill_disk_mb": 120.0} for n in fam_names}
+    ref_counters = {n: {"spill_mem_mb": 0.0, "spill_disk_mb": 0.0} for n in fam_names}
+    over = _family_budget_violations(loaded, ref, counters, ref_counters)
+    assert any("registry_similarity" in v and "ANOMALOUS SPILL" in v for v in over), over
+    # and a genuine regression WITHOUT anomalous spill is not annotated
+    over_clean = _family_budget_violations(loaded, ref, ref_counters, ref_counters)
+    assert any(
+        "registry_similarity" in v and "ANOMALOUS SPILL" not in v for v in over_clean
+    ), over_clean
 
 
 def test_environment_factor_clamps():
