@@ -24,12 +24,52 @@ import statistics
 import subprocess
 import sys
 import time
+import urllib.request
 
 from milan_telecom_etl__spark.caching import release_tracked
 from milan_telecom_etl__spark.session import get_spark
 
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 WARMUP = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+UI_PORT = int(os.environ.get("SPARK_GRAFT_BENCH_UI_PORT", "4060"))
+
+
+def _stages(spark) -> dict[int, dict] | None:
+    """Completed-stage map from the UI REST API (the same JSON the
+    History Server serves). Returns None when the UI is unreachable so
+    counters degrade to absent, never sink the sweep."""
+    try:
+        app_id = spark.sparkContext.applicationId
+        url = (
+            f"http://localhost:{UI_PORT}/api/v1/applications/"
+            f"{app_id}/stages?status=complete"
+        )
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return {s["stageId"]: s for s in json.load(r)}
+    except Exception:
+        return None
+
+
+def _entry_counters(before: dict[int, dict] | None, after: dict[int, dict] | None):
+    """Spill / peak-memory counters over the stages an entry's
+    warmup+reps ran (VERDICT r14 #2). Purpose: a contaminated sweep
+    self-identifies — background memory pressure makes the
+    highest-memory shuffle entries SPILL where the committed anchor
+    shows none (the r14 banded-minhash 1.8-2.9x tell, which took
+    judge-side isolation probes to adjudicate). Stage IDs are
+    monotonic, so eviction of old stages under spark.ui.retainedStages
+    can't miscount new ones."""
+    if before is None or after is None:
+        return None
+    hi = max(before, default=-1)
+    new = [s for sid, s in after.items() if sid > hi]
+    return {
+        "spill_mem_mb": round(sum(s.get("memoryBytesSpilled", 0) for s in new) / 1e6, 1),
+        "spill_disk_mb": round(sum(s.get("diskBytesSpilled", 0) for s in new) / 1e6, 1),
+        "peak_exec_mem_mb": round(
+            max((s.get("peakExecutionMemory", 0) for s in new), default=0) / 1e6, 1
+        ),
+    }
 
 
 def _git_sha(repo: str) -> str:
@@ -48,7 +88,19 @@ def _git_sha(repo: str) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark(app_name="bench")
+    # UI on for the REST counter reads; retention bounded so the
+    # per-entry stage-list fetch stays ~constant-size over a 252-entry
+    # sweep (the status store runs regardless of the UI, so serving it
+    # doesn't perturb the timed reps)
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            "spark.ui.showConsoleProgress": "false",
+            "spark.ui.retainedStages": "600",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
@@ -81,8 +133,10 @@ def main() -> None:
         pass
 
     timings: dict[str, float] = {}
+    counters: dict[str, dict] = {}
     for name, fn in qs.items():
         reps: list[float] = []
+        stages_before = _stages(spark)
         try:
             # clear ONCE per query: leaked persists from earlier queries
             # can't steal memory (the r4->r5 drift), while a query's own
@@ -104,6 +158,12 @@ def main() -> None:
                 fn(spark, sf_dir).count()
                 reps.append(time.perf_counter() - t0)
             timings[name] = round(statistics.median(reps), 4)
+            # counters cover the entry's warmup+reps in aggregate —
+            # comparable across sweeps because the anchor records them
+            # under the identical protocol
+            c = _entry_counters(stages_before, _stages(spark))
+            if c is not None:
+                counters[name] = c
         except Exception as e:  # never let one query sink the whole bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
@@ -154,6 +214,7 @@ def main() -> None:
     detail = {
         "sf": sf,
         "queries": timings,
+        "counters": counters,
         "jvm_pools_mb": jvm_pools,
         "git_sha": _git_sha(repo),
         "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
