@@ -438,6 +438,20 @@ def gate_order(queries_map: dict[str, Callable]) -> list[str]:
     cached = _GATE_ORDER_MEMO.get(key)
     if cached is not None:
         return list(cached)
+    never, stale, tail, _evidence = classify_gates(queries_map)
+    result = never + [name for _, _, name in stale] + tail
+    _GATE_ORDER_MEMO[key] = result
+    return list(result)
+
+
+def classify_gates(
+    queries_map: dict[str, Callable],
+) -> tuple[list[str], list[tuple[int, int, str]], list[str], dict[str, frozenset[str]]]:
+    """The gate_order classification, with evidence: returns
+    (never, stale, tail, changed_files) where `stale` is sorted
+    (tier, gate-round, name) triples and `changed_files[name]` is the
+    set of closure files that moved since the entry's gate — the
+    attribution input for the hub-collapse tripwire."""
     gates = load_gates()
     latest = _latest_round_sha()
     fresh_changed = _changed_since(latest) if latest else None
@@ -446,7 +460,8 @@ def gate_order(queries_map: dict[str, Callable]) -> list[str]:
     never: list[str] = []
     stale: list[tuple[int, int, str]] = []  # (tier, gate-round, name)
     tail: list[str] = []
-    for idx, (name, fn) in enumerate(queries_map.items()):
+    evidence: dict[str, frozenset[str]] = {}
+    for name, fn in queries_map.items():
         rec = gates.get(name)
         if not rec or not rec.get("sha"):
             never.append(name)
@@ -467,7 +482,56 @@ def gate_order(queries_map: dict[str, Callable]) -> list[str]:
         else:
             tier = 3
         stale.append((tier, rec.get("round", 0), name))
+        evidence[name] = frozenset(deps & changed) if changed is not None else deps
     stale.sort(key=lambda t: (t[0], t[1]))
-    result = never + [name for _, _, name in stale] + tail
-    _GATE_ORDER_MEMO[key] = result
-    return list(result)
+    return never, stale, tail, evidence
+
+
+# A gate-order head is only informative while TIER 0 — the closure
+# fingerprint's "this entry's behavior changed" signal — stays small
+# relative to the driver's ~50-entry cap; when one edit marks near
+# half the registry tier 0, the order inside the tier degenerates to
+# oldest-gate-first and the entries whose behavior actually changed
+# can miss the gate (the r13 collapse, one level down). Tier 1 is the
+# normal rotation backlog (near-universal loader/hub files touched in
+# prior rounds keep entries module-stale until their turn through the
+# 50-entry gate — 176/250 at the r15 HEAD) and is NOT the alarm
+# signal. 0.4 is well above any honest round's tier-0 footprint
+# (largest to date: r14's closure-change set, 34-40/252 = 13-16%).
+HUB_COLLAPSE_FRACTION = 0.4
+
+
+def hub_collapse_report(
+    classification: tuple[
+        list[str], list[tuple[int, int, str]], list[str], dict[str, frozenset[str]]
+    ],
+) -> dict:
+    """Tripwire input (VERDICT r14 #7): the universal-module exclusion
+    is COMPUTED as the intersection of every entry's dep closure, so a
+    module imported by *almost* every entry (a behavior-bearing hub one
+    import short of universal) is excluded from nothing — an edit to it
+    floods tier 0 and silently re-creates the r13 collapse. When the
+    tier-0 fraction of gated entries exceeds HUB_COLLAPSE_FRACTION,
+    name the file(s) whose change appears in that flood's closures so
+    tests/test_gating.py can demand they be justified (moved out of
+    entry closures, or explicitly allow-listed with a reason)."""
+    from collections import Counter
+
+    never, stale, tail, evidence = classification
+    gated = len(stale) + len(tail)
+    hot = [name for tier, _, name in stale if tier == 0]
+    frac = len(hot) / gated if gated else 0.0
+    counts: Counter[str] = Counter(
+        f for name in hot for f in evidence.get(name, ())
+    )
+    threshold = max(1, int(HUB_COLLAPSE_FRACTION * gated))
+    return {
+        "fraction_tier0": round(frac, 3),
+        "n_gated": gated,
+        "n_tier0": len(hot),
+        "collapsed": frac > HUB_COLLAPSE_FRACTION,
+        "culprit_files": sorted(
+            f for f, c in counts.items() if c >= threshold
+        ),
+        "file_counts": dict(counts.most_common(10)),
+    }

@@ -31,31 +31,83 @@ DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # results. A real cluster moves this lever by construction (1000
 # executors x cores); a fixed-core tier sweep must move it with DATA
 # VOLUME instead, the same spirit as bucketed.derived_n_buckets. The
-# divisor is ~64 MB of SOURCE bytes per task — conservative because the
+# divisor is ~64 MB of source bytes per task — conservative because the
 # candidate-join family inflates input ~8x before the first shuffle
-# (SCALE.md replicated-density law) — and reproduces both measured
-# points: sf10 (1.8 GB) -> 32 (measured spill-free), sf30 (5.0 GB) ->
-# 128 (the measured spill-free leg).
+# (SCALE.md replicated-density law).
+#
+# LAW v2 (VERDICT r14 #3): the bytes fed to the law are UNCOMPRESSED
+# (parquet row-group total_byte_size from footers), not file bytes.
+# v1 keyed on FILE bytes and under-derived on compressed parquet right
+# where the sixth decade found spill: events parquet compresses ~4.3x,
+# so sf100e derived dp=32 while the measured spill-free point was 128
+# (SCALE.md "Law limitation", now closed). Measured v2 derivations
+# (footer sums, 2026-08): sf100e 6.03 GiB -> 128 (== the measured
+# spill-free point, no hand-set constant), sf3 -> 64, sf10 -> 128,
+# sf30 -> 512. sf10/sf30 derive WIDER than v1's measured-minimal
+# 32/128 — over-derivation cannot spill (smaller tasks), it only adds
+# scheduling overhead, and the committed decade baselines record the
+# width they ran under (BENCH_SCALE blocks carry default_parallelism),
+# so v1-pinned blocks keep their recorded widths.
 TARGET_DP_SOURCE_BYTES = 64 << 20
+DP_LAW_VERSION = 2
 
 
 def derived_default_parallelism(tier_bytes: int, cores: int) -> int:
-    """Data-volume-derived spark.default.parallelism for a scale tier,
-    rounded to a power of two (stable under small corpus drift), never
-    below the core count."""
+    """Data-volume-derived spark.default.parallelism, rounded to a
+    power of two (stable under small corpus drift), never below the
+    core count. Pure in its byte input; feed it
+    `tier_bytes_uncompressed` (law v2) — `derived_dp_for_dir` does."""
     n = max(cores, math.ceil(tier_bytes / TARGET_DP_SOURCE_BYTES))
     return 1 << (n - 1).bit_length()
 
 
+def derived_dp_for_dir(sf_dir: str, cores: int) -> int:
+    """Law-v2 entry point: dp derived from the tier's UNCOMPRESSED
+    bytes."""
+    return derived_default_parallelism(tier_bytes_uncompressed(sf_dir), cores)
+
+
 def tier_bytes(sf_dir: str) -> int:
-    """Total bytes under a LOCAL tier directory (the scale scripts run
-    against local dirs; a cluster derives dp from its executor count
-    instead and never needs this)."""
+    """Total FILE bytes under a LOCAL tier directory — the law-v1
+    input, kept for sizing laws that genuinely want on-disk volume
+    (bucket widths size storage, not working set). A cluster derives
+    dp from its executor count instead and never needs this."""
     total = 0
     for root, _dirs, files in os.walk(sf_dir):
         for f in files:
             try:
                 total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def tier_bytes_uncompressed(sf_dir: str) -> int:
+    """Total UNCOMPRESSED bytes under a LOCAL tier directory: parquet
+    files contribute the sum of their row groups' total_byte_size
+    (footer metadata — no data read); anything else contributes file
+    size. This is the working-set proxy the spill law actually wants:
+    shuffles and hash tables hold DECODED rows, so ~4x-compressed
+    events parquet must count ~4x its file bytes (the v1 blind spot).
+    Falls back to file bytes per-file on unreadable footers."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            path = os.path.join(root, f)
+            if f.endswith(".parquet"):
+                try:
+                    md = pq.ParquetFile(path).metadata
+                    total += sum(
+                        md.row_group(i).total_byte_size
+                        for i in range(md.num_row_groups)
+                    )
+                    continue
+                except Exception:
+                    pass
+            try:
+                total += os.path.getsize(path)
             except OSError:
                 pass
     return total

@@ -86,33 +86,37 @@ def main() -> int:
     small = sys.argv[1] if len(sys.argv) > 1 else ".scaledata/sf3"
     big = sys.argv[2] if len(sys.argv) > 2 else ".scaledata/sf10"
     from milan_telecom_etl__spark.session import (
-        derived_default_parallelism,
-        tier_bytes,
+        DP_LAW_VERSION,
+        derived_dp_for_dir,
     )
 
-    # tier-derived spill lever (VERDICT r13 #6) — overridable so the
-    # fixed-dp legacy measurement stays reproducible
+    # tier-derived spill lever (VERDICT r13 #6; law v2 uncompressed
+    # bytes since r15) — overridable so the fixed-dp legacy
+    # measurements stay reproducible
     dp = int(
         os.environ.get("SPARK_GRAFT_DP", "0")
-    ) or derived_default_parallelism(tier_bytes(big), 32)
+    ) or derived_dp_for_dir(big, 32)
+    # width of SQL shuffles (the band self-join / distinct / hash-agg
+    # side) — a separate lever from dp, overridable for per-lever
+    # attribution. DEFAULT follows the tier law like scale_bench.py
+    # (both levers a cluster moves by construction); legacy blocks that
+    # ran at the old fixed-32 default record their widths in-block.
+    sp = int(os.environ.get("SPARK_GRAFT_SP", "0")) or dp
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("saturation-counters")
         .config("spark.default.parallelism", str(dp))
-        # width of SQL shuffles (the band self-join / distinct side of
-        # the candidate family) — separate lever from dp, overridable
-        # for per-lever attribution
-        .config(
-            "spark.sql.shuffle.partitions",
-            os.environ.get("SPARK_GRAFT_SP", "32"),
-        )
+        .config("spark.sql.shuffle.partitions", str(sp))
         # AQE's own width lever: start every shuffle wide and let the
         # runtime coalesce to advisory size — the Spark-native form of
-        # the sp lever (only set when the env asks, to keep legacy
-        # blocks reproducible)
+        # the sp lever. Always set; the default mirrors the SP knob (or
+        # its 32 fallback, == the unset-default behavior), so legacy
+        # blocks stay reproducible while SPARK_GRAFT_IPN can move it
+        # independently for attribution (ADVICE r14: the old comment
+        # claimed env-gating the .config, which it never did).
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_IPN", os.environ.get("SPARK_GRAFT_SP", "32")),
+            os.environ.get("SPARK_GRAFT_IPN", str(sp)),
         )
         # match the bench harness's heap (session.get_spark default 8g)
         # so the counters describe the SAME memory envelope the sweep
@@ -153,6 +157,8 @@ def main() -> int:
         "small_dir": small,
         "big_dir": big,
         "default_parallelism": dp,
+        "shuffle_partitions": sp,
+        "dp_law_version": DP_LAW_VERSION,
         "method": "UI REST stage sums (new stages per run) + GC MXBean delta; "
         "cold single run per tier, local[32]",
     }

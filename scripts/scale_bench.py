@@ -31,18 +31,20 @@ def main() -> None:
     growth = float(sys.argv[4]) if len(sys.argv) > 4 else 10.0
 
     from milan_telecom_etl__spark.session import (
-        derived_default_parallelism,
+        DP_LAW_VERSION,
+        derived_dp_for_dir,
         get_spark,
-        tier_bytes,
     )
 
     # derive the spill lever from the BIG tier's data volume (VERDICT
     # r13 #6): on a real cluster defaultParallelism grows with the
     # executor fleet; a fixed-core tier sweep must grow it with data
     # or the sf30 candidate-join family spills on a lever no plan can
-    # move (the spill_ab.py measurement, as a default)
+    # move (the spill_ab.py measurement, as a default). Law v2 (VERDICT
+    # r14 #3): derived from UNCOMPRESSED footer bytes — file bytes
+    # under-derived ~4x on compressed events parquet.
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    dp = derived_default_parallelism(tier_bytes(big), cores)
+    dp = derived_dp_for_dir(big, cores)
     # BOTH shuffle levers follow the tier law: the r14 per-lever
     # attribution at sf30 measured semdedup_auto's spill as
     # defaultParallelism-bound (17.5 GB -> 0.5 GB at dp=128) and
@@ -126,6 +128,7 @@ def main() -> None:
         "small_dir": small,
         "big_dir": big,
         "default_parallelism": spark.sparkContext.defaultParallelism,
+        "dp_law_version": DP_LAW_VERSION,
         "data_growth_x": growth,
         "git_sha": sha,
         "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

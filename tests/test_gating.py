@@ -216,3 +216,50 @@ def test_unknown_gate_sha_promotes_conservatively(monkeypatch):
     _fake_env(monkeypatch, gates, "latest", changed_map)
     order = gate_order(QUERIES)
     assert order[0] == some  # tier 1 ahead of the clean tail
+
+
+# --- hub-collapse tripwire (VERDICT r14 #7) -------------------------
+
+# Behavior-bearing near-universal hubs that are ALLOWED to flood the
+# stale tiers, each with a written justification. Empty by design: the
+# correct fix for a flagged hub is moving it out of entry closures
+# (the taxonomy.py precedent), not listing it here.
+JUSTIFIED_HUBS: dict[str, str] = {}
+
+
+def test_hub_collapse_tripwire_real_head():
+    report = gating.hub_collapse_report(gating.classify_gates(QUERIES))
+    if not report["collapsed"]:
+        return
+    unjustified = [
+        f for f in report["culprit_files"] if f not in JUSTIFIED_HUBS
+    ]
+    assert not unjustified, (
+        f">{gating.HUB_COLLAPSE_FRACTION:.0%} of gated entries sit in "
+        f"tier 0 ({report['n_tier0']}/{report['n_gated']}) and these "
+        f"files appear across that flood's closures: {unjustified}. "
+        "A behavior-bearing hub module re-creates the r13 gate-order "
+        "collapse — move its definitions out of entry closures (the "
+        "taxonomy.py fix) or add it to JUSTIFIED_HUBS with a written "
+        f"reason. Evidence: {report['file_counts']}"
+    )
+
+
+def test_hub_collapse_fixture_trips():
+    # synthetic hub edit: 150 of 250 gated entries land tier 0 (their
+    # closure fingerprints all see the hub's edited definitions), every
+    # one with the same changed file in its closure evidence
+    hub = "milan_telecom_etl__spark/newhub.py"
+    stale = [(0, 3, f"e{i}") for i in range(150)]
+    tail = [f"t{i}" for i in range(100)]
+    evidence = {f"e{i}": frozenset({hub, f"milan_telecom_etl__spark/m{i % 7}.py"}) for i in range(150)}
+    report = gating.hub_collapse_report(([], stale, tail, evidence))
+    assert report["collapsed"] is True
+    assert report["culprit_files"] == [hub], report
+    # and an honest round's footprint (the r14 closure set: 34/252)
+    # does not trip
+    small = [(0, 3, f"e{i}") for i in range(34)]
+    ok = gating.hub_collapse_report(
+        ([], small, [f"t{i}" for i in range(218)], {f"e{i}": frozenset({hub}) for i in range(34)})
+    )
+    assert ok["collapsed"] is False and not ok["culprit_files"], ok

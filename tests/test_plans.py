@@ -791,14 +791,38 @@ def test_bucketed_half_written_build_is_rebuilt(spark, tmp_path, monkeypatch):
 
 
 def test_derived_default_parallelism_law():
-    # the sf30 spill A/B as a sizing law (VERDICT r13 #6): both
-    # measured points reproduce, cores floor holds, pow2 growth
+    # pure-function facts of the sizing law: cores floor, pow2 growth,
+    # and the sf100e v2 point — 6.03 GiB UNCOMPRESSED events derive 128,
+    # the measured spill-free lever the v1 file-bytes law missed
+    # (VERDICT r14 #3; SCALE.md "Law limitation", closed r15)
     from milan_telecom_etl__spark.session import derived_default_parallelism
 
-    assert derived_default_parallelism(1_810_000_000, 32) == 32  # sf10: spill-free at cores
-    assert derived_default_parallelism(4_985_000_000, 32) == 128  # sf30: measured spill-free leg
+    assert derived_default_parallelism(6_470_000_000, 32) == 128  # sf100e unc.
+    assert derived_default_parallelism(1_810_000_000, 32) == 32  # <= 32 tasks' worth
     assert derived_default_parallelism(100, 32) == 32  # never below cores
     assert derived_default_parallelism(10**12, 32) == 16384  # grows with volume, pow2
+
+
+def test_tier_bytes_uncompressed_counts_decoded_size(tmp_path, spark):
+    # law v2's input: a compressible parquet file must count its
+    # DECODED row-group bytes, not its on-disk size (events compress
+    # ~4.3x and v1 under-derived dp exactly there); non-parquet files
+    # fall back to file size
+    from milan_telecom_etl__spark.session import (
+        tier_bytes,
+        tier_bytes_uncompressed,
+    )
+
+    d = str(tmp_path / "tier")
+    # hex pads defeat dictionary encoding but compress well under
+    # snappy — the shape where file bytes and row-group
+    # total_byte_size (encoded, pre-compression) genuinely diverge
+    spark.range(200_000).selectExpr(
+        "id", "id % 7 as k", "repeat(hex(hash(id)), 8) as pad"
+    ).coalesce(1).write.parquet(d)
+    (tmp_path / "tier" / "notes.txt").write_bytes(b"z" * 1000)
+    unc, raw = tier_bytes_uncompressed(d), tier_bytes(d)
+    assert unc > raw * 1.2  # footer sums see through the compression
 
 
 def test_bucket_width_sizing_law():
