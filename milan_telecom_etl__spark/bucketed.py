@@ -54,7 +54,7 @@ from .artifacts import (
     fs_join,
     loc_key,
 )
-from .sources.parquet import load_table
+from .sources.parquet import adapt_table, load_table
 
 # The measured sizing law (SCALE.md, bucket-width A/B at sf10):
 # a bucket is AT MOST this many input bytes (above it, split further
@@ -272,9 +272,10 @@ def bucketed_table(
 # Width-migration trigger: an appendable layout keeps its creation-time
 # bucket count while the corpus grows (n is physical layout, appends
 # must match it) until the CURRENT corpus would derive a width this
-# many pow2 steps wider — then the next serve pays one full rebuild at
-# the new width instead of letting buckets grow without bound. 4x in
-# derived width ≈ buckets averaging ~4x TARGET_BUCKET_BYTES.
+# FACTOR wider (4x = 2 pow2 steps) — then the next serve pays one full
+# rebuild at the new width instead of letting buckets grow without
+# bound. 4x in derived width ≈ buckets averaging ~4x
+# TARGET_BUCKET_BYTES.
 WIDTH_MIGRATION_FACTOR = 4
 
 
@@ -358,9 +359,11 @@ def appendable_bucketed_table(
     manifest — appends must match the physical layout — and the width
     sizing law re-enters only through the migration rebuild.
 
-    The source table must need no loader adaptation (delta batches are
-    read with `spark.read.parquet` on the new files); `documents` —
-    the dedup corpus — qualifies."""
+    Delta batches pass through `sources.parquet.adapt_table` — the same
+    per-table physical-type normalization the rebuild path gets via
+    `load_table` — so tables needing loader adaptation (events
+    ns->timestamp) append rows type-identical to the standing index
+    (ADVICE r14)."""
     if derive is not None and not variant:
         raise ValueError("derive requires a variant identity tag")
     loc = loc_key(sf_dir, extra=canon_path(artifact_root()))
@@ -453,7 +456,14 @@ def appendable_bucketed_table(
     if new_files:
         _write_text(spark, pending, json.dumps(new_files))
         base = fs_join(sf_dir, f"{table}.parquet")
-        delta = spark.read.parquet(*[fs_join(base, f) for f in new_files])
+        # the delta must see the SAME per-table physical-type
+        # normalization the rebuild path gets via load_table (ADVICE
+        # r14: for a table needing adaptation — events ns->timestamp —
+        # raw reads would silently diverge from, or implicitly cast
+        # against, the standing index built from adapted rows)
+        delta = adapt_table(
+            spark.read.parquet(*[fs_join(base, f) for f in new_files]), table
+        )
         if derive is not None:
             delta = derive(delta)
         (

@@ -413,9 +413,12 @@ def gate_order(queries_map: dict[str, Callable]) -> list[str]:
     entries (a registry module hosts 60+ of them; the universal hub
     hosts all 250).
 
-      tier 0: the entry's OWN decorated function source (incl. its
-              oracle SQL in the decorator) differs from its gate-sha
-              version — a direct behavior edit was never re-gated;
+      tier 0: the entry's reference closure — its OWN decorated
+              function source (incl. its oracle SQL in the decorator)
+              PLUS the transitively referenced package helpers /
+              classes / constants, minus universal modules — differs
+              from its gate-sha version: a behavior edit (direct or in
+              a helper the entry leans on) was never re-gated;
       tier 1: own (non-universal) module-closure deps changed since its
               gate but the fn source is unchanged/undecidable — a
               helper it may depend on moved (also: gate sha unknown to

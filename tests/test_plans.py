@@ -1024,6 +1024,53 @@ def test_appendable_index_serves_growth_without_rewriting_history(
             spark.sql(f"DROP TABLE IF EXISTS `{bdir}`")
 
 
+def test_appendable_delta_gets_loader_adaptation(spark, tmp_path, monkeypatch):
+    # ADVICE r14: the append path read delta files raw while the
+    # rebuild path went through load_table — for a table needing
+    # physical-type adaptation (events ts long-ns -> timestamp) the two
+    # paths would diverge or implicitly cast. The delta now passes
+    # through adapt_table: appended rows must be type- and
+    # value-identical to a full rebuild.
+    import os
+
+    from milan_telecom_etl__spark import bucketed as B
+    from milan_telecom_etl__spark.sources.parquet import load_table
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "art"))
+    corp = tmp_path / "corp"
+    tdir = corp / "events.parquet"
+    tdir.mkdir(parents=True)
+
+    def _events(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id as user_id",
+            "cast(id % 100 as int) as cell_id",
+            # epoch NANOS as a long — the pre-adaptation physical shape
+            "1385856000000000000 + id * 1000000000 as ts",
+        )
+
+    _drop_file_into(spark, _events(0, 200), str(tdir), "base-0.parquet", tmp_path)
+    serve = lambda: B.appendable_bucketed_table(  # noqa: E731
+        spark, str(corp), "events", "user_id", n=2
+    )
+    try:
+        idx = serve()
+        assert str(idx.schema["ts"].dataType) == "TimestampType()"
+        _drop_file_into(
+            spark, _events(200, 300), str(tdir), "delta-1.parquet", tmp_path
+        )
+        idx2 = serve()
+        assert str(idx2.schema["ts"].dataType) == "TimestampType()"
+        # appended rows match the loader's adaptation bit-for-bit
+        assert _rows(idx2.select("user_id", "ts")) == _rows(
+            load_table(spark, str(corp), "events").select("user_id", "ts")
+        )
+        (bdir,) = os.listdir(str(tmp_path / "art" / "bucketed"))
+    finally:
+        if "bdir" in locals():
+            spark.sql(f"DROP TABLE IF EXISTS `{bdir}`")
+
+
 def test_appendable_index_rebuilds_on_mutation_pending_and_width(
     spark, tmp_path, monkeypatch
 ):
