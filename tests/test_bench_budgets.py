@@ -141,7 +141,8 @@ FAMILY_MEDIAN_BUDGET_S = {
     "registry_similarity": 1.22,  # 0.870 s, n=28
     "registry_streaming": 1.62,  # 1.156 s, n=13
     "registry_temporal": 0.26,  # 0.179 s, n=11
-    "registry_text": 1.02,  # 0.723 s, n=63
+    "registry_text": 1.02,  # 0.723 s, n=63; r15: +minhash_candidates_appendable
+    # (serving entry, ~0.4 s warm — below the family median, budget holds)
     "registry_tpch": 0.72,  # 0.509 s, n=24
 }
 
@@ -162,7 +163,7 @@ FAMILY_COMPOSITION = {
     "registry_similarity": (28, "cc49213d"),
     "registry_streaming": (13, "9409b2b2"),
     "registry_temporal": (11, "1c70816c"),
-    "registry_text": (63, "f97263e7"),
+    "registry_text": (64, "45739f41"),
     "registry_tpch": (24, "46f68c3f"),
 }
 

@@ -1024,6 +1024,87 @@ def test_appendable_index_serves_growth_without_rewriting_history(
             spark.sql(f"DROP TABLE IF EXISTS `{bdir}`")
 
 
+def test_appendable_minhash_index_serves_growth(spark, tmp_path, monkeypatch):
+    # VERDICT r14 #4: the banded MinHash signature index is append-only
+    # on a grow-only corpus. Pins, on an appended corpus at an explicit
+    # n>1 width with broadcast disabled (vacuous-pin discipline):
+    #   1. candidates == a full re-fold of the grown corpus;
+    #   2. history bucket files untouched by the append;
+    #   3. the serve plan scans ONLY the index (no documents.parquet —
+    #      history text is never re-shingled at query time);
+    #   4. the candidate self-join is a bucketed SMJ: zero Exchange
+    #      below the join (the only shuffle is the final distinct).
+    import os
+
+    from milan_telecom_etl__spark import bucketed as B  # noqa: F401
+    from milan_telecom_etl__spark.operators import dedup as D
+    from milan_telecom_etl__spark.registry_text import (
+        q_minhash_candidates_appendable,
+    )
+
+    import milan_telecom_etl__spark.registry_text as RT
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "art"))
+    corp, tdir = _appendable_corpus(spark, tmp_path)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # pre-build the SAME index identity at an explicit n=4 so the
+        # zero-Exchange pin runs where co-partitioning can actually
+        # fail (r13 vacuous-pin trap: derived widths collapse to 1
+        # bucket at fixture scale); the entry then serves this table
+        B.appendable_bucketed_table(
+            spark, corp, "documents", "bh",
+            n=4, derive=RT._banded_bh, variant="mhband64x4bh",
+        )
+        r1 = q_minhash_candidates_appendable(spark, corp)
+        full = D.minhash_lsh_candidates(
+            spark.read.parquet(tdir), num_hashes=64, band_size=4
+        )
+        assert _rows(r1) == _rows(full)
+
+        (bdir,) = os.listdir(str(tmp_path / "art" / "bucketed"))
+        ipath = str(tmp_path / "art" / "bucketed" / bdir)
+        base_files = {
+            f: os.stat(os.path.join(ipath, f)).st_mtime_ns
+            for f in os.listdir(ipath)
+            if f.endswith(".parquet")
+        }
+
+        docs = spark.read.parquet(tdir)
+        delta = docs.limit(40).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        _drop_file_into(spark, delta, tdir, "delta-1.parquet", tmp_path)
+
+        r2 = q_minhash_candidates_appendable(spark, corp)
+        for f, mt in base_files.items():
+            assert os.stat(os.path.join(ipath, f)).st_mtime_ns == mt, f
+        full2 = D.minhash_lsh_candidates(
+            spark.read.parquet(tdir), num_hashes=64, band_size=4
+        )
+        rows2 = _rows(r2)
+        assert rows2 == _rows(full2)
+        # the append must contribute: delta-vs-history and
+        # delta-vs-delta pairs both present (re-texted docs collide
+        # with their originals)
+        assert any(bb >= 10_000_000 for _, bb in rows2)
+
+        plan = _plan(r2)
+        assert "documents.parquet" not in plan  # no history re-shingle
+        assert "Bucketed: true" in plan
+        assert "SortMergeJoin" in plan
+        # the join's children carry no Exchange: the only shuffle in
+        # the whole plan is the final distinct's single hash exchange
+        final = plan.split("AdaptiveSparkPlan")[0]
+        assert final.count("Exchange") <= 1, final
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        for t in spark.catalog.listTables():
+            if t.name.startswith("bkta_"):
+                spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+
+
 def test_appendable_delta_gets_loader_adaptation(spark, tmp_path, monkeypatch):
     # ADVICE r14: the append path read delta files raw while the
     # rebuild path went through load_table — for a table needing
