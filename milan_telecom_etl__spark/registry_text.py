@@ -563,6 +563,84 @@ def q_minhash_candidates_appendable(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _shingles_n3(docs: DataFrame) -> DataFrame:
+    """The appendable shingle store's derived projection: the UNCAPPED
+    (doc_id, shingle) inverted-index rows — per-doc map-only, so
+    append-only by construction. Uncapped for the same reason the
+    fingerprint-keyed artifact stores uncapped shingles: the df
+    stop-shingle cap must see the SERVE-TIME corpus frequencies."""
+    return D.shingle_table(docs, n=3)
+
+
+@register("incremental_dedup_appendable", _incremental_dedup_sql())
+def q_incremental_dedup_appendable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`incremental_dedup` with BOTH index artifacts served from
+    append-only standing stores — the posture where ingest has already
+    appended the arriving files to the corpus and to the standing
+    indexes, and dedup-at-ingest reads everything from the stores:
+
+    - banded signatures: sliced from the SAME appendable fused-key
+      index `minhash_candidates_appendable` serves (bh unfuses back to
+      (band_id, band_hash) by splitting on ':'); corpus growth bands
+      only the new files' docs — history is never re-banded;
+    - shingles: a fourth append consumer — the uncapped (doc_id,
+      shingle) inverted index as an appendable store bucketed by
+      doc_id (the per-doc size aggregate rides the buckets; the verify
+      joins broadcast the candidate set). Corpus growth appends only
+      the new files' shingle rows — history text is never re-shingled.
+
+    Probe-time cost reads ZERO document text (plan-pinned: no
+    documents.parquet scan anywhere); the only whole-store pass is the
+    df stop-shingle cap's frequency count, which must see serve-time
+    corpus frequencies by contract (same math as the union cap in
+    incremental_near_dups_serving — identical results to the
+    train-in-run twin, same oracle)."""
+    from .bucketed import appendable_bucketed_table
+
+    b = _INCR_NEW_MAX_ID
+    banded_idx = appendable_bucketed_table(
+        spark,
+        sf_dir,
+        "documents",
+        "bh",
+        derive=_banded_bh,
+        variant="mhband64x4bh",
+        size_fraction=4.0,
+    )
+    parts = F.split(F.col("bh"), ":", 2)
+    banded_all = banded_idx.select(
+        "doc_id",
+        parts[0].cast("int").alias("band_id"),
+        parts[1].alias("band_hash"),
+    )
+    new_b = banded_all.filter(F.col("doc_id") < b).select(
+        "band_id", "band_hash", F.col("doc_id").alias("new_doc")
+    )
+    cand = D._incremental_candidates(banded_all, new_b, b)
+
+    sh_idx = appendable_bucketed_table(
+        spark,
+        sf_dir,
+        "documents",
+        "doc_id",
+        derive=_shingles_n3,
+        variant="shidx_n3",
+        # exploded 3-gram rows: ~8x the corpus text's parquet bytes
+        # (per-word rows defeat the text column's page compression)
+        size_fraction=8.0,
+    )
+    heavy = (
+        sh_idx.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > D.DEFAULT_MAX_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh_idx.select("doc_id", "shingle").join(
+        F.broadcast(heavy), "shingle", "left_anti"
+    )
+    return D._incremental_verify(cand, sh, 0.5, b)
+
+
 @register("minhash_lsh_sharp", _lsh_sql(num_hashes=64, band_size=4))
 def q_minhash_lsh_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharp-banding MinHash LSH: 64 hashes in 16 bands of 4 rows —

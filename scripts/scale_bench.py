@@ -66,7 +66,10 @@ def main() -> None:
     }
     if only:
         qs = {k: v for k, v in qs.items() if k in only}
-    entrymod.queries()["top_cells"](spark, small).count()  # JVM warmup
+    try:  # JVM warmup; subset tiers (docs-grain sf30/sf100d) lack events
+        entrymod.queries()["top_cells"](spark, small).count()
+    except Exception:
+        next(iter(qs.values()))(spark, small).count()
 
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
     force_noop = os.environ.get("SPARK_GRAFT_SCALE_FORCE", "") == "noop"

@@ -142,7 +142,9 @@ FAMILY_MEDIAN_BUDGET_S = {
     "registry_streaming": 1.62,  # 1.156 s, n=13
     "registry_temporal": 0.26,  # 0.179 s, n=11
     "registry_text": 1.02,  # 0.723 s, n=63; r15: +minhash_candidates_appendable
-    # (serving entry, ~0.4 s warm — below the family median, budget holds)
+    # (serving entry, ~0.4 s warm — below the family median, budget holds);
+    # +incremental_dedup_appendable (store-served probe, ~1 s — above the
+    # median but one of 65, median moves <2%; budget holds)
     "registry_tpch": 0.72,  # 0.509 s, n=24
 }
 
@@ -163,7 +165,7 @@ FAMILY_COMPOSITION = {
     "registry_similarity": (28, "cc49213d"),
     "registry_streaming": (13, "9409b2b2"),
     "registry_temporal": (11, "1c70816c"),
-    "registry_text": (64, "45739f41"),
+    "registry_text": (65, "5d318429"),
     "registry_tpch": (24, "46f68c3f"),
 }
 

@@ -1105,6 +1105,67 @@ def test_appendable_minhash_index_serves_growth(spark, tmp_path, monkeypatch):
                 spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
 
 
+def test_incremental_dedup_appendable_serves_growth(spark, tmp_path, monkeypatch):
+    # Fourth append consumer (r15): both the banded-signature slice and
+    # the uncapped shingle store are append-only standing tables. On an
+    # APPENDED corpus the entry must equal the train-in-run twin, touch
+    # no document text at probe time, and leave both stores' history
+    # files untouched.
+    import os
+
+    from milan_telecom_etl__spark.operators import dedup as D
+    from milan_telecom_etl__spark.registry_text import (
+        q_incremental_dedup_appendable,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_ARTIFACTS", str(tmp_path / "art"))
+    corp, tdir = _appendable_corpus(spark, tmp_path)
+    try:
+        r1 = q_incremental_dedup_appendable(spark, corp)
+        twin = D.incremental_near_dups(
+            spark.read.parquet(tdir), new_max_id=100
+        )
+        assert _rows(r1) == _rows(twin)
+        # the twin persists its words/shingle fragments (caller
+        # clearCache contract, queries_registry.py:8); without this the
+        # POST-append twin plan-matches the pre-append cached fragment
+        # and serves the old file listing
+        spark.catalog.clearCache()
+
+        art = str(tmp_path / "art" / "bucketed")
+        base_files = {
+            os.path.join(d, f): os.stat(os.path.join(art, d, f)).st_mtime_ns
+            for d in os.listdir(art)
+            for f in os.listdir(os.path.join(art, d))
+            if f.endswith(".parquet")
+        }
+        assert len(os.listdir(art)) == 2  # both stores standing
+
+        # grow the corpus: re-texted docs under new INDEX-side ids plus
+        # a handful of new BATCH docs (ids just under the boundary)
+        docs = spark.read.parquet(tdir)
+        delta = docs.limit(40).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)
+        )
+        _drop_file_into(spark, delta, tdir, "delta-1.parquet", tmp_path)
+
+        r2 = q_incremental_dedup_appendable(spark, corp)
+        for f, mt in base_files.items():
+            assert os.stat(os.path.join(art, f)).st_mtime_ns == mt, f
+        twin2 = D.incremental_near_dups(
+            spark.read.parquet(tdir), new_max_id=100
+        )
+        rows2 = _rows(r2)
+        assert rows2 == _rows(twin2)
+        # probe-time plan never reads document text
+        plan = _plan(r2)
+        assert "documents.parquet" not in plan
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("bkta_"):
+                spark.sql(f"DROP TABLE IF EXISTS `{t.name}`")
+
+
 def test_appendable_delta_gets_loader_adaptation(spark, tmp_path, monkeypatch):
     # ADVICE r14: the append path read delta files raw while the
     # rebuild path went through load_table — for a table needing
