@@ -50,6 +50,14 @@ def _stages(spark) -> dict[int, dict] | None:
         return None
 
 
+def _gc_ms(spark) -> int:
+    try:
+        beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+        return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+    except Exception:
+        return 0
+
+
 def _entry_counters(before: dict[int, dict] | None, after: dict[int, dict] | None):
     """Spill / peak-memory counters over the stages an entry's
     warmup+reps ran (VERDICT r14 #2). Purpose: a contaminated sweep
@@ -137,6 +145,7 @@ def main() -> None:
     for name, fn in qs.items():
         reps: list[float] = []
         stages_before = _stages(spark)
+        gc_before = _gc_ms(spark)
         try:
             # clear ONCE per query: leaked persists from earlier queries
             # can't steal memory (the r4->r5 drift), while a query's own
@@ -163,6 +172,10 @@ def main() -> None:
             # under the identical protocol
             c = _entry_counters(stages_before, _stages(spark))
             if c is not None:
+                # GC delta over the entry's warmup+reps: the slow-mode
+                # tell for the high-memory family when spill reads zero
+                # (r15 finding — in-sweep 2-3x walls with zero spill)
+                c["gc_sec"] = round((_gc_ms(spark) - gc_before) / 1e3, 2)
                 counters[name] = c
         except Exception as e:  # never let one query sink the whole bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
