@@ -681,29 +681,49 @@ def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation regardless of R x corpus size."""
     docs = load_table(spark, sf_dir, "documents")
 
-    def w(i: int):
-        u = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"boot{i}:"), F.col("doc_id").cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("long") / F.lit(_TWO48)
-        expr = F.lit(7)
-        for k in range(len(_POIS_CDF) - 1, -1, -1):
-            expr = F.when(u < float(_POIS_CDF[k]), k).otherwise(expr)
-        return expr
+    # r15 optimization round: the former shape inlined each replicate's
+    # weight expression (md5 -> conv -> /2^48 -> 7-threshold CASE) into
+    # BOTH of its aggregates, so the md5 subtree appeared 7 (CASE arms)
+    # x 2 (aggregates) = 14 times per replicate — a 386 KB formatted
+    # plan whose cost at sf0.1 was pure overhead: ~2.5-3.6 s of
+    # py4j-by-py4j Column construction plus ~2 s of Catalyst
+    # re-optimization PER REP, with execution itself in the
+    # milliseconds. Factor the tree instead: project u_i once (32 md5
+    # trees, one let-binding projection built as a single SQL string =
+    # one parse instead of thousands of py4j calls), flat-CASE the
+    # Poisson inverse-CDF over the BOUND u_i column, and aggregate over
+    # bound w_i columns. CollapseProject cannot re-inline the u_i
+    # projection (each u_i is a non-cheap expr referenced 7x above), so
+    # the factored shape survives to the physical plan. Arithmetic is
+    # expression-for-expression identical (same md5/conv/division/CASE
+    # thresholds), only bound through columns — value-oracle-equal by
+    # construction, and re-proven against the unchanged DuckDB oracle.
+    def u_sql(i: int) -> str:
+        return (
+            f"cast(conv(substring(md5(concat('boot{i}:', cast(doc_id as string)))"
+            f", 1, 12), 16, 10) as bigint) / {_TWO48!r}D"
+        )
 
+    def w_sql(i: int) -> str:
+        arms = " ".join(
+            f"WHEN u{i} < {t}D THEN {k}" for k, t in enumerate(_POIS_CDF)
+        )
+        return f"CASE {arms} ELSE 7 END"
+
+    with_u = docs.selectExpr(
+        "n_chars", *[f"{u_sql(i)} AS u{i}" for i in range(BOOT_REPS)]
+    )
+    with_w = with_u.selectExpr(
+        "n_chars", *[f"{w_sql(i)} AS w{i}" for i in range(BOOT_REPS)]
+    )
     aggs = [
         (F.sum("n_chars") * 1.0 / F.count(F.lit(1))).alias("point"),
     ]
     for i in range(BOOT_REPS):
-        wi = w(i)
+        wi = F.col(f"w{i}")
         aggs.append(F.sum(wi * F.col("n_chars")).alias(f"s{i}"))
         aggs.append(F.sum(wi).alias(f"c{i}"))
-    a = docs.agg(*aggs)
+    a = with_w.agg(*aggs)
     means = F.array(
         *[F.col(f"s{i}") * 1.0 / F.col(f"c{i}") for i in range(BOOT_REPS)]
     )
