@@ -48,10 +48,40 @@ def adapt_table(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
+# Inferred-schema memo keyed on (path, mtime, size): re-inferring a
+# table's schema re-reads parquet footers on EVERY DataFrame build —
+# measured ~130 ms per load_table call at sf0.1 vs ~25 ms with an
+# explicit schema (r15 optimization round), and a full 254-entry bench
+# sweep builds each entry 4x (warmup + median-of-3), so inference was
+# tens of seconds of pure metadata re-reads per sweep. At cluster scale
+# the same applies against object storage (a footer round-trip per
+# query per table). The memo holds SCHEMAS (metadata), never data or
+# results; the mtime+size key drops it the moment a file changes; and
+# it is per-process, so every bench/oracle invocation still derives
+# everything from the parquet inputs. The first read per (file state)
+# infers under the same session confs load_table always sets, so the
+# memoized schema is exactly what inference would return (long for
+# TIMESTAMP(NANOS) under nanosAsLong, TIMESTAMP_NTZ for MICROS).
+_SCHEMA_CACHE: dict[tuple[str, float, int], T.StructType] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str) -> T.StructType:
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return adapt_table(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
+    path = f"{sf_dir}/{name}.parquet"
+    return adapt_table(
+        spark.read.schema(_parquet_schema(spark, path)).parquet(path), name
+    )
 
 
 # last-registered sf_dir per session (app id) — re-registering on every
