@@ -225,6 +225,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_tables: int = 6,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-blocked: only pairs
     sharing a bucket (in ANY of `n_tables` independent sign-LSH tables)
@@ -245,7 +246,13 @@ def embedding_near_dups(
     4-plane/1-table layout survives only as the static-SQL oracle
     companion (the pinned registry entry passes both explicitly)."""
     if n_planes is None:
-        n_planes = auto_n_planes(embeddings.count())
+        # `n_vectors` lets a caller that knows the corpus cardinality
+        # from source metadata (parquet footer num_rows — identical to
+        # count() on a raw table) skip the sizing count() job, which
+        # measured ~0.5 s warm per call (r15 optimization round).
+        n_planes = auto_n_planes(
+            embeddings.count() if n_vectors is None else n_vectors
+        )
     # Precompute the norm once per VECTOR (behind the repartition
     # barrier), not once per candidate pair — the pair scoring then
     # does one fold instead of three. Same expression order as the
@@ -368,6 +375,7 @@ def cosine_knn(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """THE default approximate top-k retriever — the corpus-size-keyed
     dispatch a naive caller should reach for. Routes to multi-table
@@ -378,7 +386,10 @@ def cosine_knn(
     single-table diagnostic tier at sf0.1 — see knn_method_eval).
     Single-table `cosine_knn_lsh` / brute force / IVF / PQ remain
     explicit tiers for diagnostics and special shapes."""
-    n_planes = auto_n_planes(embeddings.count(), KNN_DEFAULT_TARGET_BUCKET)
+    n_planes = auto_n_planes(
+        embeddings.count() if n_vectors is None else n_vectors,
+        KNN_DEFAULT_TARGET_BUCKET,
+    )
     return cosine_knn_lsh_multi(
         embeddings,
         n_queries=n_queries,
@@ -1016,6 +1027,7 @@ def bitext_margin_mining(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     label_col: str = "label",
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Margin-based parallel-pair mining (Artetxe & Schwenk 2019; the
     CCMatrix/LASER alignment shape): between two corpus halves (label
@@ -1035,7 +1047,9 @@ def bitext_margin_mining(
     cross-joined. Candidates floor at cos >= 0.1, so denominators are
     strictly positive. Deterministic: 6dp cosines and margins, ties by
     partner id."""
-    n_planes = auto_n_planes(embeddings.count())
+    n_planes = auto_n_planes(
+        embeddings.count() if n_vectors is None else n_vectors
+    )
     parity = F.col(label_col) % 2
     # norm once per VECTOR behind the repartition barrier (the
     # embedding_near_dups discipline) — pair scoring is one fold, not

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from .operators import similarity as S
 from .queries_registry import register
-from .sources.parquet import load_table
+from .sources.parquet import load_table, table_row_count
 
 DIM = 64
 
@@ -184,6 +184,9 @@ def q_embedding_near_dups_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         n_planes=None,
         n_tables=6,
+        # footer cardinality == count() on the raw table; skips the
+        # ~0.5 s sizing job per build (r15 optimization round)
+        n_vectors=table_row_count(sf_dir, "embeddings"),
     )
 
 
@@ -244,7 +247,7 @@ def q_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (4 scans total — an offline audit, not a hot path); each scan is a
     pure projection + one hash agg."""
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    n = table_row_count(sf_dir, "embeddings")  # footer == raw count()
     derived = S.auto_n_planes(n, _AUDIT_TARGET)
     sweeps = []
     for np_ in _AUDIT_PLANES:
@@ -432,7 +435,10 @@ def q_knn_default(spark: SparkSession, sf_dir: str) -> DataFrame:
     the runtime-derived plane count (the _auto dynamic-SQL pattern);
     recall@5 vs exact is measured honestly in knn_method_eval
     (0.88 at sf0.1, vs the single-table diagnostic tier's 0.0)."""
-    return S.cosine_knn(load_table(spark, sf_dir, "embeddings"))
+    return S.cosine_knn(
+        load_table(spark, sf_dir, "embeddings"),
+        n_vectors=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 @register(
@@ -664,7 +670,9 @@ def _semdedup_auto_sql() -> str:
     """
 
 
-def semdedup(emb: DataFrame, k: int | None = None) -> DataFrame:
+def semdedup(
+    emb: DataFrame, k: int | None = None, n_vectors: int | None = None
+) -> DataFrame:
     """THE SemDeDup entry point — corpus-size-keyed dispatch (VERDICT
     r6 #5): k=None derives k = max(8, n // 250) (mean cluster size
     pinned ~250, so the cluster-scoped pair join stays ~linear in n),
@@ -673,7 +681,12 @@ def semdedup(emb: DataFrame, k: int | None = None) -> DataFrame:
     passing an explicit k pins a layout (the fixed-k registry twin
     `semdedup_keepers` does so as the static-SQL oracle companion)."""
     if k is None:
-        k = max(_SEMDEDUP_K, emb.count() // 250)
+        # n_vectors: caller-known raw-table cardinality (parquet footer
+        # num_rows) — skips the ~0.5 s sizing count() job per build
+        k = max(
+            _SEMDEDUP_K,
+            (emb.count() if n_vectors is None else n_vectors) // 250,
+        )
     return _semdedup_keepers(emb, k)
 
 
@@ -695,7 +708,10 @@ def q_semdedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     folds instead of n * k. Below the threshold (which includes every
     corpus where k collapses to 8) the exact single-level fold runs and
     the twin stays row-identical to the pinned oracle twin."""
-    return semdedup(load_table(spark, sf_dir, "embeddings"))
+    return semdedup(
+        load_table(spark, sf_dir, "embeddings"),
+        n_vectors=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 _SEMDEDUP_IVF_MIN_K = 64
@@ -1484,7 +1500,11 @@ def q_paraphrase_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     sem = S.embedding_near_dups(
-        emb, threshold=0.4, n_planes=None, n_tables=6
+        emb,
+        threshold=0.4,
+        n_planes=None,
+        n_tables=6,
+        n_vectors=table_row_count(sf_dir, "embeddings"),
     ).persist()  # two consumers: the intersect probe + the final join
     sh = shingle_table(docs, max_shingle_df=None).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
@@ -1695,7 +1715,10 @@ def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates, with the top-4 candidate-cosine means as the hub
     penalty. See operators/similarity.bitext_margin_mining for plan
     notes."""
-    return S.bitext_margin_mining(load_table(spark, sf_dir, "embeddings"))
+    return S.bitext_margin_mining(
+        load_table(spark, sf_dir, "embeddings"),
+        n_vectors=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 def _mmr_sql(n_queries: int = 4, pool: int = 20, k: int = 5, lam: int = 7) -> str:

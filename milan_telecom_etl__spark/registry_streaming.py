@@ -56,7 +56,13 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     from pyspark.sql import types as T
 
-    probe = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from .sources.parquet import _parquet_schema
+
+    # footer-probe memo (r15 optimization round): same per-file-state
+    # schema cache load_table uses — the probe re-read the events footer
+    # on every stream build (~130 ms x 13 streaming entries x 4 bench
+    # reps), and the answer only changes when the file does.
+    probe = _parquet_schema(spark, f"{sf_dir}/events.parquet")
     ts_is_long = isinstance(probe["ts"].dataType, T.LongType)
     # file streams need a directory source; pathGlobFilter narrows the
     # listing to the one events file

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from .operators import dedup as D
 from .operators import text as X
 from .queries_registry import register
-from .sources.parquet import load_table
+from .sources.parquet import load_table, table_row_count
 
 # --- shared DuckDB fragments ------------------------------------------------
 
@@ -809,7 +809,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     df = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()
+    n_docs = table_row_count(sf_dir, "documents")  # footer == raw count()
     scored = tf.join(F.broadcast(df), "w").select(
         "doc_id",
         "w",

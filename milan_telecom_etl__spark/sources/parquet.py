@@ -65,6 +65,33 @@ def adapt_table(df: DataFrame, name: str) -> DataFrame:
 _SCHEMA_CACHE: dict[tuple[str, float, int], T.StructType] = {}
 
 
+_ROW_COUNT_CACHE: dict[tuple[str, float, int], int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata table from parquet FOOTER metadata
+    (memoized per file state) — identical by construction to
+    `load_table(spark, sf_dir, name).count()` (plain parquet: footer
+    num_rows is exact, there are no deletes), without paying a Spark
+    job per call. The auto-sizing operators (LSH plane counts, semdedup
+    k) derive layout parameters from the raw table's cardinality; at
+    sf0.1 each such count() job measured ~0.4-0.66 s WARM, paid on
+    every bench rep of every auto entry (r15 optimization round). At
+    cluster scale the equivalent is deriving from catalog/footer
+    statistics instead of scanning. Pinned equal to count() in
+    tests/test_sources_parquet.py."""
+    path = f"{sf_dir}/{name}.parquet"
+    st = os.stat(path)
+    key = (path, st.st_mtime, st.st_size)
+    n = _ROW_COUNT_CACHE.get(key)
+    if n is None:
+        import pyarrow.parquet as pq
+
+        n = pq.ParquetFile(path).metadata.num_rows
+        _ROW_COUNT_CACHE[key] = n
+    return n
+
+
 def _parquet_schema(spark: SparkSession, path: str) -> T.StructType:
     st = os.stat(path)
     key = (path, st.st_mtime, st.st_size)

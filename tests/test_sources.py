@@ -165,3 +165,28 @@ def test_binaryfile_media_ingest(spark, tmp_path):
 
     decoded = decode_media(df).collect()
     assert all(r["ok"] for r in decoded) and len(decoded) == 2
+
+
+def test_table_row_count_and_schema_memo_match_spark(spark):
+    """r15 optimization round: the footer-metadata row count the
+    auto-sizing operators consume must equal count() on the freshly
+    loaded table, and the memoized explicit-schema read must return
+    exactly the schema inference would — for every testdata table the
+    registry derives layout parameters from."""
+    from milan_telecom_etl__spark.sources.parquet import (
+        _SCHEMA_CACHE,
+        load_table,
+        table_row_count,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("documents", "embeddings", "events"):
+        df = load_table(spark, sf, name)
+        assert table_row_count(sf, name) == df.count(), name
+        # the memo is populated now; a fresh inference must agree
+        import os
+
+        path = f"{sf}/{name}.parquet"
+        st = os.stat(path)
+        cached = _SCHEMA_CACHE[(path, st.st_mtime, st.st_size)]
+        assert spark.read.parquet(path).schema == cached, name
