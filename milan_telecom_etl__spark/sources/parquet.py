@@ -56,16 +56,53 @@ def adapt_table(df: DataFrame, name: str) -> DataFrame:
 # tens of seconds of pure metadata re-reads per sweep. At cluster scale
 # the same applies against object storage (a footer round-trip per
 # query per table). The memo holds SCHEMAS (metadata), never data or
-# results; the mtime+size key drops it the moment a file changes; and
-# it is per-process, so every bench/oracle invocation still derives
+# results; the file-state key (every part file's name, mtime_ns, size
+# — nanosecond mtimes per ADVICE r15: a same-second same-size in-place
+# rewrite must still invalidate) drops it the moment any file changes;
+# and it is per-process, so every bench/oracle invocation still derives
 # everything from the parquet inputs. The first read per (file state)
-# infers under the same session confs load_table always sets, so the
-# memoized schema is exactly what inference would return (long for
-# TIMESTAMP(NANOS) under nanosAsLong, TIMESTAMP_NTZ for MICROS).
-_SCHEMA_CACHE: dict[tuple[str, float, int], T.StructType] = {}
+# infers under the confs `_parquet_schema` itself pins (nanosAsLong —
+# ADVICE r15: callers must not be able to poison the memo by probing
+# before load_table set them), so the memoized schema is exactly what
+# inference would return (long for TIMESTAMP(NANOS) under nanosAsLong,
+# TIMESTAMP_NTZ for MICROS).
+_SCHEMA_CACHE: dict[tuple, T.StructType] = {}
 
 
-_ROW_COUNT_CACHE: dict[tuple[str, float, int], int] = {}
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _table_files(path: str) -> list[str]:
+    """Data files of a parquet table path: the file itself, or — for a
+    DIRECTORY table (the at-scale layout: every fact table is a dir of
+    part files; see module docstring / VERDICT r15 #3) — its non-hidden
+    files, recursively (partitioned tables nest key=value dirs). Sorted
+    for a deterministic fingerprint."""
+    if os.path.isfile(path):
+        return [path]
+    out: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith((".", "_"))
+        )
+    return sorted(out)
+
+
+def _file_state_key(path: str) -> tuple:
+    """Memo key for a table path: every data file's (name, mtime_ns,
+    size). Directory mtimes alone are NOT enough — rewriting a part
+    file in place does not touch the directory inode."""
+    return (
+        path,
+        tuple(
+            (f, st.st_mtime_ns, st.st_size)
+            for f in _table_files(path)
+            for st in (os.stat(f),)
+        ),
+    )
 
 
 def table_row_count(sf_dir: str, name: str) -> int:
@@ -78,23 +115,32 @@ def table_row_count(sf_dir: str, name: str) -> int:
     sf0.1 each such count() job measured ~0.4-0.66 s WARM, paid on
     every bench rep of every auto entry (r15 optimization round). At
     cluster scale the equivalent is deriving from catalog/footer
-    statistics instead of scanning. Pinned equal to count() in
-    tests/test_sources_parquet.py."""
+    statistics instead of scanning. Directory tables (the at-scale
+    layout) sum footer num_rows across part files — the
+    `tier_bytes_uncompressed` per-file footer-sum pattern (VERDICT r15
+    #3). Pinned equal to count() for both layouts in
+    tests/test_sources.py."""
     path = f"{sf_dir}/{name}.parquet"
-    st = os.stat(path)
-    key = (path, st.st_mtime, st.st_size)
+    key = _file_state_key(path)
     n = _ROW_COUNT_CACHE.get(key)
     if n is None:
         import pyarrow.parquet as pq
 
-        n = pq.ParquetFile(path).metadata.num_rows
+        n = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in _table_files(path)
+            if f.endswith(".parquet")
+        )
         _ROW_COUNT_CACHE[key] = n
     return n
 
 
 def _parquet_schema(spark: SparkSession, path: str) -> T.StructType:
-    st = os.stat(path)
-    key = (path, st.st_mtime, st.st_size)
+    # Pin the inference-relevant conf HERE, not only in load_table
+    # (ADVICE r15): the memoized schema must be conf-correct no matter
+    # which caller populates the cache first.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = _file_state_key(path)
     sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         sch = spark.read.parquet(path).schema

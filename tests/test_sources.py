@@ -179,14 +179,54 @@ def test_table_row_count_and_schema_memo_match_spark(spark):
         table_row_count,
     )
 
+    from milan_telecom_etl__spark.sources.parquet import _file_state_key
+
     sf = "/root/testdata/sf0.001"
     for name in ("documents", "embeddings", "events"):
         df = load_table(spark, sf, name)
         assert table_row_count(sf, name) == df.count(), name
         # the memo is populated now; a fresh inference must agree
-        import os
-
         path = f"{sf}/{name}.parquet"
-        st = os.stat(path)
-        cached = _SCHEMA_CACHE[(path, st.st_mtime, st.st_size)]
+        cached = _SCHEMA_CACHE[_file_state_key(path)]
         assert spark.read.parquet(path).schema == cached, name
+
+
+def test_table_row_count_and_schema_on_directory_tables(spark, tmp_path):
+    """VERDICT r15 #3: at the 100 TB posture every table is a DIRECTORY
+    of parquet parts — the footer row count must sum per-file footers
+    (the tier_bytes_uncompressed pattern), the schema memo must read
+    the directory layout, and both memos must invalidate when a part
+    file changes."""
+    import time
+
+    from milan_telecom_etl__spark.sources.parquet import (
+        _file_state_key,
+        load_table,
+        table_row_count,
+    )
+
+    sf_dir = str(tmp_path)
+    tbl = tmp_path / "documents.parquet"
+    spark.range(0, 137).selectExpr(
+        "id AS doc_id", "concat('text-', id) AS text"
+    ).repartition(4).write.parquet(str(tbl))
+    parts = sorted(p for p in tbl.iterdir() if p.name.endswith(".parquet"))
+    assert len(parts) > 1, "fixture must be a multi-file table"
+
+    df = load_table(spark, sf_dir, "documents")
+    assert table_row_count(sf_dir, "documents") == df.count() == 137
+
+    # memo-invalidation pin: rewrite one part in place — the key must
+    # change and the recomputed count must track the new contents
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key_before = _file_state_key(str(tbl))
+    n_dropped = pq.ParquetFile(str(parts[0])).metadata.num_rows
+    time.sleep(0.01)  # a distinguishable mtime_ns even on fast fs
+    pq.write_table(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}),
+        str(parts[0]),
+    )
+    assert _file_state_key(str(tbl)) != key_before
+    assert table_row_count(sf_dir, "documents") == 137 - n_dropped
