@@ -699,8 +699,8 @@ def _near_dup_clusters_sql(threshold: float = 0.5) -> str:
     """Transitive closure over the SAME LSH-verified pair list the Spark
     side uses, as a DuckDB recursive CTE: walk(doc, lbl) enumerates every
     label reachable from doc; min per doc == smallest doc_id in the
-    connected component — exactly the fixpoint of Spark's min-label
-    propagation."""
+    connected component — exactly the fixpoint of Spark's
+    alternating-star component labeling."""
     return f"""
     WITH RECURSIVE
     pairs AS (SELECT doc_a, doc_b FROM ({_lsh_verified_sql(threshold)})),
@@ -721,9 +721,10 @@ def _near_dup_clusters_sql(threshold: float = 0.5) -> str:
 @register("near_dup_clusters", _near_dup_clusters_sql())
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH-verified near-dup graph
-    (iterative min-label propagation on Spark; recursive-CTE transitive
-    closure in the oracle — both converge to min doc_id per component).
-    The edge build touches only LSH band candidates, never an unbanded
+    (alternating large-star/small-star rounds on Spark — Kiveris et
+    al. SoCC'14, no collect anywhere; recursive-CTE transitive closure
+    in the oracle — both converge to min doc_id per component). The
+    edge build touches only LSH band candidates, never an unbanded
     shingle self-join (plan-pinned in tests/test_plans.py)."""
     return D.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
@@ -1877,9 +1878,9 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scrapes.
 
     Scale story: composes three already-scale-shaped stages — LSH-
-    banded edge build (candidates only), min-label components (state
-    O(dup subgraph)), and a per-doc quality projection (narrow) —
-    plus one window over clusters, partitioned on the cluster key."""
+    banded edge build (candidates only), alternating-star components
+    (state O(dup subgraph)), and a per-doc quality projection (narrow)
+    — plus one window over clusters, partitioned on the cluster key."""
     from .operators import text as X
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4359,7 +4360,7 @@ def q_dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     catches over-merging BEFORE a dedup pass deletes half the corpus.
 
     Scale shape: reuses near_dup_clusters' converged component labels
-    (iterative min-label propagation, LSH-banded edges only), then two
+    (alternating-star components, LSH-banded edges only), then two
     tiny aggregations — component grain, then size grain. The report
     adds nothing quadratic to the clustering it profiles."""
     c = D.near_dup_clusters(load_table(spark, sf_dir, "documents"), threshold=0.5)
