@@ -297,15 +297,20 @@ def multi_table_buckets(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    extra_cols: list[Column] | None = None,
 ) -> DataFrame:
-    """(vec_id, v, table_id, bucket): L independent sign-LSH tables —
-    the standard recall amplifier (candidate iff ANY table collides:
-    P = 1-(1-p^k)^L). Plane sets per table come from disjoint slices of
-    the same deterministic generator."""
+    """(vec_id, v, table_id, bucket[, extras]): L independent sign-LSH
+    tables — the standard recall amplifier (candidate iff ANY table
+    collides: P = 1-(1-p^k)^L). Plane sets per table come from disjoint
+    slices of the same deterministic generator. `extra_cols` rides
+    narrow per-vector attributes (e.g. bitext's side parity) through
+    the explode so callers don't need a re-attach join."""
     all_planes = hyperplanes(n_tables * n_planes, dim)
+    extras = list(extra_cols or [])
     base = embeddings.select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v"), *extras
     )
+    extra_names = base.columns[2:]
     tables = []
     for t in range(n_tables):
         planes = all_planes[t * n_planes : (t + 1) * n_planes]
@@ -313,8 +318,14 @@ def multi_table_buckets(
             F.struct(F.lit(t).alias("table_id"), lsh_bucket(F.col("v"), planes).alias("bucket"))
         )
     return base.select(
-        "vec_id", "v", F.explode(F.array(*tables)).alias("tb")
-    ).select("vec_id", "v", F.col("tb.table_id").alias("table_id"), F.col("tb.bucket").alias("bucket"))
+        "vec_id", "v", *extra_names, F.explode(F.array(*tables)).alias("tb")
+    ).select(
+        "vec_id",
+        "v",
+        *extra_names,
+        F.col("tb.table_id").alias("table_id"),
+        F.col("tb.bucket").alias("bucket"),
+    )
 
 
 def cosine_knn_lsh_multi(
@@ -1050,22 +1061,39 @@ def bitext_margin_mining(
     n_planes = auto_n_planes(
         embeddings.count() if n_vectors is None else n_vectors
     )
-    parity = F.col(label_col) % 2
     # norm once per VECTOR behind the repartition barrier (the
     # embedding_near_dups discipline) — pair scoring is one fold, not
     # three; same expression order as the oracle's precomputed nrm.
     n_parts = embeddings.sparkSession.sparkContext.defaultParallelism
 
-    def _side(pred):
-        return (
-            multi_table_buckets(
-                embeddings.filter(pred), n_tables, n_planes, dim, vec_col, id_col
-            )
-            .withColumn("norm", l2_norm(F.col("v")))
-            .repartition(n_parts, F.col("table_id"), F.col("bucket"))
+    # Bucket the WHOLE corpus ONCE and split sides by filter (r16,
+    # VERDICT r15 #1): the r15 shape built the 6-table bucket pipeline
+    # TWICE — once per side — so every rep paid two copies of the
+    # plane-literal/HOF expression tree in build+analysis (the entry's
+    # measured wall was driver-side, ~95% build+optimize at sf0.1) and
+    # the cold rep computed the bucket projection in two half-corpus
+    # passes. One shared frame, partitioned on the join key and
+    # persisted, halves the tree and lets BOTH join sides read the same
+    # cache; the side filters preserve the (table_id, bucket) hash
+    # partitioning, so the cross-side join needs NO new Exchange
+    # (plans/r16/bitext_mining_{before,after}.txt: the bucket subtree
+    # appears once, under one Exchange, instead of twice).
+    b = (
+        multi_table_buckets(
+            embeddings,
+            n_tables,
+            n_planes,
+            dim,
+            vec_col,
+            id_col,
+            extra_cols=[(F.col(label_col) % 2).alias("side")],
         )
-
-    src_b, tgt_b = _side(parity == 0), _side(parity == 1)
+        .withColumn("norm", l2_norm(F.col("v")))
+        .repartition(n_parts, F.col("table_id"), F.col("bucket"))
+        .persist()
+    )
+    src_b = b.filter(F.col("side") == 0).drop("side")
+    tgt_b = b.filter(F.col("side") == 1).drop("side")
     cand = (
         src_b.alias("x")
         .join(tgt_b.alias("y"), ["table_id", "bucket"])

@@ -1329,75 +1329,97 @@ def _knn_eval_df(emb: DataFrame) -> DataFrame:
         .persist()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-
-    def topk(cands: DataFrame | None) -> DataFrame:
-        s = (
-            scored_all
-            if cands is None
-            else scored_all.join(
-                F.broadcast(cands), ["query_id", "neighbor_id"], "left_semi"
-            )
-        )
-        return (
-            s.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 5)
-            .select("query_id", "neighbor_id")
-        )
-
-    def lsh_cands(slices: list) -> DataFrame:
-        tb = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table_id"),
-                    F.substring(F.col("bits"), s + 1, ln).alias("bucket"),
-                )
-                for t, (s, ln) in enumerate(slices)
-            ]
-        )
-        bt = base.select("vec_id", F.explode(tb).alias("tb")).select(
-            "vec_id",
-            F.col("tb.table_id").alias("table_id"),
-            F.col("tb.bucket").alias("bucket"),
-        )
-        qb = bt.filter(F.col("vec_id") < 5).select(
-            F.col("vec_id").alias("query_id"), "table_id", "bucket"
-        )
-        return (
-            bt.join(F.broadcast(qb), ["table_id", "bucket"])
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", F.col("vec_id").alias("neighbor_id"))
-            .distinct()
-        )
-
-    exact = topk(None)
+    exact = (
+        scored_all.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
 
-    def scored(method: str, approx: DataFrame) -> DataFrame:
-        hits = exact.join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
-        ).agg(F.count(F.lit(1)).alias("n_hits"))
-        return hits.crossJoin(ne).select(
-            F.lit(method).alias("method"),
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.col("n_exact").cast("long").alias("n_exact"),
-            F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_at_5"),
-        )
-
-    return (
-        scored("ivf", cosine_knn_ivf(emb))
-        .unionByName(scored("lsh", topk(lsh_cands([(0, 4)]))))
-        .unionByName(
-            scored("lsh_multi", topk(lsh_cands([(2 * t, 2) for t in range(4)])))
-        )
-        .unionByName(
-            scored(
-                "default",
-                topk(lsh_cands([(kk * t, kk) for t in range(KNN_DEFAULT_TABLES)])),
+    # ALL THREE LSH tiers in ONE pass (r16, VERDICT r15 #1 — this was
+    # the remaining plan-size-bound entry, 95 KB formatted plan): the
+    # r15 shape repeated explode→join→window→semi-join→agg per tier,
+    # tripling both the py4j/analysis tree the driver rebuilds per rep
+    # and the Exchange count. Every tier's bucket is a SLICE of the
+    # same bits string, so one explode carrying a `tier` tag, one
+    # candidate join, one (tier, query)-partitioned window and one
+    # per-tier hit aggregate price all of them together — same values
+    # row-for-row (each tier's candidate set and top-5 are untouched;
+    # missing-tier zero rows re-attach via the left join on the tier
+    # list, matching the old always-one-row aggregates).
+    tiers = [
+        ("lsh", [(0, 4)]),
+        ("lsh_multi", [(2 * t, 2) for t in range(4)]),
+        ("default", [(kk * t, kk) for t in range(KNN_DEFAULT_TABLES)]),
+    ]
+    tb = F.array(
+        *[
+            F.struct(
+                F.lit(tname).alias("tier"),
+                F.lit(t).alias("table_id"),
+                F.substring(F.col("bits"), s + 1, ln).alias("bucket"),
             )
+            for tname, slices in tiers
+            for t, (s, ln) in enumerate(slices)
+        ]
+    )
+    bt = base.select("vec_id", F.explode(tb).alias("tb")).select(
+        "vec_id",
+        F.col("tb.tier").alias("tier"),
+        F.col("tb.table_id").alias("table_id"),
+        F.col("tb.bucket").alias("bucket"),
+    )
+    qb = bt.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "tier", "table_id", "bucket"
+    )
+    cands = (
+        bt.join(F.broadcast(qb), ["tier", "table_id", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("tier", "query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    w_tier = Window.partitionBy("tier", "query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    tier_topk = (
+        scored_all.join(F.broadcast(cands), ["query_id", "neighbor_id"])
+        .withColumn("rk", F.row_number().over(w_tier))
+        .filter(F.col("rk") <= 5)
+        .select("tier", "query_id", "neighbor_id")
+    )
+    tier_hits = (
+        tier_topk.join(exact, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    tier_rows = (
+        ne.select(
+            F.explode(F.array(*[F.lit(t) for t, _ in tiers])).alias("tier"),
+            "n_exact",
+        )
+        .join(tier_hits, "tier", "left")
+        .select(
+            F.col("tier").alias("method"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall_at_5"),
         )
     )
+
+    ivf_hits = exact.join(
+        cosine_knn_ivf(emb).select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    ivf_row = ivf_hits.crossJoin(ne).select(
+        F.lit("ivf").alias("method"),
+        F.col("n_hits").cast("long").alias("n_hits"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(F.col("n_hits") / F.col("n_exact"), 6).alias("recall_at_5"),
+    )
+    return ivf_row.unionByName(tier_rows)
 
 
 @register("knn_method_eval_full", f"WITH {_KNN_EVAL_BODY}", diagnostic=True)
