@@ -1,7 +1,8 @@
-"""Dump `.explain("formatted")` for registry entries to plans/r15/.
+"""Dump `.explain("formatted")` for registry entries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py <suffix> [entry ...]
-Writes plans/r15/<entry>_<suffix>.txt for each named entry (default:
+Round dir from $SPARK_GRAFT_PLANS_ROUND (default r16).
+Writes plans/<round>/<entry>_<suffix>.txt for each named entry (default:
 every entry named on the command line; no default sweep — formatted
 explain on 254 entries is slow and the optimization round only needs
 the audited ones).
@@ -27,7 +28,9 @@ def main() -> int:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(repo, "plans", "r15")
+    out_dir = os.path.join(
+        repo, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     spark = get_spark(app_name="dump-plans")

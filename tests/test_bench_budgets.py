@@ -257,14 +257,62 @@ ENTRY_BUDGET_S = {
 }
 
 
+# Flagship noise floor (VERDICT r15 #2a): the family budgets got
+# environment deflation + a trip margin in r14 (`1eecf94`) and stopped
+# tripping on machine state; the per-entry flagship map got neither and
+# was the SOLE judge-time red in r15 (top_cells +7%, lsh_s_curve +8% on
+# the documented churned-machine sweep). Same discipline now: the
+# reading is deflated by the whole-sweep environment factor vs the
+# committed anchor, and a trip must exceed budget by >15% — the
+# measured cross-sweep noise on single entries (r9/r10 same-code pair:
+# top_cells swung 19% on pure environment) — with the entry's spill/GC
+# counters vs anchor in the failure message so adjudication starts
+# from evidence.
+_FLAGSHIP_NOISE_FLOOR = 0.15
+
+
+def _flagship_violations(
+    queries: dict[str, float],
+    reference: dict[str, float] | None,
+    counters: dict[str, dict] | None = None,
+    ref_counters: dict[str, dict] | None = None,
+) -> list[str]:
+    factor = environment_factor(queries, reference)
+    over = []
+    for name, budget in ENTRY_BUDGET_S.items():
+        raw = queries.get(name)
+        if raw is None or raw <= 0:
+            continue
+        deflated = raw / factor
+        if deflated > budget * (1.0 + _FLAGSHIP_NOISE_FLOOR):
+            c = (counters or {}).get(name, {})
+            rc = (ref_counters or {}).get(name, {})
+            over.append(
+                f"{name}: deflated {deflated:.3f}s (raw {raw:.3f}, env factor "
+                f"{factor:.3f}) > {budget}s +{_FLAGSHIP_NOISE_FLOOR:.0%} floor "
+                f"[sweep spill_mb={c.get('spill_mem_mb', 0)}+"
+                f"{c.get('spill_disk_mb', 0)} gc_sec={c.get('gc_sec', 0)} vs "
+                f"anchor spill_mb={rc.get('spill_mem_mb', 0)}+"
+                f"{rc.get('spill_disk_mb', 0)} gc_sec={rc.get('gc_sec', 0)}]"
+            )
+    return over
+
+
 def test_flagship_entries_within_budget():
     detail = _load_detail()
-    over = [
-        f"{name}: {detail['queries'][name]:.3f}s > {budget}s"
-        for name, budget in ENTRY_BUDGET_S.items()
-        if name in detail["queries"] and detail["queries"][name] > budget
-    ]
-    assert not over, "flagship entry budgets exceeded:\n" + "\n".join(over)
+    ref_detail = _committed_reference_detail()
+    over = _flagship_violations(
+        detail["queries"],
+        _committed_reference(),
+        detail.get("counters"),
+        (ref_detail or {}).get("counters"),
+    )
+    assert not over, (
+        "flagship entry budgets exceeded beyond the environment factor "
+        "and noise floor (zero spill + anchor-flat GC on the flagged "
+        "entry means suspect machine state first — PLANS.md isolation "
+        "protocol):\n" + "\n".join(over)
+    )
 
 
 def test_every_family_is_budgeted():
@@ -509,6 +557,35 @@ def test_uniform_2x_regression_trips_raw_cap():
     loaded = {k: v * 2.7 for k, v in ref.items()}
     over = _family_budget_violations(loaded, ref)
     assert over and all("RAW median" in v for v in over), over
+
+
+def test_flagship_churned_sweep_stays_green():
+    # the r15 judge-time red: top_cells +7% / lsh_s_curve +8% on a
+    # sweep whose whole-registry median ran ~1.3x the anchor. The
+    # environment factor must absorb a uniform slowdown, and the 15%
+    # floor must absorb residual single-entry jitter.
+    ref = _synthetic_reference()
+    for name, budget in ENTRY_BUDGET_S.items():
+        ref[name] = budget / 1.4  # honest steady state under budget
+    loaded = {k: v * 1.3 for k, v in ref.items()}  # churned machine
+    for name in ENTRY_BUDGET_S:
+        loaded[name] = ref[name] * 1.3 * 1.12  # + entry jitter
+    assert _flagship_violations(loaded, ref) == []
+
+
+def test_flagship_genuine_regression_still_trips():
+    # a real 2x slowdown on one flagship entry, steady machine: must
+    # trip, and the message must carry the counter evidence
+    ref = _synthetic_reference()
+    for name, budget in ENTRY_BUDGET_S.items():
+        ref[name] = budget / 1.4
+    loaded = dict(ref)
+    loaded["top_cells"] = ENTRY_BUDGET_S["top_cells"] * 2.0
+    over = _flagship_violations(
+        loaded, ref, {"top_cells": {"spill_mem_mb": 0, "gc_sec": 0.4}}, {}
+    )
+    assert len(over) == 1 and over[0].startswith("top_cells"), over
+    assert "gc_sec=0.4" in over[0], over
 
 
 def test_spill_annotation_marks_contaminated_family():
