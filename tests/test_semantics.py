@@ -304,6 +304,7 @@ def test_alternating_cc_row_equal_to_union_find(spark):
     import random
 
     from milan_telecom_etl__spark.operators.dedup import (
+        _cc_labels,
         _cc_labels_alternating,
         _driver_union_find,
     )
@@ -345,6 +346,12 @@ def test_alternating_cc_row_equal_to_union_find(spark):
             "nodes missing from the star labeling must be exactly the "
             "component roots",
         )
+        # the dispatcher's sub-threshold single-executor-task finish
+        # must emit byte-identical rows to the star rounds
+        st_labels, st_edges = _cc_labels(df)
+        assert st_edges == n_edges, name
+        got_st = {r["doc_id"]: r["label"] for r in st_labels.collect()}
+        assert got_st == got, (name, "single-task finish != star rounds")
 
 
 def test_near_dup_clusters_connected_components(spark):
