@@ -89,7 +89,7 @@ DIAGNOSTIC_ORACLES: dict[str, str] = {}
 #   listing at analysis time, so ANY change under the data dir drops
 #   the plan (the appendable-table lesson, same key discipline as
 #   sources/parquet._file_state_key).
-_PLAN_MEMO: dict[tuple, DataFrame] = {}
+_PLAN_MEMO: dict[tuple, tuple] = {}  # key -> (file_state, DataFrame)
 
 # Statically audited pure-build entries (r16; see the audit criteria
 # above). Deliberately EXCLUDED despite auditing pure: store-backed
